@@ -1,0 +1,498 @@
+package graft.functions;
+
+import java.util.concurrent.ConcurrentHashMap;
+import java.math.BigInteger;
+
+import org.apache.spark.sql.catalyst.util.ArrayData;
+import org.apache.spark.sql.catalyst.util.GenericArrayData;
+import org.apache.spark.unsafe.types.UTF8String;
+
+/**
+ * Scalar kernels for the ML-domain operators, exposed to Catalyst via
+ * {@code StaticInvoke} so they participate in whole-stage codegen.
+ *
+ * <p>Semantics re-implemented from the reference's public behavior
+ * (facebookresearch/torcharrow): sigrid_hash
+ * (csrc/velox/functions/rec/sigrid_hash.h:21-93), bucketize
+ * (rec/bucketize.h:42-75), overlap/similarity scores
+ * (rec/compute_score.h:23-280), and the Python-semantics string
+ * predicates (csrc/velox/functions/string_functions.h:69-473). The hash
+ * primitives (twang_mix64, hash_128_to_64) are the well-known public
+ * folly/CityHash mixers.
+ */
+public final class Kernels {
+  private Kernels() {}
+
+  // ---------------------------------------------------------------------
+  // sigrid_hash — bit-exact contract (test/transformation/test_sigrid_hash.py)
+  // ---------------------------------------------------------------------
+
+  /** Tom Wang's 64-bit integer mixer (public domain; folly twang_mix64). */
+  public static long twangMix64(long key) {
+    key = (~key) + (key << 21);
+    key = key ^ (key >>> 24);
+    key = key + (key << 3) + (key << 8); // key * 265
+    key = key ^ (key >>> 14);
+    key = key + (key << 2) + (key << 4); // key * 21
+    key = key ^ (key >>> 28);
+    key = key + (key << 31);
+    return key;
+  }
+
+  /** CityHash Hash128to64 mixer (public; used by folly::hash::hash_combine). */
+  public static long hash128to64(long upper, long lower) {
+    final long kMul = 0x9ddfea08eb382d69L;
+    long a = (lower ^ upper) * kMul;
+    a ^= (a >>> 47);
+    long b = (upper ^ a) * kMul;
+    b ^= (b >>> 47);
+    b *= kMul;
+    return b;
+  }
+
+  /** High 64 bits of the unsigned 128-bit product x*y (JDK17 has no
+   * unsignedMultiplyHigh). */
+  public static long unsignedMulHigh(long x, long y) {
+    return Math.multiplyHigh(x, y) + ((x >> 63) & y) + ((y >> 63) & x);
+  }
+
+  /** Granlund-Montgomery magic multiplier+shift for signed division by a
+   * runtime constant, precision 63 (round toward negative infinity). */
+  private static final ConcurrentHashMap<Long, long[]> MULT_SHIFT_CACHE =
+      new ConcurrentHashMap<>();
+
+  static long[] multiplierAndShift(long divisor, int precision) {
+    final int n = 64;
+    int l = 64 - Long.numberOfLeadingZeros(divisor - 1); // ceil(log2(divisor))
+    if (divisor == 1) l = 0;
+    BigInteger d = BigInteger.valueOf(divisor);
+    BigInteger low = BigInteger.ONE.shiftLeft(n + l).divide(d);
+    BigInteger high = BigInteger.ONE.shiftLeft(n + l)
+        .add(BigInteger.ONE.shiftLeft(n + l - precision)).divide(d);
+    while (low.shiftRight(1).compareTo(high.shiftRight(1)) < 0 && l > 0) {
+      low = low.shiftRight(1);
+      high = high.shiftRight(1);
+      --l;
+    }
+    return new long[] {high.longValue(), l};
+  }
+
+  public static long sigridHash(long value, long salt, long maxValue) {
+    if (maxValue <= 0) {
+      throw new IllegalArgumentException("maxValue must be larger than 0.");
+    }
+    if (maxValue == 1) return 0L;
+    long hashed = hash128to64(salt, twangMix64(value));
+    long[] ms = MULT_SHIFT_CACHE.computeIfAbsent(
+        maxValue, d -> multiplierAndShift(d, 63));
+    long sign = hashed >> 63; // arithmetic: all-ones if negative
+    long q = sign ^ (unsignedMulHigh(ms[0], sign ^ hashed) >>> (int) ms[1]);
+    return hashed - q * maxValue;
+  }
+
+  /** List form: hash every element of an int64 array. */
+  public static ArrayData sigridHashList(ArrayData values, long salt,
+      long maxValue) {
+    int n = values.numElements();
+    long[] out = new long[n];
+    for (int i = 0; i < n; i++) {
+      out[i] = sigridHash(values.getLong(i), salt, maxValue);
+    }
+    return new GenericArrayData(out);
+  }
+
+  // ---------------------------------------------------------------------
+  // bucketize — reference semantics: lower_bound with right-open buckets,
+  // up to 2 repeated borders allowed (rec/bucketize.h:42-50).
+  // ---------------------------------------------------------------------
+
+  private static int bucketId(double[] borders, double val) {
+    int lo = 0, hi = borders.length; // lower_bound: first i with borders[i] >= val
+    while (lo < hi) {
+      int mid = (lo + hi) >>> 1;
+      if (borders[mid] < val) lo = mid + 1; else hi = mid;
+    }
+    int index = lo;
+    if (index >= borders.length - 1) return index;
+    return val < borders[index + 1] ? index : index + 1;
+  }
+
+  private static void validateBorders(double[] borders) {
+    if (borders.length == 0) {
+      throw new IllegalArgumentException("Borders should not be empty.");
+    }
+    for (int i = 1; i < borders.length; i++) {
+      if (borders[i] < borders[i - 1]) {
+        throw new IllegalArgumentException(
+            "Borders should have non-decreasing sequence.");
+      }
+      if (i > 1 && borders[i] == borders[i - 1] && !(borders[i - 2] < borders[i])) {
+        throw new IllegalArgumentException(
+            "Borders should not have more than 2 repeated values, at " + i);
+      }
+    }
+  }
+
+  public static int bucketize(double val, ArrayData borders) {
+    double[] b = borders.toDoubleArray();
+    validateBorders(b);
+    return bucketId(b, val);
+  }
+
+  public static ArrayData bucketizeList(ArrayData values, ArrayData borders) {
+    double[] b = borders.toDoubleArray();
+    validateBorders(b);
+    int n = values.numElements();
+    int[] out = new int[n];
+    for (int i = 0; i < n; i++) {
+      out[i] = bucketId(b, values.getDouble(i));
+    }
+    return new GenericArrayData(out);
+  }
+
+  // ---------------------------------------------------------------------
+  // overlap / similarity scores (rec/compute_score.h) — float results,
+  // multiset semantics where the reference uses them.
+  // ---------------------------------------------------------------------
+
+  /** Multiset intersection size over sorted copies (set_intersection). */
+  private static int overlapCount(long[] a, long[] b) {
+    java.util.Arrays.sort(a);
+    java.util.Arrays.sort(b);
+    int i = 0, j = 0, c = 0;
+    while (i < a.length && j < b.length) {
+      if (a[i] < b[j]) i++;
+      else if (b[j] < a[i]) j++;
+      else { c++; i++; j++; }
+    }
+    return c;
+  }
+
+  public static float hasIdOverlap(ArrayData inputIds, ArrayData matchingIds) {
+    java.util.HashSet<Long> set = new java.util.HashSet<>();
+    for (int i = 0; i < inputIds.numElements(); i++) set.add(inputIds.getLong(i));
+    for (int j = 0; j < matchingIds.numElements(); j++) {
+      if (set.contains(matchingIds.getLong(j))) return 1.0f;
+    }
+    return 0.0f;
+  }
+
+  public static float idOverlapCount(ArrayData inputIds, ArrayData matchingIds) {
+    return overlapCount(inputIds.toLongArray(), matchingIds.toLongArray());
+  }
+
+  /** id -> count map (idToScoreSumMap without scores: each id counts 1.0f). */
+  private static java.util.HashMap<Long, Float> countMap(ArrayData ids) {
+    java.util.HashMap<Long, Float> m = new java.util.HashMap<>();
+    for (int i = 0; i < ids.numElements(); i++) {
+      m.merge(ids.getLong(i), 1.0f, Float::sum);
+    }
+    return m;
+  }
+
+  private static java.util.HashMap<Long, Float> scoreSumMap(ArrayData ids,
+      ArrayData scores) {
+    if (ids.numElements() != scores.numElements()) {
+      throw new IllegalArgumentException(
+          "ids and scores should have the same len");
+    }
+    java.util.HashMap<Long, Float> m = new java.util.HashMap<>();
+    for (int i = 0; i < ids.numElements(); i++) {
+      m.merge(ids.getLong(i), scores.getFloat(i), Float::sum);
+    }
+    return m;
+  }
+
+  public static float getMaxCount(ArrayData inputIds, ArrayData matchingIds) {
+    java.util.HashMap<Long, Float> m0 = countMap(inputIds);
+    java.util.HashMap<Long, Float> m1 = countMap(matchingIds);
+    float r = 0.0f;
+    for (java.util.Map.Entry<Long, Float> e : m0.entrySet()) {
+      Float match = m1.get(e.getKey());
+      if (match != null) r += Math.max(e.getValue(), match);
+    }
+    return r;
+  }
+
+  public static float getJaccardSimilarity(ArrayData inputIds,
+      ArrayData matchingIds) {
+    float c = overlapCount(inputIds.toLongArray(), matchingIds.toLongArray());
+    return c / (inputIds.numElements() + matchingIds.numElements() - c);
+  }
+
+  private static float scoreNorm(java.util.HashMap<Long, Float> m) {
+    float ip = 0.0f;
+    for (float v : m.values()) ip += v * v;
+    if (ip == 0.0f) throw new IllegalArgumentException(
+        "inner product should not be zero");
+    return (float) Math.sqrt(ip);
+  }
+
+  public static float getCosineSimilarity(ArrayData inputIds,
+      ArrayData inputScores, ArrayData matchingIds, ArrayData matchingScores) {
+    java.util.HashMap<Long, Float> m0 = scoreSumMap(inputIds, inputScores);
+    java.util.HashMap<Long, Float> m1 = scoreSumMap(matchingIds, matchingScores);
+    float sum = 0.0f;
+    for (java.util.Map.Entry<Long, Float> e : m0.entrySet()) {
+      Float match = m1.get(e.getKey());
+      if (match != null) sum += e.getValue() * match;
+    }
+    return sum / scoreNorm(m0) / scoreNorm(m1);
+  }
+
+  public static float getScoreSum(ArrayData inputIds, ArrayData inputScores,
+      ArrayData matchingIds, ArrayData matchingScores) {
+    java.util.HashMap<Long, Float> m0 = scoreSumMap(inputIds, inputScores);
+    java.util.HashMap<Long, Float> m1 = scoreSumMap(matchingIds, matchingScores);
+    float sum = 0.0f;
+    for (Long k : m0.keySet()) {
+      Float match = m1.get(k);
+      if (match != null) sum += match;
+    }
+    return sum;
+  }
+
+  /** min-dedup of matching (id,score), then min over matches of inputIds;
+   * 0 when no overlap. */
+  public static float getScoreMin(ArrayData inputIds, ArrayData matchingIds,
+      ArrayData matchingScores) {
+    java.util.HashMap<Long, Float> m = minMaxMap(matchingIds, matchingScores, true);
+    float min = Float.MAX_VALUE;
+    boolean found = false;
+    for (int i = 0; i < inputIds.numElements(); i++) {
+      Float match = m.get(inputIds.getLong(i));
+      if (match != null) { min = Math.min(min, match); found = true; }
+    }
+    return found ? min : 0.0f;
+  }
+
+  public static float getScoreMax(ArrayData inputIds, ArrayData matchingIds,
+      ArrayData matchingScores) {
+    java.util.HashMap<Long, Float> m = minMaxMap(matchingIds, matchingScores, false);
+    float max = -Float.MAX_VALUE;
+    boolean found = false;
+    for (int i = 0; i < inputIds.numElements(); i++) {
+      Float match = m.get(inputIds.getLong(i));
+      if (match != null) { max = Math.max(max, match); found = true; }
+    }
+    return found ? max : 0.0f;
+  }
+
+  private static java.util.HashMap<Long, Float> minMaxMap(ArrayData ids,
+      ArrayData scores, boolean min) {
+    if (ids.numElements() != scores.numElements()) {
+      throw new IllegalArgumentException(
+          "matching ids and scores should have the same len");
+    }
+    java.util.HashMap<Long, Float> m = new java.util.HashMap<>();
+    for (int i = 0; i < ids.numElements(); i++) {
+      float s = scores.getFloat(i);
+      m.merge(ids.getLong(i), s, min ? Float::min : Float::max);
+    }
+    return m;
+  }
+
+  // ---------------------------------------------------------------------
+  // Python-semantics string predicates (string_functions.h:69-473).
+  // Implemented over Unicode code points with java.lang.Character, which
+  // exposes the same Unicode categories Python's str.is* rules use.
+  // ---------------------------------------------------------------------
+
+  private interface CpPredicate { boolean test(int cp); }
+
+  private static boolean allCodePoints(UTF8String s, CpPredicate p) {
+    String str = s.toString();
+    if (str.isEmpty()) return false;
+    int i = 0;
+    while (i < str.length()) {
+      int cp = str.codePointAt(i);
+      if (!p.test(cp)) return false;
+      i += Character.charCount(cp);
+    }
+    return true;
+  }
+
+  public static boolean isAlpha(UTF8String s) {
+    return allCodePoints(s, Character::isLetter);
+  }
+
+  public static boolean isAlnum(UTF8String s) {
+    return allCodePoints(s, cp -> Character.isLetter(cp)
+        || Character.isDigit(cp)
+        || Character.getType(cp) == Character.LETTER_NUMBER);
+  }
+
+  public static boolean isDigit(UTF8String s) {
+    return allCodePoints(s, Character::isDigit);
+  }
+
+  public static boolean isDecimal(UTF8String s) {
+    return allCodePoints(s,
+        cp -> Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER);
+  }
+
+  public static boolean isNumeric(UTF8String s) {
+    return allCodePoints(s, cp -> Character.isDigit(cp)
+        || Character.getType(cp) == Character.LETTER_NUMBER
+        || Character.getType(cp) == Character.OTHER_NUMBER);
+  }
+
+  public static boolean isSpace(UTF8String s) {
+    return allCodePoints(s, cp -> Character.isWhitespace(cp)
+        || Character.getType(cp) == Character.SPACE_SEPARATOR);
+  }
+
+  /** Python islower: at least one cased char and no uppercase/titlecase. */
+  public static boolean isLower(UTF8String s) {
+    String str = s.toString();
+    boolean cased = false;
+    int i = 0;
+    while (i < str.length()) {
+      int cp = str.codePointAt(i);
+      if (Character.isUpperCase(cp) || Character.isTitleCase(cp)) return false;
+      if (Character.isLowerCase(cp)) cased = true;
+      i += Character.charCount(cp);
+    }
+    return cased;
+  }
+
+  public static boolean isUpper(UTF8String s) {
+    String str = s.toString();
+    boolean cased = false;
+    int i = 0;
+    while (i < str.length()) {
+      int cp = str.codePointAt(i);
+      if (Character.isLowerCase(cp) || Character.isTitleCase(cp)) return false;
+      if (Character.isUpperCase(cp)) cased = true;
+      i += Character.charCount(cp);
+    }
+    return cased;
+  }
+
+  /** Python istitle: cased runs start upper/title, rest lower. */
+  public static boolean isTitle(UTF8String s) {
+    String str = s.toString();
+    boolean prevCased = false;
+    boolean sawCased = false;
+    int i = 0;
+    while (i < str.length()) {
+      int cp = str.codePointAt(i);
+      boolean upperish = Character.isUpperCase(cp) || Character.isTitleCase(cp);
+      boolean lower = Character.isLowerCase(cp);
+      if (upperish) {
+        if (prevCased) return false;
+        sawCased = true;
+        prevCased = true;
+      } else if (lower) {
+        if (!prevCased) return false;
+        sawCased = true;
+        prevCased = true;
+      } else {
+        prevCased = false;
+      }
+      i += Character.charCount(cp);
+    }
+    return sawCased;
+  }
+
+  // ---------------------------------------------------------------------
+  // Dedup / fingerprint kernels (LLM-pipeline extensions)
+  // ---------------------------------------------------------------------
+
+  /** 64-bit FNV-1a over UTF-8 bytes — stable rolling document fingerprint. */
+  public static long fingerprint64(UTF8String s) {
+    byte[] bytes = s.getBytes();
+    long h = 0xcbf29ce484222325L;
+    for (byte b : bytes) {
+      h ^= (b & 0xffL);
+      h *= 0x100000001b3L;
+    }
+    return h;
+  }
+
+  /** MinHash signature: k permutations h_i(x) = a_i*x + b_i over the
+   * base-hashed shingles; single pass over the shingle array. */
+  public static ArrayData minHash(ArrayData shingles, int k, long seed) {
+    long[] sig = new long[k];
+    java.util.Arrays.fill(sig, Long.MAX_VALUE);
+    int n = shingles.numElements();
+    for (int i = 0; i < n; i++) {
+      long base = fingerprint64(shingles.getUTF8String(i));
+      for (int j = 0; j < k; j++) {
+        // distinct affine permutations derived deterministically from (seed, j)
+        long a = twangMix64(seed + 2L * j + 1L) | 1L; // odd multiplier
+        long b = twangMix64(seed ^ (0x9e3779b97f4a7c15L * (j + 1)));
+        long h = a * base + b;
+        if (h + Long.MIN_VALUE < sig[j] + Long.MIN_VALUE) sig[j] = h; // unsigned min
+      }
+    }
+    return new GenericArrayData(sig);
+  }
+
+  /** SimHash over token strings: 64-bit sign-aggregated fingerprint. */
+  public static long simHash64(ArrayData tokens) {
+    int[] acc = new int[64];
+    int n = tokens.numElements();
+    for (int i = 0; i < n; i++) {
+      long h = fingerprint64(tokens.getUTF8String(i));
+      for (int bit = 0; bit < 64; bit++) {
+        if (((h >>> bit) & 1L) == 1L) acc[bit]++; else acc[bit]--;
+      }
+    }
+    long out = 0L;
+    for (int bit = 0; bit < 64; bit++) {
+      if (acc[bit] > 0) out |= (1L << bit);
+    }
+    return out;
+  }
+
+  /** Hamming distance between two 64-bit simhashes. */
+  public static int hamming64(long a, long b) {
+    return Long.bitCount(a ^ b);
+  }
+
+  // ---------------------------------------------------------------------
+  // Embedding kernels (float32 vectors as ArrayData)
+  // ---------------------------------------------------------------------
+
+  public static double dotF(ArrayData a, ArrayData b) {
+    int n = Math.min(a.numElements(), b.numElements());
+    double s = 0.0;
+    for (int i = 0; i < n; i++) s += (double) a.getFloat(i) * b.getFloat(i);
+    return s;
+  }
+
+  public static double normF(ArrayData a) {
+    int n = a.numElements();
+    double s = 0.0;
+    for (int i = 0; i < n; i++) {
+      double v = a.getFloat(i);
+      s += v * v;
+    }
+    return Math.sqrt(s);
+  }
+
+  public static double cosineF(ArrayData a, ArrayData b) {
+    double na = normF(a), nb = normF(b);
+    if (na == 0.0 || nb == 0.0) return 0.0;
+    return dotF(a, b) / (na * nb);
+  }
+
+  /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits
+   * of dot products with pseudo-random hyperplanes derived from seed. */
+  public static long hyperplaneLsh(ArrayData v, int bits, long seed) {
+    int dim = v.numElements();
+    long out = 0L;
+    for (int b = 0; b < bits; b++) {
+      double dot = 0.0;
+      for (int i = 0; i < dim; i++) {
+        // deterministic pseudo-gaussian-ish component in [-1, 1)
+        long h = twangMix64(seed ^ (((long) b << 32) | (long) i));
+        double r = (h >> 11) * 0x1.0p-52; // [-1, 1)
+        dot += r * v.getFloat(i);
+      }
+      if (dot >= 0) out |= (1L << b);
+    }
+    return out;
+  }
+}

@@ -1,13 +1,53 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` is one operator family from SURVEY.md §2 (or
+  * an LLM-pipeline extension); entries with a DuckDB-expressible oracle
+  * also appear in `oracleSql` with IDENTICAL output column names.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Queries.q01GroupbyAgg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_groupby_agg" -> (Queries.q01GroupbyAgg _),
+    "q02_filter_project" -> (Queries.q02FilterProject _),
+    "q03_join_agg" -> (Queries.q03JoinAgg _),
+    "q04_topk" -> (Queries.q04TopK _),
+    "q05_distinct" -> (Queries.q05Distinct _),
+    "q06_isin" -> (Queries.q06Isin _),
+    "q07_null_clean" -> (Queries.q07NullClean _),
+    "q08_sort" -> (Queries.q08Sort _),
+    "q09_cumsum" -> (Queries.q09Cumsum _),
+    "q10_describe" -> (Queries.q10Describe _),
+    "q11_window_rank" -> (Queries.q11WindowRank _),
+    "q12_concat" -> (Queries.q12Concat _),
+    "q13_events_window" -> (Queries.q13EventsWindow _),
+    "q14_agg_forms" -> (Queries.q14AggForms _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_groupby_agg" -> Queries.q01Sql,
+    "q02_filter_project" -> Queries.q02Sql,
+    "q03_join_agg" -> Queries.q03Sql,
+    "q04_topk" -> Queries.q04Sql,
+    "q05_distinct" -> Queries.q05Sql,
+    "q06_isin" -> Queries.q06Sql,
+    "q07_null_clean" -> Queries.q07Sql,
+    "q08_sort" -> Queries.q08Sql,
+    "q09_cumsum" -> Queries.q09Sql,
+    "q10_describe" -> Queries.q10Sql,
+    "q11_window_rank" -> Queries.q11Sql,
+    "q12_concat" -> Queries.q12Sql,
+    "q13_events_window" -> Queries.q13Sql,
+    "q14_agg_forms" -> Queries.q14Sql
+  )
 }

@@ -1,0 +1,185 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types._
+
+/** The `functional` surface: every domain operator of the reference
+  * (torcharrow/functional.py:116-596) re-expressed over Catalyst.
+  *
+  * Spark built-ins are used wherever they match the reference semantics
+  * (firstx → slice, clamp_list → transform, has_id_overlap →
+  * arrays_overlap, add_tokens → concat, ...); the genuinely custom
+  * kernels (sigrid_hash, bucketize, multiset scores, Python string
+  * predicates) are static Java methods dispatched through
+  * `StaticInvoke`, which inlines the call into whole-stage codegen —
+  * no UDF serialization, null handling handled by `propagateNull`.
+  */
+object Functional {
+
+  private val K = classOf[Kernels]
+
+  private def invoke(
+      name: String,
+      dt: DataType,
+      args: Seq[Column],
+      inputTypes: Seq[DataType] = Nil): Column =
+    Shim.staticInvoke(K, dt, name, args, inputTypes)
+
+  // ---- recsys ---------------------------------------------------------
+
+  /** Bit-exact sigrid_hash (reference rec/sigrid_hash.h:21-93). */
+  def sigridHash(value: Column, salt: Column, maxValue: Column): Column =
+    invoke("sigridHash", LongType,
+      Seq(value.cast(LongType), salt.cast(LongType), maxValue.cast(LongType)))
+
+  def sigridHash(value: Column, salt: Long, maxValue: Long): Column =
+    sigridHash(value, lit(salt), lit(maxValue))
+
+  /** sigrid_hash over each element of an array<long> column. */
+  def sigridHashList(values: Column, salt: Long, maxValue: Long): Column =
+    invoke("sigridHashList", ArrayType(LongType, containsNull = false),
+      Seq(values, lit(salt), lit(maxValue)))
+
+  /** Right-open bucketize with the reference's border semantics
+    * (rec/bucketize.h:42-50); returns int32 bucket ids. */
+  def bucketize(value: Column, borders: Seq[Double]): Column =
+    invoke("bucketize", IntegerType,
+      Seq(value.cast(DoubleType), lit(borders.toArray)))
+
+  def bucketizeList(values: Column, borders: Seq[Double]): Column =
+    invoke("bucketizeList", ArrayType(IntegerType, containsNull = false),
+      Seq(values.cast(ArrayType(DoubleType)), lit(borders.toArray)))
+
+  /** First n elements of each list (rec/firstX.h) — pure built-in. */
+  def firstx(c: Column, n: Int): Column = slice(c, 1, n)
+
+  /** Clamp each list element (rec/clamp_list.h) — transform HOF. */
+  def clampList(c: Column, lo: Column, hi: Column): Column =
+    transform(c, x => least(greatest(x, lo), hi))
+
+  /** 1.0/0.0 whether id lists intersect (rec/compute_score.h:80-100). */
+  def hasIdOverlap(a: Column, b: Column): Column =
+    arrays_overlap(a, b).cast(FloatType)
+
+  /** Multiset intersection count (compute_score.h:58-78) — NOT
+    * array_intersect, which dedups. */
+  def idOverlapCount(a: Column, b: Column): Column =
+    invoke("idOverlapCount", FloatType, Seq(a, b))
+
+  def getMaxCount(a: Column, b: Column): Column =
+    invoke("getMaxCount", FloatType, Seq(a, b))
+
+  def getJaccardSimilarity(a: Column, b: Column): Column =
+    invoke("getJaccardSimilarity", FloatType, Seq(a, b))
+
+  def getCosineSimilarity(ids: Column, scores: Column, matchIds: Column,
+      matchScores: Column): Column =
+    invoke("getCosineSimilarity", FloatType,
+      Seq(ids, scores, matchIds, matchScores))
+
+  def getScoreSum(ids: Column, scores: Column, matchIds: Column,
+      matchScores: Column): Column =
+    invoke("getScoreSum", FloatType, Seq(ids, scores, matchIds, matchScores))
+
+  def getScoreMin(ids: Column, matchIds: Column, matchScores: Column): Column =
+    invoke("getScoreMin", FloatType, Seq(ids, matchIds, matchScores))
+
+  def getScoreMax(ids: Column, matchIds: Column, matchScores: Column): Column =
+    invoke("getScoreMax", FloatType, Seq(ids, matchIds, matchScores))
+
+  // ---- text -----------------------------------------------------------
+
+  /** Prepend or append a token to every list (text/add_tokens.h). */
+  def addTokens(c: Column, tokens: Seq[Any], begin: Boolean): Column = {
+    val lits = array(tokens.map(lit): _*)
+    if (begin) concat(lits, c) else concat(c, lits)
+  }
+
+  /** Vocabulary lookup with default index: broadcast map built once,
+    * applied per token via transform over a map literal. */
+  def lookupIndices(vocab: Map[String, Long], defaultIndex: Long)(
+      c: Column): Column = {
+    val m = typedLit(vocab)
+    transform(c, t => coalesce(element_at(m, t), lit(defaultIndex)))
+  }
+
+  // ---- scaling --------------------------------------------------------
+
+  /** (c - mean) / stddev_pop as window-free two-pass: caller supplies the
+    * aggregated mean/std (scale_to_z_score, functional.py:582-596). */
+  def zScore(c: Column, mean: Column, stdPop: Column): Column =
+    (c - mean) / stdPop
+
+  /** min-max scale to [0,1]; degenerate range → sigmoid
+    * (scale_to_0_1, functional.py:568-579). */
+  def minMaxScale(c: Column, min: Column, max: Column): Column =
+    when(max > min, (c - min) / (max - min))
+      .otherwise(lit(1.0) / (lit(1.0) + exp(-c)))
+
+  // ---- python string predicates (string_functions.h:69-473) -----------
+
+  private def strPred(name: String)(c: Column): Column =
+    invoke(name, BooleanType, Seq(c), Seq(StringType))
+
+  val isalpha: Column => Column = strPred("isAlpha")
+  val isalnum: Column => Column = strPred("isAlnum")
+  val isdigit: Column => Column = strPred("isDigit")
+  val isdecimal: Column => Column = strPred("isDecimal")
+  val isnumeric: Column => Column = strPred("isNumeric")
+  val isspace: Column => Column = strPred("isSpace")
+  val islower: Column => Column = strPred("isLower")
+  val isupper: Column => Column = strPred("isUpper")
+  val istitle: Column => Column = strPred("isTitle")
+
+  // ---- dedup / fingerprint / embedding kernels ------------------------
+
+  /** Stable 64-bit document fingerprint (FNV-1a over UTF-8). */
+  def fingerprint64(c: Column): Column =
+    invoke("fingerprint64", LongType, Seq(c), Seq(StringType))
+
+  /** k-permutation MinHash signature of an array<string> of shingles. */
+  def minhash(shingles: Column, k: Int, seed: Long = 42L): Column =
+    invoke("minHash", ArrayType(LongType, containsNull = false),
+      Seq(shingles, lit(k), lit(seed)))
+
+  /** 64-bit SimHash of an array<string> of tokens. */
+  def simhash64(tokens: Column): Column =
+    invoke("simHash64", LongType, Seq(tokens))
+
+  def hamming64(a: Column, b: Column): Column =
+    invoke("hamming64", IntegerType, Seq(a, b))
+
+  /** Cosine similarity between two array<float> embeddings. */
+  def cosineSim(a: Column, b: Column): Column =
+    invoke("cosineF", DoubleType, Seq(a, b))
+
+  def dotF(a: Column, b: Column): Column =
+    invoke("dotF", DoubleType, Seq(a, b))
+
+  def normF(a: Column): Column = invoke("normF", DoubleType, Seq(a))
+
+  /** Random-hyperplane LSH bucket for an array<float> embedding. */
+  def hyperplaneLsh(v: Column, bits: Int, seed: Long = 42L): Column =
+    invoke("hyperplaneLsh", LongType, Seq(v, lit(bits), lit(seed)))
+
+  // ---- generic name dispatch (functional.__getattr__ analog) ----------
+
+  /** Resolve any Spark built-in by name, mirroring the reference's
+    * "any Presto scalar function" dispatch (functional.py:105-113):
+    * unknown names raise an analysis error, like column.cpp:411-426. */
+  def apply(name: String, args: Column*): Column = name match {
+    case "sigrid_hash"           => sigridHash(args(0), args(1), args(2))
+    case "has_id_overlap"        => hasIdOverlap(args(0), args(1))
+    case "id_overlap_count"      => idOverlapCount(args(0), args(1))
+    case "get_max_count"         => getMaxCount(args(0), args(1))
+    case "get_jaccard_similarity" => getJaccardSimilarity(args(0), args(1))
+    case "get_cosine_similarity" =>
+      getCosineSimilarity(args(0), args(1), args(2), args(3))
+    case "get_score_sum" => getScoreSum(args(0), args(1), args(2), args(3))
+    case "get_score_min" => getScoreMin(args(0), args(1), args(2))
+    case "get_score_max" => getScoreMax(args(0), args(1), args(2))
+    case other           => call_function(other, args: _*)
+  }
+}

@@ -1,0 +1,39 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
+
+/** Narrow bridge into `private[sql]` Spark internals (Spark 4 wraps
+  * `Column` around `ColumnNode`, not `Expression`). Lives under
+  * `org.apache.spark.sql` purely for access; everything else in this
+  * project is in the `graft` packages.
+  */
+object Shim {
+  /** Wrap a raw Catalyst expression as a user-facing Column. */
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Extract the Catalyst expression backing a Column. */
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Session function registry, for registering custom expressions under
+    * SQL-callable names. */
+  def functionRegistry(spark: SparkSession): FunctionRegistry =
+    ClassicConversions.castToImpl(spark).sessionState.functionRegistry
+
+  /** Codegen-friendly call of a static Java kernel method: inlines into
+    * whole-stage codegen via `StaticInvoke` (AbstractDataType is
+    * private[sql], hence this lives in the shim). `inputTypes` adds
+    * implicit casts when non-empty. */
+  def staticInvoke(
+      clazz: Class[_],
+      dataType: org.apache.spark.sql.types.DataType,
+      functionName: String,
+      args: Seq[Column],
+      inputTypes: Seq[org.apache.spark.sql.types.DataType] = Nil): Column =
+    column(org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+      clazz, dataType, functionName, args.map(expression), inputTypes,
+      propagateNull = true, returnNullable = false, isDeterministic = true,
+      None))
+}

@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate: run each oracle SQL
+in DuckDB over the same parquet tables and compare against the Spark
+result parquet written by graft.Verify. Compares schema (column names),
+row count, and exact cell values after sorting columns by name and rows
+by all columns. Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def canon(rows):
+    out = []
+    for r in rows:
+        out.append(tuple(float(v) if isinstance(v, (int,)) and False else v
+                         for v in r))
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet({files!r})").fetchall()
+            got_cols = [d[0] for d in con.sql(
+                f"SELECT * FROM read_parquet({files!r}) LIMIT 0").description]
+            want_rel = con.sql(sql)
+            want_cols = [d[0] for d in want_rel.description]
+            want = want_rel.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(want_cols)}")
+            n_fail += 1; continue
+        gi = [got_cols.index(c) for c in sorted(got_cols)]
+        wi = [want_cols.index(c) for c in sorted(want_cols)]
+        g = sorted(tuple(r[i] for i in gi) for r in got)
+        w = sorted(tuple(r[i] for i in wi) for r in want)
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
+        bad = [(a, b) for a, b in zip(g, w) if a != b]
+        if bad:
+            print(f"FAIL {name}: {len(bad)} mismatched rows, first: {bad[0]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(g)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
