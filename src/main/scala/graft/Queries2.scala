@@ -1,0 +1,411 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Functional
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventsStream
+
+/** Phase-2 queries: sessionization, scaling ops, text analysis, dedup
+  * family, similarity search, domain kernels, multimodal plumbing and
+  * streaming. Naming/oracle conventions as in [[Queries]].
+  */
+object Queries2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- sessionization (window lag over event time) --------------------
+
+  def q15Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(s, dir, "events")
+      .withColumn("new_session",
+        when($"ts" - lag($"ts", 1).over(w) > 1800000000000L, 1).otherwise(0))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum($"new_session") + 1).cast(LongType).as("n_sessions"))
+      .orderBy($"user_id")
+  }
+
+  val q15Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |CAST(1 + SUM(new_session) AS BIGINT) AS n_sessions FROM (
+      |  SELECT user_id, CASE WHEN epoch_ns(ts) - LAG(epoch_ns(ts)) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id) > 1800000000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- high-cardinality aggregation (shuffle-heavy scale probe) -------
+
+  def q16HighcardAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("qty_sum"),
+        max($"l_extendedprice").as("price_max"))
+      .orderBy($"l_partkey")
+
+  val q16Sql: String =
+    """SELECT l_partkey, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty_sum,
+      |MAX(l_extendedprice) AS price_max
+      |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  // ---- scale_to_0_1 (two-pass min-max, functional.py:568-579) ---------
+
+  def q17MinmaxScale(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val mm = li.agg(min($"l_extendedprice").as("__mn"),
+      max($"l_extendedprice").as("__mx"))
+    li.crossJoin(broadcast(mm))
+      .select($"l_orderkey", $"l_linenumber",
+        (($"l_extendedprice" - $"__mn") / ($"__mx" - $"__mn")).as("scaled"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q17Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |(l_extendedprice - (SELECT MIN(l_extendedprice) FROM lineitem)) /
+      |((SELECT MAX(l_extendedprice) FROM lineitem) -
+      | (SELECT MIN(l_extendedprice) FROM lineitem)) AS scaled
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- scale_to_z_score (functional.py:582-596; biased std) -----------
+  // mean/std rounded to 6 digits on BOTH sides before the per-row IEEE
+  // arithmetic, so aggregate fp noise cannot leak into row values.
+
+  def q18Zscore(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val st = li.agg(round(avg($"l_quantity"), 6).as("__m"),
+      round(stddev_pop($"l_quantity"), 6).as("__s"))
+    li.crossJoin(broadcast(st))
+      .select($"l_orderkey", $"l_linenumber",
+        (($"l_quantity" - $"__m") / $"__s").as("z"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q18Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |(l_quantity - (SELECT ROUND(AVG(l_quantity),6) FROM lineitem)) /
+      |(SELECT ROUND(STDDEV_POP(l_quantity),6) FROM lineitem) AS z
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- text analysis --------------------------------------------------
+
+  def q30TokenStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast(LongType).as("n_tokens"),
+        (length(regexp_replace($"text", "\\s+", "")).cast(DoubleType) /
+          TextAnalysis.tokenCount($"text").cast(DoubleType))
+          .as("mean_token_len"))
+      .orderBy($"doc_id")
+
+  val q30Sql: String =
+    """SELECT doc_id,
+      |CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+      |CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+      |CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+      |  AS mean_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Language ID — heuristic, not SQL-expressible: rows-only check. */
+  def q31LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
+      .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy($"lang_pred")
+
+  def q32Quality(s: SparkSession, dir: String): DataFrame = {
+    val en = TextAnalysis.stopwordProfiles("en")
+    val toks = split(trim(lower($"text")), "\\s+")
+    t(s, dir, "documents")
+      .select($"doc_id",
+        (length(regexp_replace($"text", "[^A-Za-z]", "")).cast(DoubleType) /
+          greatest(length($"text"), lit(1)).cast(DoubleType))
+          .as("alpha_ratio"),
+        (size(filter(toks, x => x.isin(en: _*))).cast(DoubleType) /
+          greatest(size(toks), lit(1)).cast(DoubleType)).as("stopword_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val q32Sql: String = {
+    val en = TextAnalysis.stopwordProfiles("en")
+      .map(w => s"'$w'").mkString(", ")
+    s"""SELECT doc_id,
+       |CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) /
+       |CAST(greatest(length(text), 1) AS DOUBLE) AS alpha_ratio,
+       |CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |  x -> x IN ($en))) AS DOUBLE) /
+       |CAST(greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+       |  AS DOUBLE) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- dedup family ---------------------------------------------------
+
+  /** Exact dedup keep-first on a prefix key (synthesizes dup groups). */
+  def q33ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("__key", substring($"text", 1, 80))
+    Dedup.exact(docs, "__key", "doc_id").select($"doc_id").orderBy($"doc_id")
+  }
+
+  val q33Sql: String =
+    """SELECT doc_id FROM (
+      |  SELECT doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY substring(text, 1, 80) ORDER BY doc_id) AS rn
+      |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** MinHash-LSH near-dup candidate pairs (rows-only: LSH is
+    * hash-defined, no SQL equivalent). */
+  def q40MinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id",
+        k = 64, bands = 16, shingleSize = 3, threshold = 0.30)
+      .orderBy($"id_a", $"id_b")
+
+  /** SimHash near-dup pairs (rows-only). */
+  def q41Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+      .orderBy($"id_a", $"id_b")
+
+  /** Exact n-gram Jaccard verification of LSH candidates (rows-only). */
+  def q42NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cands = Dedup.minHashLsh(docs, "text", "doc_id",
+      k = 64, bands = 16, shingleSize = 3, threshold = 0.20)
+    Dedup.ngramJaccard(cands.select($"id_a", $"id_b"), docs, "text", "doc_id",
+        n = 3)
+      .where($"jaccard" >= 0.30)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding cosine near-dup pairs via hyperplane LSH (rows-only). */
+  def q43EmbedDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosine(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.30, bits = 8)
+      .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
+      .orderBy($"id_a", $"id_b")
+
+  // ---- similarity search ----------------------------------------------
+
+  /** Brute-force cosine top-k for 5 probe vectors; oracle re-derives the
+    * ranking with DuckDB's own cosine (fp-independent rank compare). */
+  def q50KnnBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id", "vec_id",
+        k = 10)
+      .select($"probe_id", $"id", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  val q50Sql: String =
+    """SELECT probe_id, id, rank FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+      |  ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+      |    list_cosine_similarity(c.embedding, p.embedding) DESC,
+      |    c.vec_id ASC) AS rank
+      |  FROM embeddings c, embeddings p
+      |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
+      |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
+
+  /** LSH-bucketed ANN (rows-only: approximate by construction). */
+  def q51KnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where($"vec_id" < 5)
+    Similarity.lshTopK(emb, probes, "embedding", "vec_id", "vec_id",
+        k = 10, bits = 8)
+      .select($"probe_id", $"id", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
+  // ---- domain kernels -------------------------------------------------
+
+  def q60Bucketize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(Functional.bucketize($"l_quantity", Seq(10, 20, 30, 40))
+        .as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+
+  val q60Sql: String =
+    """SELECT CASE WHEN l_quantity <= 10 THEN 0 WHEN l_quantity <= 20 THEN 1
+      |WHEN l_quantity <= 30 THEN 2 WHEN l_quantity <= 40 THEN 3
+      |ELSE 4 END AS bucket, COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** sigrid_hash distribution (bit-exact kernel; rows-only — pinned
+    * values are asserted in the ScalaTest suite instead). */
+  def q61SigridHash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(Functional.sigridHash($"l_partkey", 0L, 1000L).as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .orderBy($"bucket")
+
+  /** firstx over per-order sorted quantity arrays (array ops path). */
+  def q62Firstx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_quantity")).as("arr"))
+      .select($"l_orderkey",
+        aggregate(Functional.firstx($"arr", 2), lit(0.0d),
+          (acc, x) => acc + x).as("first2_sum"))
+      .orderBy($"l_orderkey")
+
+  val q62Sql: String =
+    """SELECT l_orderkey, SUM(l_quantity) AS first2_sum FROM (
+      |  SELECT l_orderkey, l_quantity, ROW_NUMBER() OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_quantity) AS rn
+      |  FROM lineitem) WHERE rn <= 2
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** clamp_list over per-order arrays (transform HOF path). */
+  def q63ClampList(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(collect_list($"l_quantity").as("arr"))
+      .select($"l_orderkey",
+        aggregate(Functional.clampList($"arr", lit(5.0), lit(40.0)),
+          lit(0.0d), (acc, x) => acc + x).as("clamped_sum"))
+      .orderBy($"l_orderkey")
+
+  val q63Sql: String =
+    """SELECT l_orderkey,
+      |SUM(LEAST(GREATEST(l_quantity, 5.0), 40.0)) AS clamped_sum
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Python-semantics string predicates (ASCII slice is oracle-able). */
+  def q64StrPredicates(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select($"p_partkey",
+        Functional.isalpha(regexp_replace($"p_name", " ", ""))
+          .as("name_alpha"),
+        Functional.isalnum($"p_brand").as("brand_alnum"),
+        Functional.isdigit(regexp_extract($"p_brand", "[0-9]+", 0))
+          .as("brandnum_digit"))
+      .orderBy($"p_partkey")
+
+  val q64Sql: String =
+    """SELECT p_partkey,
+      |regexp_matches(replace(p_name, ' ', ''), '^[A-Za-z]+$') AS name_alpha,
+      |regexp_matches(p_brand, '^[A-Za-z0-9]+$') AS brand_alnum,
+      |regexp_matches(regexp_extract(p_brand, '[0-9]+', 0), '^[0-9]+$')
+      |  AS brandnum_digit
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** str namespace built-ins (§2.10): length/upper/slice/find/replace. */
+  def q65StringFuncs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .select($"p_partkey",
+        length($"p_name").as("name_len"),
+        upper($"p_brand").as("brand_upper"),
+        substring($"p_name", 1, 8).as("name_slice"),
+        (instr($"p_name", "a") - 1).as("find_a"),
+        regexp_replace($"p_name", " ", "_").as("name_snake"),
+        $"p_type".startsWith("STANDARD").as("is_standard"))
+      .orderBy($"p_partkey")
+
+  val q65Sql: String =
+    """SELECT p_partkey, length(p_name) AS name_len,
+      |upper(p_brand) AS brand_upper, substring(p_name, 1, 8) AS name_slice,
+      |CAST(strpos(p_name, 'a') - 1 AS BIGINT) AS find_a,
+      |replace(p_name, ' ', '_') AS name_snake,
+      |starts_with(p_type, 'STANDARD') AS is_standard
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** list namespace (§2.11): split → join round-trip + element access. */
+  def q66SplitJoin(s: SparkSession, dir: String): DataFrame = {
+    val toks = split($"p_name", " ")
+    t(s, dir, "part")
+      .select($"p_partkey",
+        array_join(toks, "|").as("joined"),
+        toks.getItem(0).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        size(toks).as("n_toks"))
+      .orderBy($"p_partkey")
+  }
+
+  val q66Sql: String =
+    """SELECT p_partkey, replace(p_name, ' ', '|') AS joined,
+      |string_split(p_name, ' ')[1] AS first_tok,
+      |string_split(p_name, ' ')[-1] AS last_tok,
+      |CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  // ---- multimodal plumbing (decode is a marked stub) ------------------
+
+  def q70Multimodal(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select($"doc_id", $"text")
+    Multimodal.decodeMeta(Multimodal.withBlob(docs, "text"))
+      .select($"doc_id", $"media_meta.format".as("format"),
+        $"media_meta.width".as("width"), $"media_meta.height".as("height"),
+        $"media_meta.n_bytes".as("n_bytes"))
+      .groupBy($"format")
+      .agg(count(lit(1)).as("n"), sum($"n_bytes").as("total_bytes"))
+      .orderBy($"format")
+  }
+
+  // ---- structured streaming -------------------------------------------
+
+  /** Streaming hourly window agg; oracle = the equivalent batch SQL. */
+  def q80StreamWindow(s: SparkSession, dir: String): DataFrame =
+    EventsStream.hourlyWindow(s, dir)
+
+  val q80Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+      |event_type, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY bucket_ts, event_type""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q15_sessionize" -> (q15Sessionize _),
+    "q16_highcard_agg" -> (q16HighcardAgg _),
+    "q17_minmax_scale" -> (q17MinmaxScale _),
+    "q18_zscore" -> (q18Zscore _),
+    "q30_token_stats" -> (q30TokenStats _),
+    "q31_lang_id" -> (q31LangId _),
+    "q32_quality" -> (q32Quality _),
+    "q33_exact_dedup" -> (q33ExactDedup _),
+    "q40_minhash_lsh" -> (q40MinhashLsh _),
+    "q41_simhash" -> (q41Simhash _),
+    "q42_ngram_jaccard" -> (q42NgramJaccard _),
+    "q43_embed_dedup" -> (q43EmbedDedup _),
+    "q50_knn_brute" -> (q50KnnBrute _),
+    "q51_knn_lsh" -> (q51KnnLsh _),
+    "q60_bucketize" -> (q60Bucketize _),
+    "q61_sigrid_hash" -> (q61SigridHash _),
+    "q62_firstx" -> (q62Firstx _),
+    "q63_clamp_list" -> (q63ClampList _),
+    "q64_str_predicates" -> (q64StrPredicates _),
+    "q65_string_funcs" -> (q65StringFuncs _),
+    "q66_split_join" -> (q66SplitJoin _),
+    "q70_multimodal" -> (q70Multimodal _),
+    "q80_stream_window" -> (q80StreamWindow _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q15_sessionize" -> q15Sql,
+    "q16_highcard_agg" -> q16Sql,
+    "q17_minmax_scale" -> q17Sql,
+    "q18_zscore" -> q18Sql,
+    "q30_token_stats" -> q30Sql,
+    "q32_quality" -> q32Sql,
+    "q33_exact_dedup" -> q33Sql,
+    "q50_knn_brute" -> q50Sql,
+    "q60_bucketize" -> q60Sql,
+    "q62_firstx" -> q62Sql,
+    "q63_clamp_list" -> q63Sql,
+    "q64_str_predicates" -> q64Sql,
+    "q65_string_funcs" -> q65Sql,
+    "q66_split_join" -> q66Sql,
+    "q80_stream_window" -> q80Sql
+  )
+}

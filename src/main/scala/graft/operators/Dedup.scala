@@ -1,0 +1,175 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Functional
+
+/** Deduplication operators for 100 TB-scale corpora.
+  *
+  * Scale design: every variant avoids all-pairs comparison. Exact dedup
+  * is a single hash aggregation on the content fingerprint (partial agg
+  * map-side, one shuffle on a 64-bit key — never on the full text).
+  * Near-dup variants (MinHash-LSH, SimHash, embedding-LSH) shuffle only
+  * (bucket-key, id) pairs and generate candidates within buckets, so
+  * the quadratic step is confined to collision groups; `maxBucket`
+  * caps degenerate buckets (boilerplate clusters) to bound skew.
+  */
+object Dedup {
+
+  /** Exact dedup, keep='first' by `orderCol` (lowest id wins — the
+    * distributed-deterministic version of the reference's
+    * drop_duplicates keep-first, icolumn.py:1066-1084). Returns the
+    * kept rows. Aggregation instead of row_number: no per-group sort,
+    * map-side partial min. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val keep = df
+      .select(Functional.fingerprint64(col(textCol)).as("__fp"),
+        col(idCol).as("__id"))
+      .groupBy("__fp").agg(min("__id").as(idCol))
+      .select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Exact duplicate groups: fingerprint → ids, for groups of size>1. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(Functional.fingerprint64(col(textCol)).as("fp"),
+        col(idCol).as("id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("id").as("keep_id"))
+      .where(col("n") > 1)
+
+  /** MinHash + LSH candidate pairs.
+    *
+    * doc → word-shingles → k-minhash signature (single-pass kernel) →
+    * `bands` band-hashes → explode → shuffle on (band, bandHash) →
+    * within-bucket pairs (a<b). Estimated Jaccard = matching minhash
+    * positions / k, computed on the joined signatures; pairs below
+    * `threshold` are dropped. 100 TB path: the only shuffled payload is
+    * (long bandHash, id, signature), ~1 KB/doc.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      Functional.minhash(
+        TextAnalysis.shingles(col(textCol), shingleSize), k).as("sig"))
+
+    // band hash = xxhash64 over the band's slice of the signature
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandHash")
+
+    // bucket join on (band, bandHash); a<b kills self+mirror pairs.
+    // Cap pathological buckets to bound the quadratic step.
+    val wB = Window.partitionBy("band", "bandHash").orderBy("id")
+    val capped = banded
+      .withColumn("__rn", row_number().over(wB))
+      .where(col("__rn") <= maxBucket)
+    val l = capped.select(col("band"), col("bandHash"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = capped.select(col("band"), col("bandHash"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+
+    // estimated jaccard = fraction of equal signature positions
+    val est = l.join(r, Seq("band", "bandHash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / k).as("est_jaccard"))
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
+    est
+  }
+
+  /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit
+    * chunks (any pair at Hamming distance ≤ 3 shares at least one
+    * chunk); verify with exact Hamming distance. */
+  def simHash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"),
+      Functional.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val chunks = sig.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+    val wB = Window.partitionBy("chunk", "chunkVal").orderBy("id")
+    val capped = chunks.withColumn("__rn", row_number().over(wB))
+      .where(col("__rn") <= maxBucket)
+    val l = capped.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_a"), col("sh").as("sh_a"))
+    val r = capped.select(col("chunk"), col("chunkVal"),
+      col("id").as("id_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("chunk", "chunkVal"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Functional.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard similarity for a candidate pair set
+    * (columns id_a, id_b): joins token-shingle SETS back and computes
+    * |∩|/|∪| with array built-ins. Use after an LSH pass — never
+    * all-pairs. */
+  def ngramJaccard(
+      candidates: DataFrame,
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3): DataFrame = {
+    val sets = df.select(col(idCol).as("__jid"),
+      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__set"))
+    candidates
+      .join(sets.withColumnsRenamed(
+        Map("__jid" -> "id_a", "__set" -> "set_a")), Seq("id_a"))
+      .join(sets.withColumnsRenamed(
+        Map("__jid" -> "id_b", "__set" -> "set_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("set_a"), col("set_b"))).cast(DoubleType) /
+          size(array_union(col("set_a"), col("set_b"))).cast(DoubleType))
+      .drop("set_a", "set_b")
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucket, within-bucket
+    * cosine ≥ threshold. */
+  def embeddingCosine(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      maxBucket: Int = 2000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Functional.hyperplaneLsh(col(vecCol), bits).as("bucket"))
+    val wB = Window.partitionBy("bucket").orderBy("id")
+    val capped = sig.withColumn("__rn", row_number().over(wB))
+      .where(col("__rn") <= maxBucket)
+    val l = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Functional.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Functional
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, language ID, quality scoring, fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no
+  * shuffle); they scale linearly with the scan and push column pruning
+  * down to parquet.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of a text column → array<string>. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish regex token count: word pieces, numbers, punctuation runs —
+    * the standard pre-tokenizer split used by GPT-2-style BPE. */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+
+  // ---- language ID ----------------------------------------------------
+
+  /** Tiny per-language stopword profiles (public-knowledge function
+    * words). Deterministic n-gram-free heuristic: language with the
+    * highest stopword-hit ratio wins; "und" (undetermined) when no
+    * profile scores. */
+  val stopwordProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it",
+      "for", "on", "with", "as", "are", "this"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "eine", "zu", "den", "von", "für", "auf", "im"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "de", "du",
+      "pour", "dans", "que", "qui", "pas", "sur"),
+    "es" -> Seq("el", "la", "los", "las", "y", "es", "un", "una", "de",
+      "que", "en", "por", "para", "no", "con"),
+    "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个",
+      "们", "中", "来", "上", "大"))
+
+  /** Ratio of tokens present in `words` (a small literal set → Catalyst
+    * folds it into an InSet). */
+  private def hitRatio(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast(DoubleType) /
+      greatest(size(toks), lit(1)).cast(DoubleType)
+
+  /** Detected language code, by argmax of stopword-hit ratio. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
+      struct(hitRatio(toks, ws).as("score"), lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0.0, best.getField("lang")).otherwise("und")
+  }
+
+  // ---- quality scoring ------------------------------------------------
+
+  /** Document-quality features: lengths, mean token length, alpha /
+    * punctuation / stopword ratios. Returns a struct column. */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nChars = length(text)
+    val nToks = greatest(size(toks), lit(1))
+    struct(
+      nChars.as("n_chars"),
+      size(toks).as("n_tokens"),
+      (length(regexp_replace(text, "\\s+", "")).cast(DoubleType) /
+        nToks.cast(DoubleType)).as("mean_token_len"),
+      (length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType) /
+        greatest(nChars, lit(1)).cast(DoubleType)).as("alpha_ratio"),
+      (length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast(DoubleType) /
+        greatest(nChars, lit(1)).cast(DoubleType)).as("punct_ratio"),
+      hitRatio(split(trim(lower(text)), "\\s+"), stopwordProfiles("en"))
+        .as("stopword_ratio"))
+  }
+
+  /** Scalar quality score in [0,1]: soft-window each feature to its
+    * "good document" band (C4/Gopher-style heuristics). */
+  def qualityScore(text: Column): Column = {
+    val f = qualityFeatures(text)
+    val lenOk = when(f.getField("n_tokens").between(10, 100000), 1.0)
+      .otherwise(0.0)
+    val tokLenOk = when(f.getField("mean_token_len").between(2.0, 12.0), 1.0)
+      .otherwise(0.0)
+    val alphaOk = f.getField("alpha_ratio")
+    val stopOk = least(f.getField("stopword_ratio") * 5.0, lit(1.0))
+    (lenOk * 0.25 + tokLenOk * 0.25 + alphaOk * 0.25 + stopOk * 0.25)
+  }
+
+  /** Stable 64-bit content fingerprint (FNV-1a kernel). */
+  def fingerprint(text: Column): Column = Functional.fingerprint64(text)
+
+  /** Word k-shingles of a document: sliding windows of `k` tokens joined
+    * by a space — the dedup unit for MinHash/Jaccard. Pure HOF chain. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    val n = size(toks)
+    when(n < k, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), n - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")))
+  }
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table.
+  *
+  * The reference has no streaming surface (SURVEY §2.15); this is the
+  * Spark-native extension: the same declarative aggregations run under
+  * `readStream` with watermarking. For local verification the parquet
+  * file drives the stream as one micro-batch into a memory sink; on a
+  * cluster the identical plan runs over a file/Kafka source with
+  * RocksDB state and the sink swapped.
+  */
+object EventsStream {
+
+  /** events.parquet schema as Spark reads it with nanosAsLong. */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) surfaces as long ns
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Hourly tumbling-window counts+sums per event type, computed by a
+    * real streaming query with a 1-hour watermark; returns the final
+    * result table (complete mode memory sink, drained synchronously). */
+  def hourlyWindow(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_stream_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet") // source must be a dir
+      .parquet(dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("window.start").cast(LongType).as("bucket_ts"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("bucket_ts", "event_type")
+  }
+
+  /** Stateful sessionization shape (flatMapGroupsWithState analog) is
+    * exercised batch-side in Queries2.q15 via window lag; the streaming
+    * variant would swap groupBy-window for
+    * KeyValueGroupedDataset.flatMapGroupsWithState with a session gap
+    * timeout — same keying, same state size bounds. */
+}
