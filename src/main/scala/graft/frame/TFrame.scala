@@ -1,0 +1,340 @@
+package graft.frame
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.types.Dtype
+
+/** Immutable Pandas-style DataFrame (reference idataframe.py:163-168):
+  * an ordered dict of typed columns, itself a column of Struct dtype.
+  *
+  * Every method lowers to Catalyst expressions/built-ins — laziness,
+  * pushdown, pruning and codegen come from Spark; this wrapper only
+  * reproduces the reference's API shape and semantics (column-name
+  * conventions, na_position, keep='first', agg result naming).
+  */
+final case class TFrame(df: DataFrame) {
+
+  def columns: Seq[String] = df.columns.toSeq
+  def dtype: Dtype = Dtype.fromSpark(df.schema)
+  def length: Long = df.count()
+
+  // ---- projection (§2.2) ----------------------------------------------
+
+  /** df["col"] */
+  def apply(name: String): Column = df(name)
+
+  /** df[["a","b"]] — column subset. */
+  def apply(names: Seq[String]): TFrame = TFrame(df.select(names.map(df(_)): _*))
+
+  /** df[mask] — row filter by boolean column. */
+  def apply(mask: Column): TFrame = TFrame(df.filter(mask))
+
+  /** SQL SELECT (velox_rt/dataframe_cpu.py:2030-2082): "*" includes all,
+    * "-col" excludes, keyword args add computed columns. */
+  def select(args: String*)(computed: (String, Column)*): TFrame = {
+    val excludes = args.filter(_.startsWith("-")).map(_.drop(1))
+    val includes = args.filterNot(_.startsWith("-")).flatMap {
+      case "*" => columns
+      case c => Seq(c)
+    }
+    val base = (if (includes.isEmpty && computed.nonEmpty) Seq.empty[String]
+      else if (includes.isEmpty) columns else includes)
+      .filterNot(excludes.contains)
+    TFrame(df.select(base.map(df(_)) ++
+      computed.map { case (n, c) => c.as(n) }: _*))
+  }
+
+  /** SQL WHERE; multiple conditions AND-ed (dataframe_cpu.py:2016-2026). */
+  def where(conds: Column*): TFrame = TFrame(df.filter(conds.reduce(_ && _)))
+
+  /** df["new"] = expr */
+  def withCol(name: String, c: Column): TFrame = TFrame(df.withColumn(name, c))
+
+  def drop(cols: String*): TFrame = TFrame(df.drop(cols: _*))
+  def keep(cols: String*): TFrame = apply(cols)
+  def rename(mapper: Map[String, String]): TFrame =
+    TFrame(df.withColumnsRenamed(mapper))
+  def reorder(cols: Seq[String]): TFrame = apply(cols)
+  def pipe(f: TFrame => TFrame): TFrame = f(this)
+
+  def head(n: Int): TFrame = TFrame(df.limit(n))
+  def tail(n: Int): TFrame = TFrame(
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.tail(n): _*), df.schema))
+
+  // ---- sort (§2.6) ----------------------------------------------------
+
+  /** Sort by key columns; nulls positioned per na_position
+    * (dataframe_cpu.py:593-620). */
+  def sort(by: Seq[String], ascending: Boolean = true,
+      naLast: Boolean = true): TFrame = {
+    val keys = by.map { c =>
+      (ascending, naLast) match {
+        case (true, true) => df(c).asc_nulls_last
+        case (true, false) => df(c).asc_nulls_first
+        case (false, true) => df(c).desc_nulls_last
+        case (false, false) => df(c).desc_nulls_first
+      }
+    }
+    TFrame(df.orderBy(keys: _*))
+  }
+
+  // ---- distinct / dedup (§2.7) ----------------------------------------
+
+  /** drop_duplicates keep='first' with DETERMINISTIC first = minimal
+    * `order` columns (distributed-safe version of icolumn.py:1066-1084;
+    * Spark's dropDuplicates picks an arbitrary row). */
+  def dropDuplicates(subset: Seq[String], order: Seq[String]): TFrame = {
+    val w = Window.partitionBy(subset.map(df(_)): _*)
+      .orderBy(order.map(df(_).asc): _*)
+    TFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** Per-column membership (icolumn.py:940-978): values whose type can't
+    * inhabit a column are simply non-members, never cast errors. */
+  def isin(values: Seq[Any]): TFrame = {
+    def compatible(dt: DataType): Seq[Any] = values.filter {
+      case _: String => dt == StringType
+      case _: Boolean => dt == BooleanType
+      case _: Byte | _: Short | _: Int | _: Long | _: Float | _: Double =>
+        dt.isInstanceOf[NumericType]
+      case _ => false
+    }
+    TFrame(df.select(df.schema.fields.toSeq.map { f =>
+      val vs = compatible(f.dataType)
+      (if (vs.isEmpty) lit(false) else df(f.name).isin(vs: _*)).as(f.name)
+    }: _*))
+  }
+
+  // ---- null handling (§2.8) -------------------------------------------
+
+  def fillNull(value: Any): TFrame = value match {
+    case d: Double => TFrame(df.na.fill(d))
+    case l: Long => TFrame(df.na.fill(l))
+    case i: Int => TFrame(df.na.fill(i.toLong))
+    case s: String => TFrame(df.na.fill(s))
+    case b: Boolean => TFrame(df.na.fill(b))
+    case m: Map[String @unchecked, Any @unchecked] => TFrame(df.na.fill(m))
+    case other => throw new IllegalArgumentException(s"fillNull($other)")
+  }
+
+  /** drop rows with any/all nulls (icolumn.py:1024-1064). */
+  def dropNull(how: String = "any"): TFrame = TFrame(df.na.drop(how))
+
+  // ---- concat / append (§2.1) -----------------------------------------
+
+  def concat(other: TFrame): TFrame = TFrame(df.unionAll(other.df))
+
+  /** Immutable append of literal rows (icolumn.py:210-241). */
+  def append(rows: Seq[Row]): TFrame =
+    concat(TFrame(df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)))
+
+  // ---- column-level reductions lifted per column (§2.4) ---------------
+
+  private def numericCols: Seq[String] = df.schema.fields.toSeq.collect {
+    case f if f.dataType.isInstanceOf[NumericType] => f.name
+  }
+
+  private def summarize(op: String => Column): TFrame =
+    TFrame(df.agg(numericCols.head |> (h => op(h).as(numericCols.head)),
+      numericCols.tail.map(c => op(c).as(c)): _*))
+
+  private implicit class Pipe[A](a: A) {
+    def |>[B](f: A => B): B = f(a)
+  }
+
+  def sum: TFrame = summarize(c => functions.sum(df(c)))
+  def mean: TFrame = summarize(c => avg(df(c)))
+  def min: TFrame = summarize(c => functions.min(df(c)))
+  def max: TFrame = summarize(c => functions.max(df(c)))
+  def std: TFrame = summarize(c => stddev_samp(df(c)))
+  def median: TFrame = summarize(c => functions.median(df(c)))
+  def modeAgg: TFrame = summarize(c => functions.mode(df(c)))
+  def nunique(c: String): Long =
+    df.agg(countDistinct(df(c))).head().getLong(0)
+
+  /** Cumulative ops need an explicit row order at scale; `order` names
+    * the ordering columns (SURVEY §7.4: monotonically_increasing_id is
+    * not contiguous — callers pass real key columns). */
+  def cumsum(valueCols: Seq[String], order: Seq[String]): TFrame = {
+    val w = Window.orderBy(order.map(df(_).asc): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    TFrame(valueCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"$c.cumsum", functions.sum(d(c)).over(w))))
+  }
+
+  /** describe: count/mean/std/min/percentiles/max rows per numeric column
+    * (inumerical_column.py:139-198 layout). */
+  def describe(percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): TFrame = {
+    val metrics: Seq[(String, String => Column)] =
+      Seq[(String, String => Column)](
+        ("count", c => count(df(c)).cast(DoubleType)),
+        ("mean", c => avg(df(c))),
+        ("std", c => stddev_samp(df(c))),
+        ("min", c => functions.min(df(c)).cast(DoubleType))) ++
+        percentiles.map(p =>
+          (s"${(p * 100).toInt}%",
+            (c: String) => percentile_approx(df(c), lit(p), lit(10000)))) :+
+        (("max", (c: String) => functions.max(df(c)).cast(DoubleType)))
+    val aggd = df.agg(
+      metrics.flatMap { case (m, f) =>
+        numericCols.map(c => f(c).cast(DoubleType).as(s"${c}__$m"))
+      }.head,
+      metrics.flatMap { case (m, f) =>
+        numericCols.map(c => f(c).cast(DoubleType).as(s"${c}__$m"))
+      }.tail: _*).head()
+    val spark = df.sparkSession
+    val rows = metrics.map { case (m, _) =>
+      Row.fromSeq(m +: numericCols.map(c =>
+        aggd.getAs[Double](s"${c}__$m")))
+    }
+    val schema = StructType(StructField("metric", StringType) +:
+      numericCols.map(StructField(_, DoubleType)))
+    TFrame(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
+  }
+
+  // ---- groupby (§2.4) -------------------------------------------------
+
+  def groupby(by: String*): TGrouped = TGrouped(df, by)
+
+  // ---- UDF surface (§2.13) --------------------------------------------
+
+  /** Row-wise map over selected columns with an explicit output schema —
+    * the reference's df.map(fn, columns=...) (icolumn.py:420-611).
+    * Implemented over mapPartitions: batch-amortized, no shuffle. */
+  def mapRows(outSchema: StructType, cols: Seq[String])(
+      fn: Seq[Any] => Seq[Any]): TFrame = {
+    val idx = cols.map(df.schema.fieldIndex)
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    TFrame(df.mapPartitions(rows =>
+      rows.map(r => Row.fromSeq(fn(idx.map(r.get))))))
+  }
+
+  /** Predicate-UDF filter over selected columns (icolumn.py:677-727). */
+  def filterRows(cols: Seq[String])(pred: Seq[Any] => Boolean): TFrame = {
+    val idx = cols.map(df.schema.fieldIndex)
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(df.schema)
+    TFrame(df.filter((r: Row) => pred(idx.map(r.get))))
+  }
+
+  /** flatmap: fn returns 0..n output rows per input row
+    * (icolumn.py:646-675). */
+  def flatmapRows(outSchema: StructType, cols: Seq[String])(
+      fn: Seq[Any] => Seq[Seq[Any]]): TFrame = {
+    val idx = cols.map(df.schema.fieldIndex)
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    TFrame(df.mapPartitions(rows =>
+      rows.flatMap(r => fn(idx.map(r.get)).map(Row.fromSeq))))
+  }
+
+  /** Batch transform over whole partitions (icolumn.py:613-644's
+    * format='column' — the vectorized UDF slot). */
+  def transformPartitions(outSchema: StructType)(
+      fn: Iterator[Row] => Iterator[Row]): TFrame = {
+    implicit val enc =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    TFrame(df.mapPartitions(fn))
+  }
+
+  private object functions {
+    def sum(c: Column) = org.apache.spark.sql.functions.sum(c)
+    def min(c: Column) = org.apache.spark.sql.functions.min(c)
+    def max(c: Column) = org.apache.spark.sql.functions.max(c)
+    def median(c: Column) = org.apache.spark.sql.functions.median(c)
+    def mode(c: Column) = org.apache.spark.sql.functions.mode(c)
+  }
+}
+
+object TFrame {
+  /** Factory from named columns of Scala values with dtype inference
+    * (scope.py:252-388 analog). */
+  def apply(spark: SparkSession, data: Seq[(String, Seq[Any])]): TFrame = {
+    val fields = data.map { case (n, vs) =>
+      StructField(n, Dtype.inferFromSeq(vs).spark, vs.contains(null))
+    }
+    val n = data.headOption.map(_._2.length).getOrElse(0)
+    require(data.forall(_._2.length == n), "columns must share length")
+    val rows = (0 until n).map(i => Row.fromSeq(data.map(_._2(i))))
+    TFrame(spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), StructType(fields)))
+  }
+}
+
+/** groupby handle (dataframe_cpu.py:2094-2435): lifted aggs name results
+  * "col.op"; agg accepts op, list-of-ops, or col→ops map. */
+final case class TGrouped(df: DataFrame, keys: Seq[String]) {
+
+  private def others: Seq[String] = df.columns.toSeq.filterNot(keys.contains)
+  private def numericOthers: Seq[String] = df.schema.fields.toSeq.collect {
+    case f if !keys.contains(f.name) &&
+      (f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == BooleanType) => f.name
+  }
+
+  private def opCol(op: String, c: String): Column = {
+    val F = org.apache.spark.sql.functions
+    (op match {
+      case "sum" => F.sum(df(c))
+      case "min" => F.min(df(c))
+      case "max" => F.max(df(c))
+      case "mean" => F.avg(df(c))
+      case "median" => F.median(df(c))
+      case "mode" => F.mode(df(c))
+      case "std" => F.stddev_samp(df(c))
+      case "count" => F.count(df(c))
+      case "nunique" => F.countDistinct(df(c))
+      case "any" => F.max(df(c).cast(BooleanType))
+      case "all" => F.min(df(c).cast(BooleanType))
+      case "list" => F.collect_list(df(c))
+      case other => throw new IllegalArgumentException(s"agg op $other")
+    }).as(s"$c.$op")
+  }
+
+  private def lift(op: String, cols: Seq[String]): TFrame =
+    TFrame(df.groupBy(keys.map(df(_)): _*)
+      .agg(opCol(op, cols.head), cols.tail.map(opCol(op, _)): _*))
+
+  def sum: TFrame = lift("sum", numericOthers)
+  def min: TFrame = lift("min", others)
+  def max: TFrame = lift("max", others)
+  def mean: TFrame = lift("mean", numericOthers)
+  def median: TFrame = lift("median", numericOthers)
+  def std: TFrame = lift("std", numericOthers)
+  def countAgg: TFrame = lift("count", others)
+
+  /** group sizes incl. null rows (dataframe_cpu.py:2213-2225). */
+  def size: TFrame =
+    TFrame(df.groupBy(keys.map(df(_)): _*).agg(count(lit(1)).as("size")))
+
+  /** agg("sum") / agg(Seq("sum","min")) / agg(Map(col -> ops)). */
+  def agg(op: String): TFrame = lift(op, numericOthers)
+  def agg(ops: Seq[String]): TFrame =
+    TFrame(df.groupBy(keys.map(df(_)): _*)
+      .agg(opCol(ops.head, numericOthers.head),
+        (for { c <- numericOthers; o <- ops if (c, o) != (numericOthers.head, ops.head) }
+          yield opCol(o, c)): _*))
+  def agg(spec: Map[String, Seq[String]]): TFrame = {
+    val cs = spec.toSeq.flatMap { case (c, ops) => ops.map(o => opCol(o, c)) }
+    TFrame(df.groupBy(keys.map(df(_)): _*).agg(cs.head, cs.tail: _*))
+  }
+
+  /** Per-group computed aggregation expressions
+    * (grouped.select, dataframe_cpu.py:2401-2411). */
+  def select(computed: (String, Column)*): TFrame =
+    TFrame(df.groupBy(keys.map(df(_)): _*)
+      .agg(computed.head._2.as(computed.head._1),
+        computed.tail.map { case (n, c) => c.as(n) }: _*))
+
+  /** grouped[col] materialized per group (dataframe_cpu.py:2304-2321). */
+  def apply(c: String): TFrame =
+    TFrame(df.groupBy(keys.map(df(_)): _*)
+      .agg(collect_list(df(c)).as(c)))
+}

@@ -1,0 +1,153 @@
+package graft.frame
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Functional
+
+/** `col.str.*` / `col.list.*` / `col.maps.*` method namespaces and the
+  * reference's arithmetic semantics (§2.9-2.12), as implicit syntax on
+  * Column. Everything lowers to Spark built-ins / HOFs; the handful of
+  * Python-semantics predicates go through the codegen kernels.
+  */
+object namespaces {
+
+  implicit final class GraftColumn(private val c: Column) extends AnyVal {
+    def str: StrOps = new StrOps(c)
+    def list: ListOps = new ListOps(c)
+    def maps: MapOps = new MapOps(c)
+    def arith: ArithOps = new ArithOps(c)
+  }
+
+  /** istring_column.py:32-239 surface. */
+  final class StrOps(private val c: Column) extends AnyVal {
+    def length: Column = org.apache.spark.sql.functions.length(c)
+
+    /** Python slice [start, stop) — reference slice(start, stop),
+      * string_column_cpu.py:209-220 (1-based substr internally). */
+    def slice(start: Int, stop: Int): Column =
+      substring(c, start + 1, math.max(stop - start, 0))
+
+    /** split on a LITERAL pattern (TorchArrow pat is not a regex —
+      * string_column_cpu.py:222-228). n = max splits. */
+    def split(pat: String, n: Int = -1): Column =
+      if (n < 0) org.apache.spark.sql.functions
+        .split(c, java.util.regex.Pattern.quote(pat))
+      else org.apache.spark.sql.functions
+        .split(c, java.util.regex.Pattern.quote(pat), n + 1)
+
+    def strip: Column = trim(c)
+    def lower: Column = org.apache.spark.sql.functions.lower(c)
+    def upper: Column = org.apache.spark.sql.functions.upper(c)
+
+    def isalpha: Column = Functional.isalpha(c)
+    def isalnum: Column = Functional.isalnum(c)
+    def isdigit: Column = Functional.isdigit(c)
+    def isdecimal: Column = Functional.isdecimal(c)
+    def isnumeric: Column = Functional.isnumeric(c)
+    def isspace: Column = Functional.isspace(c)
+    def islower: Column = Functional.islower(c)
+    def isupper: Column = Functional.isupper(c)
+    def istitle: Column = Functional.istitle(c)
+
+    def startswith(pat: String): Column = c.startsWith(pat)
+    def endswith(pat: String): Column = c.endsWith(pat)
+
+    /** occurrences of a literal pattern (string_column_cpu.py:305-307). */
+    def countSub(pat: String): Column =
+      size(regexp_extract_all(c, lit(java.util.regex.Pattern.quote(pat)),
+        lit(0)))
+
+    /** 0-based find; -1 when missing (string_column_cpu.py:309-313). */
+    def find(sub: String): Column = instr(c, sub) - 1
+
+    /** literal replace (regex=False only, string_column_cpu.py:315-321). */
+    def replace(pat: String, repl: String): Column =
+      org.apache.spark.sql.functions.replace(c, lit(pat), lit(repl))
+
+    /** re2 match anchored at start (match_re, functions.h:403-406). */
+    def matchRe(pat: String): Column = regexp_like(c, lit(s"^(?:$pat)"))
+
+    def contains(pat: String, regex: Boolean = true): Column =
+      if (regex) c.rlike(pat)
+      else c.contains(pat)
+
+    def findall(pat: String): Column =
+      regexp_extract_all(c, lit(pat), lit(0))
+
+    def cat(other: Column): Column = concat(c, other)
+  }
+
+  /** ilist_column.py surface. */
+  final class ListOps(private val c: Column) extends AnyVal {
+    def length: Column = size(c)
+    def join(sep: String): Column = array_join(c, sep)
+    def get(i: Int): Column = c.getItem(i)
+
+    /** Python slice semantics on lists (list_column_cpu.py:256-270). */
+    def slice(start: Int, stop: Int): Column =
+      org.apache.spark.sql.functions.slice(c, start + 1,
+        math.max(stop - start, 0))
+
+    /** vmap: vectorized per-element fn (ilist_column.py:105-140's flat
+      * re-wrap trick) — exactly Spark's transform HOF. */
+    def vmap(f: Column => Column): Column = transform(c, f)
+
+    def mapElems(f: Column => Column): Column = transform(c, f)
+    def filterElems(p: Column => Column): Column =
+      org.apache.spark.sql.functions.filter(c, p)
+    def reduceElems(zero: Column, merge: (Column, Column) => Column): Column =
+      aggregate(c, zero, merge)
+    def flatmapElems(f: Column => Column): Column = flatten(transform(c, f))
+  }
+
+  /** imap_column.py surface. */
+  final class MapOps(private val c: Column) extends AnyVal {
+    def keys: Column = map_keys(c)
+    def values: Column = map_values(c)
+    /** dict.get(key, fill) (imap_column.py:82-91). */
+    def get(key: Column, fill: Column): Column =
+      coalesce(element_at(c, key), fill)
+  }
+
+  /** §2.9 arithmetic with the reference's semantics where Spark differs. */
+  final class ArithOps(private val c: Column) extends AnyVal {
+
+    /** `/` always float; divide-by-zero yields ±inf / nan, NOT null
+      * (numerical_column_cpu.py:387-401). */
+    def truediv(other: Column): Column = {
+      val a = c.cast(DoubleType)
+      when(other === 0.0,
+        when(a > 0.0, lit(Double.PositiveInfinity))
+          .when(a < 0.0, lit(Double.NegativeInfinity))
+          .otherwise(lit(Double.NaN)))
+        .otherwise(a / other)
+    }
+
+    /** `//` rounds toward −∞ (numeric_functions.h:28-101); int//0
+      * raises like Python (numerical_column_cpu.py:353-449). */
+    def floordiv(other: Column): Column =
+      floor(c.cast(DoubleType).arith.truediv(other))
+
+    def floordivInt(other: Column): Column =
+      when(other === 0, raise_error(lit("ZeroDivisionError: integer " +
+        "division or modulo by zero")))
+        .otherwise(floor(c.cast(DoubleType) / other.cast(DoubleType))
+          .cast(LongType))
+
+    /** `%` with the sign of the divisor (Python), via pmod adjustment. */
+    def floormod(other: Column): Column =
+      ((c % other) + other) % other
+
+    /** `**`: int ^ int stays int (torcharrow_pow_int,
+      * numeric_functions.h:103-138). */
+    def powInt(other: Column): Column =
+      pow(c.cast(DoubleType), other.cast(DoubleType)).cast(LongType)
+
+    def sigmoid: Column = lit(1.0) / (lit(1.0) + exp(-c.cast(DoubleType)))
+
+    /** log is natural log, int → float (numerical_column_cpu.py:617-618). */
+    def logNat: Column = log(c.cast(DoubleType))
+  }
+}

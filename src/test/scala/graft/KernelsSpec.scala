@@ -1,0 +1,181 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.{Functional, Kernels}
+
+/** Pinned-contract tests for the domain kernels, with expected values
+  * lifted from the reference test suite (cited per test). */
+class KernelsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("sigrid_hash pinned values (test_sigrid_hash.py:48-56)") {
+    val got = spark.range(16)
+      .select(Functional.sigridHash(col("id"), 0L, 100L))
+    assert(col0(got) === Seq(6L, 60L, 54L, 54L, 9L, 4L, 91L, 11L, 67L, 79L,
+      2L, 25L, 92L, 98L, 83L, 66L))
+  }
+
+  test("sigrid_hash list form (test_sigrid_hash.py:58-66)") {
+    val df = Seq(Seq(0L, 1L, 2L, 3L), Seq(4L, 5L, 6L), Seq(7L, 8L, 9L))
+      .toDF("a")
+    val got = df.select(Functional.sigridHashList(col("a"), 0L, 100L))
+    assert(col0(got).map(_.asInstanceOf[Seq[Long]]) ===
+      Seq(Seq(6L, 60L, 54L, 54L), Seq(9L, 4L, 91L), Seq(11L, 67L, 79L)))
+  }
+
+  test("sigrid_hash maxValue=1 returns 0") {
+    assert(Kernels.sigridHash(42L, 0L, 1L) === 0L)
+  }
+
+  test("bucketize pinned values (test_bucketize.py:71-110)") {
+    val df = Seq(1.0, 2.0, 3.0, 5.0, 8.0, 10.0, 11.0).toDF("a")
+    val got = df.select(Functional.bucketize(col("a"), Seq(2.0, 5.0, 10.0)))
+    assert(col0(got) === Seq(0, 0, 1, 1, 2, 2, 3))
+  }
+
+  test("bucketize list form (test_bucketize.py:113-123)") {
+    val df = Seq(Seq(1.0, 2.0, 3.0)).toDF("a")
+    val got = df.select(Functional.bucketizeList(col("a"), Seq(2.0)))
+    assert(col0(got).map(_.asInstanceOf[Seq[Int]]) === Seq(Seq(0, 0, 1)))
+  }
+
+  // compute_score fixture (test_compute_score.py:18-45)
+  private lazy val scoreDf = Seq(
+    (Seq(1L, 2L, 3L), Seq(1.0f, 2.0f, 3.0f), Seq(1L, 2L, 3L),
+      Seq(1.0f, 2.0f, 3.0f)),
+    (Seq(4L, 5L, 6L), Seq(4.0f, 5.0f, 6.0f), Seq(0L, 10L),
+      Seq(0.0f, 10.0f)),
+    (Seq(7L, 8L, 9L), Seq(7.0f, 8.0f, 9.0f), Seq(7L, 10L, 10L),
+      Seq(7.0f, 10.0f, 10.0f)),
+    (Seq(10L, 10L, 11L, 12L), Seq(10.0f, 10.0f, 11.0f, 12.0f),
+      Seq(10L, 10L, 11L, 13L), Seq(10.0f, 10.0f, 11.0f, 13.0f)))
+    .toDF("input_ids", "input_id_scores", "matching_ids",
+      "matching_id_scores")
+
+  private def floats(df: org.apache.spark.sql.DataFrame): Seq[Float] =
+    col0(df).map(_.asInstanceOf[Float])
+
+  private def approx(got: Seq[Float], want: Seq[Double]): Unit = {
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-6, s"$g vs $w")
+    }
+  }
+
+  test("has_id_overlap (test_compute_score.py:60-66)") {
+    approx(floats(scoreDf.select(Functional.hasIdOverlap(
+      col("input_ids"), col("matching_ids")))), Seq(1.0, 0.0, 1.0, 1.0))
+  }
+
+  test("id_overlap_count — multiset (test_compute_score.py:68-74)") {
+    approx(floats(scoreDf.select(Functional.idOverlapCount(
+      col("input_ids"), col("matching_ids")))), Seq(3.0, 0.0, 1.0, 3.0))
+  }
+
+  test("get_max_count (test_compute_score.py:76-82)") {
+    approx(floats(scoreDf.select(Functional.getMaxCount(
+      col("input_ids"), col("matching_ids")))), Seq(3.0, 0.0, 1.0, 3.0))
+  }
+
+  test("get_jaccard_similarity (test_compute_score.py:84-93)") {
+    approx(floats(scoreDf.select(Functional.getJaccardSimilarity(
+      col("input_ids"), col("matching_ids")))),
+      Seq(1.0, 0.0, 1.0 / 5.0, 3.0 / 5.0))
+  }
+
+  test("get_cosine_similarity (test_compute_score.py:94-119)") {
+    approx(floats(scoreDf.select(Functional.getCosineSimilarity(
+      col("input_ids"), col("input_id_scores"), col("matching_ids"),
+      col("matching_id_scores")))),
+      Seq(
+        14.0 / math.sqrt(14.0) / math.sqrt(14.0),
+        0.0,
+        49.0 / math.sqrt(49.0 + 64.0 + 81.0) / math.sqrt(49.0 + 400.0),
+        (400.0 + 121.0) / math.sqrt(400.0 + 121.0 + 144.0) /
+          math.sqrt(400.0 + 121.0 + 169.0)))
+  }
+
+  test("get_score_sum/min/max (test_compute_score.py:121-158)") {
+    approx(floats(scoreDf.select(Functional.getScoreSum(
+      col("input_ids"), col("input_id_scores"), col("matching_ids"),
+      col("matching_id_scores")))), Seq(6.0, 0.0, 7.0, 31.0))
+    approx(floats(scoreDf.select(Functional.getScoreMin(
+      col("input_ids"), col("matching_ids"), col("matching_id_scores")))),
+      Seq(1.0, 0.0, 7.0, 10.0))
+    approx(floats(scoreDf.select(Functional.getScoreMax(
+      col("input_ids"), col("matching_ids"), col("matching_id_scores")))),
+      Seq(3.0, 0.0, 7.0, 11.0))
+  }
+
+  test("python string predicates (test_functional_cpu.py:24-36)") {
+    val df = Seq(Some(""), Some("abc"), Some("XYZ"), Some("123"),
+      Some("xyz123"), None).toDF("s")
+    assert(col0(df.select(Functional.isalpha(col("s")))) ===
+      Seq(false, true, true, false, false, null))
+    assert(col0(df.select(upper(col("s")))) ===
+      Seq("", "ABC", "XYZ", "123", "XYZ123", null))
+    assert(col0(df.select(Functional.isalnum(col("s")))) ===
+      Seq(false, true, true, true, true, null))
+    assert(col0(df.select(Functional.isdigit(col("s")))) ===
+      Seq(false, false, false, true, false, null))
+    assert(col0(df.select(Functional.islower(col("s")))) ===
+      Seq(false, true, false, false, true, null))
+    assert(col0(df.select(Functional.isupper(col("s")))) ===
+      Seq(false, false, true, false, false, null))
+  }
+
+  test("python istitle/isspace/isdecimal semantics") {
+    // expectations = CPython str.is* results
+    val df = Seq("Hello World", "Hello world", "  ", "½", "7").toDF("s")
+    assert(col0(df.select(Functional.istitle(col("s")))) ===
+      Seq(true, false, false, false, false))
+    assert(col0(df.select(Functional.isspace(col("s")))) ===
+      Seq(false, false, true, false, false))
+    assert(col0(df.select(Functional.isdecimal(col("s")))) ===
+      Seq(false, false, false, false, true))
+    assert(col0(df.select(Functional.isnumeric(col("s")))) ===
+      Seq(false, false, false, true, true))
+  }
+
+  test("firstx / clamp_list / add_tokens compose correctly") {
+    val df = Seq(Seq(1L, 2L, 3L), Seq(5L, 8L), Seq(13L)).toDF("a")
+    assert(col0(df.select(Functional.firstx(col("a"), 3)))
+      .map(_.asInstanceOf[Seq[Long]]) ===
+      Seq(Seq(1L, 2L, 3L), Seq(5L, 8L), Seq(13L)))
+    assert(col0(df.select(Functional.clampList(col("a"), lit(2L), lit(8L))))
+      .map(_.asInstanceOf[Seq[Long]]) ===
+      Seq(Seq(2L, 2L, 3L), Seq(5L, 8L), Seq(8L)))
+    assert(col0(df.select(Functional.addTokens(col("a"), Seq(0L), begin = true)))
+      .map(_.asInstanceOf[Seq[Long]]) ===
+      Seq(Seq(0L, 1L, 2L, 3L), Seq(0L, 5L, 8L), Seq(0L, 13L)))
+  }
+
+  test("lookup_indices with default index") {
+    val df = Seq(Seq("hello", "world", "unk")).toDF("t")
+    val got = df.select(Functional.lookupIndices(
+      Map("hello" -> 1L, "world" -> 2L), 0L)(col("t")))
+    assert(col0(got).map(_.asInstanceOf[Seq[Long]]) === Seq(Seq(1L, 2L, 0L)))
+  }
+
+  test("simhash/hamming/minhash determinism and identity") {
+    assert(Kernels.hamming64(0L, -1L) === 64)
+    val df = Seq(Seq("a", "b", "c"), Seq("a", "b", "c"), Seq("x", "y"))
+      .toDF("t")
+    val hs = col0(df.select(Functional.simhash64(col("t"))))
+      .map(_.asInstanceOf[Long])
+    assert(hs(0) === hs(1))
+    assert(hs(0) !== hs(2))
+  }
+
+  test("cosine kernel") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val got = df.select(Functional.cosineSim(col("a"), col("b")),
+      Functional.cosineSim(col("a"), col("c")))
+    val r = got.head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+}

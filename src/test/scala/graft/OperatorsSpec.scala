@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Dedup / similarity / text-analysis operator behavior on small data. */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),
+    (4L, "completely different content about spark query engines here"),
+    (5L, "completely different content about spark query engines here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content") {
+    val kept = col0(Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id").orderBy("doc_id"))
+    assert(kept === Seq(1L, 3L, 4L))
+  }
+
+  test("exactGroups reports duplicate groups") {
+    val g = Dedup.exactGroups(docs, "text", "doc_id")
+      .orderBy("keep_id").collect().toSeq
+    assert(g.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n"))) ===
+      Seq((1L, 2L), (4L, 2L)))
+  }
+
+  test("minhash LSH finds identical and near-identical docs") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+        k = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard")))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(byPair((1L, 2L)) === 1.0) // identical docs: full signature match
+    assert(byPair((4L, 5L)) === 1.0)
+    assert(byPair.contains((1L, 3L))) // near-dup: one token differs
+    assert(byPair((1L, 3L)) > 0.5 && byPair((1L, 3L)) < 1.0)
+  }
+
+  test("simhash: identical docs at distance 0; near-dups close") {
+    val pairs = Dedup.simHash(docs, "text", "doc_id", maxHamming = 16)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) === 0)
+    assert(pairs((4L, 5L)) === 0)
+    assert(pairs.get((1L, 3L)).exists(_ <= 16))
+  }
+
+  test("ngramJaccard verifies candidates exactly") {
+    val cands = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.ngramJaccard(cands, docs, "text", "doc_id", n = 3)
+      .orderBy("id_a", "id_b").collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("jaccard")))
+    assert(got(0)._3 === 1.0)  // identical
+    assert(got(1)._3 === 0.0)  // disjoint
+  }
+
+  test("embedding cosine dedup finds identical vectors") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f)),
+      (3L, Seq(-1.0f, 0.2f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosine(vecs, "embedding", "vec_id",
+        threshold = 0.99, bits = 4)
+      .collect().toSeq.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    assert(pairs === Seq((1L, 2L)))
+  }
+
+  test("brute-force knn ranks the duplicate vector first") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.9f, 0.1f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0),
+        "embedding", "vec_id", "vec_id", k = 2)
+      .orderBy("rank").collect().toSeq.map(_.getAs[Long]("id"))
+    assert(got === Seq(1L, 3L))
+  }
+
+  test("lsh knn returns a subset ranked consistently") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f, 0.0f)),
+      (2L, Seq(0.95f, 0.05f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(vecs, vecs.where(col("vec_id") === 0),
+        "embedding", "vec_id", "vec_id", k = 2, bits = 4)
+      .collect().toSeq
+    assert(got.nonEmpty) // identical-direction vectors share every bucket
+  }
+
+  test("tokens/shingles/tokenCount") {
+    val df = Seq("a b c d").toDF("text")
+    assert(col0(df.select(TextAnalysis.tokenCount(col("text")))) === Seq(4))
+    assert(col0(df.select(TextAnalysis.shingles(col("text"), 2)))
+      .head.asInstanceOf[Seq[String]] === Seq("a b", "b c", "c d"))
+    // short doc: single shingle of whole text
+    val short = Seq("a b").toDF("text")
+    assert(col0(short.select(TextAnalysis.shingles(col("text"), 5)))
+      .head.asInstanceOf[Seq[String]] === Seq("a b"))
+  }
+
+  test("langId picks the profile language") {
+    val df = Seq(
+      "the cat is on the mat and it is warm",
+      "der Hund ist nicht mit der Katze",
+      "le chat est dans la maison pour le moment",
+      "el perro es un animal que vive en la casa",
+      "xyzzy plugh qwerty").toDF("text")
+    assert(col0(df.select(TextAnalysis.langId(col("text")))) ===
+      Seq("en", "de", "fr", "es", "und"))
+  }
+
+  test("quality score ranges and orders sensibly") {
+    val df = Seq(
+      "the cat is on the mat and it is a warm day for all of us here",
+      "!!! ??? ### $$$ %%%").toDF("text")
+    val got = col0(df.select(TextAnalysis.qualityScore(col("text"))))
+      .map(_.asInstanceOf[Double])
+    assert(got(0) > 0.7)
+    assert(got(1) < 0.4)
+    assert(got.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("multimodal decode plumbing: schema + determinism") {
+    val df = Seq((1L, "payload one"), (2L, "payload two")).toDF("id", "text")
+    val out = Multimodal.decodeMeta(Multimodal.withBlob(df, "text"))
+    assert(out.schema.fieldNames.contains("media_meta"))
+    val metaOnly = out.select(col("id"), col("media_meta"))
+    val r1 = metaOnly.orderBy("id").collect()
+    val r2 = metaOnly.orderBy("id").collect()
+    assert(r1.map(_.toString) === r2.map(_.toString)) // deterministic stub
+    val meta = r1.head.getStruct(r1.head.fieldIndex("media_meta"))
+    assert(meta.getAs[Int]("width") >= 64)
+    assert(Set("png", "jpeg").contains(meta.getAs[String]("format")))
+  }
+
+  test("frame sampling emits n rows per blob") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val out = Multimodal.sampleFrames(
+      Multimodal.withBlob(df, "text"), "blob", 4)
+    assert(out.count() === 4L)
+  }
+}

@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.frame.{TFrame, TGrouped}
+import graft.frame.namespaces._
+
+/** TFrame surface tests; fixtures and expected values from the reference
+  * test suite (FIXTURES.md §1/§3, test_dataframe.py). */
+class TFrameSpec extends SparkSpec {
+
+  private lazy val abc = TFrame(spark, Seq(
+    "a" -> (0L to 6L), "b" -> (6L to 0L by -1), "c" -> (0L to 6L)))
+
+  private lazy val grouping = TFrame(spark, Seq(
+    "A" -> Seq("a", "b", "a", "b"),
+    "B" -> Seq(1L, 2L, 3L, 4L),
+    "C" -> Seq(10L, 11L, 12L, 13L)))
+
+  test("construction + inference (test_dataframe.py:116,228)") {
+    assert(abc.columns === Seq("a", "b", "c"))
+    assert(abc.length === 7L)
+    assert(abc.df.schema.fields.forall(_.dataType == LongType))
+  }
+
+  test("select with includes/excludes/computed (idataframe.py:501-548)") {
+    val got = abc.select("*", "-c")("d" -> (abc("b") + abc("c")))
+    assert(got.columns === Seq("a", "b", "d"))
+    assert(col0(got.df.select("d")) === Seq(6L, 6L, 6L, 6L, 6L, 6L, 6L))
+  }
+
+  test("where ANDs conditions (dataframe_cpu.py:2016-2026)") {
+    val got = abc.where(abc("a") > 1, abc("b") > 1)
+    assert(col0(got.df.select("a")).toSet === Set(2L, 3L, 4L))
+  }
+
+  test("groupby sum names columns col.sum (FIXTURES §3)") {
+    val got = grouping.groupby("A").sum.df.orderBy("A")
+    assert(got.columns.toSeq === Seq("A", "B.sum", "C.sum"))
+    assert(got.collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))) === Seq(("a", 4L, 22L), ("b", 6L, 24L)))
+  }
+
+  test("groupby agg dict form (dataframe_cpu.py:2373-2435)") {
+    val got = grouping.groupby("A")
+      .agg(Map("B" -> Seq("min", "mean"))).df.orderBy("A")
+    assert(got.columns.toSeq === Seq("A", "B.min", "B.mean"))
+    assert(got.collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))) === Seq(("a", 1L, 2.0), ("b", 2L, 3.0)))
+  }
+
+  test("groupby size includes all rows (dataframe_cpu.py:2213-2225)") {
+    val got = grouping.groupby("A").size.df.orderBy("A")
+    assert(got.collect().toSeq.map(r => (r.getString(0), r.getLong(1))) ===
+      Seq(("a", 2L), ("b", 2L)))
+  }
+
+  test("grouped select computes per-group expressions") {
+    val got = grouping.groupby("A")
+      .select("bsum" -> sum(grouping("B")), "cmax" -> max(grouping("C")))
+      .df.orderBy("A")
+    assert(got.collect().toSeq.map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))) === Seq(("a", 4L, 12L), ("b", 6L, 13L)))
+  }
+
+  test("sort na_position (dataframe_cpu.py:593-620)") {
+    val withNulls = TFrame(spark, Seq("x" -> Seq[Any](3L, null, 1L, 2L)))
+    assert(col0(withNulls.sort(Seq("x")).df) === Seq(1L, 2L, 3L, null))
+    assert(col0(withNulls.sort(Seq("x"), naLast = false).df) ===
+      Seq(null, 1L, 2L, 3L))
+    assert(col0(withNulls.sort(Seq("x"), ascending = false).df) ===
+      Seq(3L, 2L, 1L, null))
+  }
+
+  test("dropDuplicates keep-first deterministic (icolumn.py:1066-1084)") {
+    val df = TFrame(spark, Seq(
+      "k" -> Seq("x", "x", "y"), "i" -> Seq(1L, 2L, 3L)))
+    val got = df.dropDuplicates(Seq("k"), Seq("i")).sort(Seq("i"))
+    assert(col0(got.df.select("i")) === Seq(1L, 3L))
+  }
+
+  test("fillNull / dropNull (icolumn.py:982-1064)") {
+    val df = TFrame(spark, Seq("x" -> Seq[Any](1L, null, 3L)))
+    assert(col0(df.fillNull(0L).df) === Seq(1L, 0L, 3L))
+    assert(col0(df.dropNull().df) === Seq(1L, 3L))
+  }
+
+  test("isin per column (icolumn.py:940-978)") {
+    val got = grouping.isin(Seq("a", 1L))
+    assert(col0(got.df.select("A")) === Seq(true, false, true, false))
+    assert(col0(got.df.select("B")) === Seq(true, false, false, false))
+  }
+
+  test("concat = union-all (icolumn.py:95-97)") {
+    assert(abc.concat(abc).length === 14L)
+  }
+
+  test("describe layout (inumerical_column.py:139-198)") {
+    val got = abc.describe().df
+    assert(got.columns.toSeq === Seq("metric", "a", "b", "c"))
+    assert(col0(got.select("metric")) ===
+      Seq("count", "mean", "std", "min", "25%", "50%", "75%", "max"))
+    val mean = got.filter(col("metric") === "mean").head()
+    assert(mean.getDouble(1) === 3.0)
+  }
+
+  test("column reductions lift to one-row frame (dataframe_cpu.py:1642-1758)") {
+    val got = abc.sum.df.head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((21L, 21L, 21L)))
+  }
+
+  test("cumsum over explicit order (inumerical_column.py:229-312)") {
+    val got = abc.cumsum(Seq("b"), order = Seq("a"))
+    assert(col0(got.df.orderBy("a").select(got.df("`b.cumsum`"))) ===
+      Seq(6L, 11L, 15L, 18L, 20L, 21L, 21L))
+  }
+
+  test("head/tail/append") {
+    assert(abc.head(2).length === 2L)
+    assert(col0(abc.tail(2).df.select("a")) === Seq(5L, 6L))
+    val appended = abc.append(Seq(Row(99L, 99L, 99L)))
+    assert(appended.length === 8L)
+  }
+
+  test("mapRows / filterRows / flatmapRows (§2.13)") {
+    val out = StructType(Seq(StructField("s", LongType)))
+    val mapped = abc.mapRows(out, Seq("a", "b")) {
+      case Seq(a: Long, b: Long) => Seq(a + b)
+    }
+    assert(col0(mapped.df) === Seq.fill(7)(6L))
+
+    val filtered = abc.filterRows(Seq("a")) {
+      case Seq(a: Long) => a % 2 == 0
+    }
+    assert(col0(filtered.df.select("a")) === Seq(0L, 2L, 4L, 6L))
+
+    val flat = abc.flatmapRows(out, Seq("a")) {
+      case Seq(a: Long) => Seq.fill(if (a < 2) 0 else 2)(Seq(a))
+    }
+    assert(flat.length === 10L)
+  }
+
+  test("rename/drop/reorder/withCol/pipe (§2.2)") {
+    val got = abc.rename(Map("a" -> "x")).drop("c")
+      .withCol("y", lit(1L)).reorder(Seq("y", "x", "b"))
+      .pipe(f => f.where(f("x") < 2))
+    assert(got.columns === Seq("y", "x", "b"))
+    assert(got.length === 2L)
+  }
+}
