@@ -410,23 +410,88 @@ public final class Kernels {
     return h;
   }
 
+  /** Affine permutation coefficients per (seed, k), derived
+   * deterministically and cached — they are shingle-invariant. */
+  private static final ConcurrentHashMap<Long, long[][]> MINHASH_COEF =
+      new ConcurrentHashMap<>();
+
+  private static long[][] minhashCoef(int k, long seed) {
+    return MINHASH_COEF.computeIfAbsent(seed * 31L + k, key -> {
+      long[] a = new long[k];
+      long[] b = new long[k];
+      for (int j = 0; j < k; j++) {
+        a[j] = twangMix64(seed + 2L * j + 1L) | 1L; // odd multiplier
+        b[j] = twangMix64(seed ^ (0x9e3779b97f4a7c15L * (j + 1)));
+      }
+      return new long[][] {a, b};
+    });
+  }
+
   /** MinHash signature: k permutations h_i(x) = a_i*x + b_i over the
    * base-hashed shingles; single pass over the shingle array. */
   public static ArrayData minHash(ArrayData shingles, int k, long seed) {
+    long[][] coef = minhashCoef(k, seed);
+    long[] a = coef[0], b = coef[1];
     long[] sig = new long[k];
     java.util.Arrays.fill(sig, Long.MAX_VALUE);
     int n = shingles.numElements();
     for (int i = 0; i < n; i++) {
       long base = fingerprint64(shingles.getUTF8String(i));
       for (int j = 0; j < k; j++) {
-        // distinct affine permutations derived deterministically from (seed, j)
-        long a = twangMix64(seed + 2L * j + 1L) | 1L; // odd multiplier
-        long b = twangMix64(seed ^ (0x9e3779b97f4a7c15L * (j + 1)));
-        long h = a * base + b;
+        long h = a[j] * base + b[j];
         if (h + Long.MIN_VALUE < sig[j] + Long.MIN_VALUE) sig[j] = h; // unsigned min
       }
     }
     return new GenericArrayData(sig);
+  }
+
+  /** Fused tokenize → word-shingle → MinHash over raw UTF-8 bytes: no
+   * token/shingle string materialization. Tokens split on ASCII
+   * whitespace runs; each token FNV-hashed in place; shingle hash is an
+   * order-sensitive hash128to64 chain over the window. Semantics match
+   * minHash(shingles(text)) up to the (internal) hash values. */
+  public static ArrayData minHashText(UTF8String text, int shingleSize,
+      int k, long seed) {
+    byte[] bytes = text.getBytes();
+    // collect token fingerprints
+    long[] tokHash = new long[16];
+    int nTok = 0;
+    int i = 0;
+    int len = bytes.length;
+    while (i < len) {
+      while (i < len && isWs(bytes[i])) i++;
+      if (i >= len) break;
+      long h = 0xcbf29ce484222325L;
+      while (i < len && !isWs(bytes[i])) {
+        h ^= (bytes[i] & 0xffL);
+        h *= 0x100000001b3L;
+        i++;
+      }
+      if (nTok == tokHash.length) {
+        tokHash = java.util.Arrays.copyOf(tokHash, nTok * 2);
+      }
+      tokHash[nTok++] = h;
+    }
+    long[][] coef = minhashCoef(k, seed);
+    long[] a = coef[0], b = coef[1];
+    long[] sig = new long[k];
+    java.util.Arrays.fill(sig, Long.MAX_VALUE);
+    int nShingles = Math.max(nTok - shingleSize + 1, 1);
+    int win = Math.min(shingleSize, nTok);
+    for (int s = 0; s < nShingles; s++) {
+      long h = 0L;
+      for (int j = 0; j < win; j++) h = hash128to64(h, tokHash[s + j]);
+      for (int j = 0; j < k; j++) {
+        long p = a[j] * h + b[j];
+        if (p + Long.MIN_VALUE < sig[j] + Long.MIN_VALUE) sig[j] = p;
+      }
+    }
+    return new GenericArrayData(sig);
+  }
+
+  private static boolean isWs(byte b) {
+    return b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f'
+        || b == '\r';
   }
 
   /** SimHash over token strings: 64-bit sign-aggregated fingerprint. */
@@ -449,6 +514,56 @@ public final class Kernels {
   /** Hamming distance between two 64-bit simhashes. */
   public static int hamming64(long a, long b) {
     return Long.bitCount(a ^ b);
+  }
+
+  // ---------------------------------------------------------------------
+  // Language ID: single pass over tokens against built-in stopword
+  // profiles (public-knowledge function words; mirrors
+  // graft.operators.TextAnalysis.stopwordProfiles).
+  // ---------------------------------------------------------------------
+
+  private static final String[] LANGS = {"de", "en", "es", "fr", "zh"};
+  private static final java.util.Map<String, Integer> STOPWORD_LANG =
+      new java.util.HashMap<>();
+  static {
+    String[][] words = {
+      {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+       "zu", "den", "von", "für", "auf", "im"},
+      {"the", "a", "of", "and", "to", "in", "is", "that", "it", "for",
+       "on", "with", "as", "are", "this"},
+      {"el", "la", "los", "las", "y", "es", "un", "una", "de", "que",
+       "en", "por", "para", "no", "con"},
+      {"le", "la", "les", "et", "est", "un", "une", "de", "du", "pour",
+       "dans", "que", "qui", "pas", "sur"},
+      {"的", "了", "是", "我", "不", "在", "他", "有", "这", "个", "们",
+       "中", "来", "上", "大"}};
+    for (int l = 0; l < words.length; l++) {
+      for (String w : words[l]) {
+        // words shared across profiles (la/un/de/es...) keep a combined
+        // mask so each language still gets credit
+        STOPWORD_LANG.merge(w, 1 << l, (x, y) -> x | y);
+      }
+    }
+  }
+
+  /** argmax-stopword-ratio language of a token array; "und" when no
+   * profile hits. Ties break alphabetically (lang order above). */
+  public static UTF8String langId(ArrayData tokens) {
+    int[] hits = new int[LANGS.length];
+    int n = tokens.numElements();
+    for (int i = 0; i < n; i++) {
+      Integer mask = STOPWORD_LANG.get(tokens.getUTF8String(i).toString());
+      if (mask != null) {
+        for (int l = 0; l < LANGS.length; l++) {
+          if ((mask & (1 << l)) != 0) hits[l]++;
+        }
+      }
+    }
+    int best = -1, bestHits = 0;
+    for (int l = 0; l < LANGS.length; l++) {
+      if (hits[l] > bestHits) { bestHits = hits[l]; best = l; }
+    }
+    return UTF8String.fromString(best < 0 ? "und" : LANGS[best]);
   }
 
   // ---------------------------------------------------------------------

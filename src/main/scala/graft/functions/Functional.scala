@@ -139,10 +139,22 @@ object Functional {
   def fingerprint64(c: Column): Column =
     invoke("fingerprint64", LongType, Seq(c), Seq(StringType))
 
+  /** Single-pass stopword-profile language ID over a token array. */
+  def langId(tokens: Column): Column =
+    invoke("langId", StringType, Seq(tokens))
+
   /** k-permutation MinHash signature of an array<string> of shingles. */
   def minhash(shingles: Column, k: Int, seed: Long = 42L): Column =
     invoke("minHash", ArrayType(LongType, containsNull = false),
       Seq(shingles, lit(k), lit(seed)))
+
+  /** Fused tokenize→shingle→minhash over the raw text (fast path: no
+    * intermediate token/shingle arrays). */
+  def minhashText(text: Column, shingleSize: Int, k: Int,
+      seed: Long = 42L): Column =
+    invoke("minHashText", ArrayType(LongType, containsNull = false),
+      Seq(text, lit(shingleSize), lit(k), lit(seed)),
+      Seq(StringType, IntegerType, IntegerType, LongType))
 
   /** 64-bit SimHash of an array<string> of tokens. */
   def simhash64(tokens: Column): Column =

@@ -63,8 +63,7 @@ object Dedup {
     val rows = k / bands
     val sig = df.select(
       col(idCol).as("id"),
-      Functional.minhash(
-        TextAnalysis.shingles(col(textCol), shingleSize), k).as("sig"))
+      Functional.minhashText(col(textCol), shingleSize, k).as("sig"))
 
     // band hash = xxhash64 over the band's slice of the signature
     val banded = sig.select(col("id"), col("sig"),

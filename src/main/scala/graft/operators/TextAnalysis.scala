@@ -49,15 +49,10 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words: _*))).cast(DoubleType) /
       greatest(size(toks), lit(1)).cast(DoubleType)
 
-  /** Detected language code, by argmax of stopword-hit ratio. */
-  def langId(text: Column): Column = {
-    val toks = tokens(lower(text))
-    val scored = stopwordProfiles.toSeq.sortBy(_._1).map { case (lang, ws) =>
-      struct(hitRatio(toks, ws).as("score"), lit(lang).as("lang"))
-    }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0.0, best.getField("lang")).otherwise("und")
-  }
+  /** Detected language code, by argmax of stopword hits — single-pass
+    * codegen kernel (profiles mirrored in Kernels.langId). */
+  def langId(text: Column): Column =
+    Functional.langId(tokens(lower(text)))
 
   // ---- quality scoring ------------------------------------------------
 
