@@ -340,6 +340,36 @@ object Queries2 {
       |CAST(len(string_split(p_name, ' ')) AS INT) AS n_toks
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** maps namespace over JSON-parsed props (§2.12): from_json → map →
+    * element_at, grouped. */
+  def q67MapOps(s: SparkSession, dir: String): DataFrame = {
+    val k = element_at(
+      from_json($"props", MapType(StringType, LongType)), "k")
+    t(s, dir, "events")
+      .select((k.cast(LongType)).as("k"))
+      .groupBy(expr("k div 10").as("kb"))
+      .agg(count(lit(1)).as("n"), sum($"k").cast(LongType).as("sum_k"))
+      .orderBy($"kb")
+  }
+
+  val q67Sql: String =
+    """SELECT CAST(props->>'k' AS BIGINT) // 10 AS kb, COUNT(*) AS n,
+      |CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+      |FROM events GROUP BY 1 ORDER BY kb""".stripMargin
+
+  /** Approximate sketches: HLL distinct + approx quantiles (rows-only —
+    * sketch results are engine-specific by construction). */
+  def q19ApproxSketch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("p50_price"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(1000))
+          .as("p99_price"))
+      .orderBy($"l_returnflag")
+
   // ---- multimodal plumbing (decode is a marked stub) ------------------
 
   def q70Multimodal(s: SparkSession, dir: String): DataFrame = {
@@ -387,6 +417,8 @@ object Queries2 {
     "q64_str_predicates" -> (q64StrPredicates _),
     "q65_string_funcs" -> (q65StringFuncs _),
     "q66_split_join" -> (q66SplitJoin _),
+    "q67_map_ops" -> (q67MapOps _),
+    "q19_approx_sketch" -> (q19ApproxSketch _),
     "q70_multimodal" -> (q70Multimodal _),
     "q80_stream_window" -> (q80StreamWindow _)
   )
@@ -406,6 +438,7 @@ object Queries2 {
     "q64_str_predicates" -> q64Sql,
     "q65_string_funcs" -> q65Sql,
     "q66_split_join" -> q66Sql,
+    "q67_map_ops" -> q67Sql,
     "q80_stream_window" -> q80Sql
   )
 }

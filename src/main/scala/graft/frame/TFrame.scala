@@ -125,6 +125,24 @@ final case class TFrame(df: DataFrame) {
   /** drop rows with any/all nulls (icolumn.py:1024-1064). */
   def dropNull(how: String = "any"): TFrame = TFrame(df.na.drop(how))
 
+  // ---- join (§2.3: declared surface, dataframe_cpu.py:2459-2469) ------
+
+  /** Equi-join on shared key names with pandas-style lsuffix/rsuffix
+    * disambiguation of overlapping non-key columns. Catalyst picks the
+    * physical strategy (broadcast/SMJ); wrap the smaller side's df in
+    * functions.broadcast(...) upstream to force a map-side join. */
+  def join(other: TFrame, on: Seq[String], how: String = "inner",
+      lsuffix: String = "", rsuffix: String = ""): TFrame = {
+    val overlap = (columns.toSet & other.columns.toSet) -- on.toSet
+    require(overlap.isEmpty || lsuffix.nonEmpty || rsuffix.nonEmpty,
+      s"overlapping columns $overlap need lsuffix/rsuffix")
+    val l = overlap.foldLeft(df)((d, c) =>
+      if (lsuffix.nonEmpty) d.withColumnRenamed(c, c + lsuffix) else d)
+    val r = overlap.foldLeft(other.df)((d, c) =>
+      if (rsuffix.nonEmpty) d.withColumnRenamed(c, c + rsuffix) else d)
+    TFrame(l.join(r, on, how))
+  }
+
   // ---- concat / append (§2.1) -----------------------------------------
 
   def concat(other: TFrame): TFrame = TFrame(df.unionAll(other.df))
@@ -197,6 +215,45 @@ final case class TFrame(df: DataFrame) {
       numericCols.map(StructField(_, DoubleType)))
     TFrame(spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema))
   }
+
+  // ---- scalar predicates (§2.6: icolumn.py:172-206) -------------------
+
+  /** All values distinct (countDistinct==count, null-aware). */
+  def isUnique(c: String): Boolean = {
+    val r = df.agg(count(df(c)).as("n"), countDistinct(df(c)).as("d"),
+      count(lit(1)).as("all")).head()
+    // nulls: more than one null breaks uniqueness
+    r.getLong(0) == r.getLong(1) && (r.getLong(2) - r.getLong(0)) <= 1
+  }
+
+  /** Monotonic over an explicit order (lag-window comparison). */
+  def isMonotonicIncreasing(c: String, order: Seq[String]): Boolean =
+    monotonic(c, order, increasing = true)
+  def isMonotonicDecreasing(c: String, order: Seq[String]): Boolean =
+    monotonic(c, order, increasing = false)
+
+  private def monotonic(c: String, order: Seq[String],
+      increasing: Boolean): Boolean = {
+    val w = Window.orderBy(order.map(df(_).asc): _*)
+    val prev = lag(df(c), 1).over(w)
+    val bad = if (increasing) df(c) < prev else df(c) > prev
+    df.withColumn("__bad", bad).filter(col("__bad")).isEmpty
+  }
+
+  // ---- set ops (§2.7 extension: free in Spark) ------------------------
+
+  def intersect(other: TFrame): TFrame = TFrame(df.intersect(other.df))
+  def except(other: TFrame): TFrame = TFrame(df.except(other.df))
+
+  /** Ordered sequential left-fold → scalar (icolumn.py:729-770). The
+    * reference's reduce is a non-parallel fold by construction; rows are
+    * collected in `order` and folded on the driver — use only on
+    * small/aggregated data; prefer groupby-agg for anything large. */
+  def reduceCol[B](c: String, order: Seq[String])(zero: B)(
+      op: (B, Any) => B): B =
+    df.select((order.map(df(_)) :+ df(c)): _*)
+      .orderBy(order.map(df(_).asc): _*)
+      .collect().foldLeft(zero)((acc, r) => op(acc, r.get(order.length)))
 
   // ---- groupby (§2.4) -------------------------------------------------
 

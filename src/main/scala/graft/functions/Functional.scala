@@ -176,6 +176,20 @@ object Functional {
   def hyperplaneLsh(v: Column, bits: Int, seed: Long = 42L): Column =
     invoke("hyperplaneLsh", LongType, Seq(v, lit(bits), lit(seed)))
 
+  /** Vectorized ternary (icolumn.py:100-119): null cond → null result,
+    * result type = LUB (Catalyst coercion). */
+  def ifElse(cond: Column, a: Column, b: Column): Column =
+    when(cond.isNull, lit(null)).when(cond, a).otherwise(b)
+
+  /** Fixed-size list constraint (dtypes_core.py:218): Spark has no
+    * fixed-size arrays; this check fails the job on violation, the
+    * analog of the reference's append-time size check
+    * (list_column_cpu.py:96-102). */
+  def assertFixedSize(c: Column, n: Int): Column =
+    when(size(c) === n, c).otherwise(
+      raise_error(concat(lit(s"fixed_size list expects $n elements, got "),
+        size(c).cast(StringType))))
+
   // ---- generic name dispatch (functional.__getattr__ analog) ----------
 
   /** Resolve any Spark built-in by name, mirroring the reference's

@@ -142,6 +142,40 @@ class TFrameSpec extends SparkSpec {
     assert(flat.length === 10L)
   }
 
+  test("isUnique / isMonotonic (icolumn.py:172-206)") {
+    assert(abc.isUnique("a"))
+    val dup = TFrame(spark, Seq("x" -> Seq(1L, 1L, 2L)))
+    assert(!dup.isUnique("x"))
+    assert(abc.isMonotonicIncreasing("a", order = Seq("a")))
+    assert(abc.isMonotonicDecreasing("b", order = Seq("a")))
+    assert(!abc.isMonotonicIncreasing("b", order = Seq("a")))
+  }
+
+  test("intersect/except set ops") {
+    val other = abc.where(abc("a") < 3)
+    assert(abc.intersect(other).length === 3L)
+    assert(abc.except(other).length === 4L)
+  }
+
+  test("reduceCol sequential fold (icolumn.py:729-770)") {
+    assert(abc.reduceCol("b", order = Seq("a"))(0L)(
+      (acc, v) => acc * 10 + v.asInstanceOf[Long]) === 6543210L)
+  }
+
+  test("ifElse null-cond and fixed-size check (§2.8, §2.11)") {
+    import graft.functions.Functional
+    val df = TFrame(spark, Seq("c" -> Seq[Any](true, false, null),
+      "x" -> Seq(1L, 2L, 3L), "y" -> Seq(10L, 20L, 30L)))
+    assert(col0(df.df.select(Functional.ifElse(df("c"), df("x"), df("y")))) ===
+      Seq(1L, 20L, null))
+    val ok = spark.sql("select array(1,2) as a")
+      .select(Functional.assertFixedSize(col("a"), 2))
+    assert(ok.count() === 1L)
+    val bad = spark.sql("select array(1,2,3) as a")
+      .select(Functional.assertFixedSize(col("a"), 2))
+    intercept[Exception] { bad.collect() }
+  }
+
   test("rename/drop/reorder/withCol/pipe (§2.2)") {
     val got = abc.rename(Map("a" -> "x")).drop("c")
       .withCol("y", lit(1L)).reorder(Seq("y", "x", "b"))
