@@ -489,6 +489,59 @@ public final class Kernels {
     return new GenericArrayData(sig);
   }
 
+  /** Distinct hashed word-shingles of a text (sorted array<long>) — the
+   * exact-Jaccard unit without materializing shingle strings. Same
+   * tokenization/windowing as minHashText. */
+  public static ArrayData shingleSet(UTF8String text, int shingleSize) {
+    byte[] bytes = text.getBytes();
+    long[] tokHash = new long[16];
+    int nTok = 0;
+    int i = 0;
+    int len = bytes.length;
+    while (i < len) {
+      while (i < len && isWs(bytes[i])) i++;
+      if (i >= len) break;
+      long h = 0xcbf29ce484222325L;
+      while (i < len && !isWs(bytes[i])) {
+        h ^= (bytes[i] & 0xffL);
+        h *= 0x100000001b3L;
+        i++;
+      }
+      if (nTok == tokHash.length) {
+        tokHash = java.util.Arrays.copyOf(tokHash, nTok * 2);
+      }
+      tokHash[nTok++] = h;
+    }
+    int nShingles = Math.max(nTok - shingleSize + 1, 1);
+    int win = Math.min(shingleSize, nTok);
+    long[] out = new long[nShingles];
+    for (int s = 0; s < nShingles; s++) {
+      long h = 0L;
+      for (int j = 0; j < win; j++) h = hash128to64(h, tokHash[s + j]);
+      out[s] = h;
+    }
+    java.util.Arrays.sort(out);
+    int m = 0;
+    for (int s = 0; s < nShingles; s++) {
+      if (m == 0 || out[s] != out[m - 1]) out[m++] = out[s];
+    }
+    return new GenericArrayData(java.util.Arrays.copyOf(out, m));
+  }
+
+  /** Jaccard of two sorted distinct long arrays (merge scan). */
+  public static double jaccardSorted(ArrayData a, ArrayData b) {
+    int na = a.numElements(), nb = b.numElements();
+    int i = 0, j = 0, inter = 0;
+    while (i < na && j < nb) {
+      long x = a.getLong(i), y = b.getLong(j);
+      if (x < y) i++;
+      else if (y < x) j++;
+      else { inter++; i++; j++; }
+    }
+    int union = na + nb - inter;
+    return union == 0 ? 0.0 : (double) inter / union;
+  }
+
   private static boolean isWs(byte b) {
     return b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f'
         || b == '\r';

@@ -156,6 +156,15 @@ object Functional {
       Seq(text, lit(shingleSize), lit(k), lit(seed)),
       Seq(StringType, IntegerType, IntegerType, LongType))
 
+  /** Distinct hashed word-shingles (sorted array<long>) of a text. */
+  def shingleSet(text: Column, shingleSize: Int): Column =
+    invoke("shingleSet", ArrayType(LongType, containsNull = false),
+      Seq(text, lit(shingleSize)), Seq(StringType, IntegerType))
+
+  /** Exact Jaccard of two sorted hashed-shingle sets. */
+  def jaccardSorted(a: Column, b: Column): Column =
+    invoke("jaccardSorted", DoubleType, Seq(a, b))
+
   /** 64-bit SimHash of an array<string> of tokens. */
   def simhash64(tokens: Column): Column =
     invoke("simHash64", LongType, Seq(tokens))

@@ -135,16 +135,17 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 3): DataFrame = {
+    // hashed shingle sets (sorted array<long>): exact Jaccard up to
+    // 64-bit hash collisions, no shingle-string materialization
     val sets = df.select(col(idCol).as("__jid"),
-      array_distinct(TextAnalysis.shingles(col(textCol), n)).as("__set"))
+      Functional.shingleSet(col(textCol), n).as("__set"))
     candidates
       .join(sets.withColumnsRenamed(
         Map("__jid" -> "id_a", "__set" -> "set_a")), Seq("id_a"))
       .join(sets.withColumnsRenamed(
         Map("__jid" -> "id_b", "__set" -> "set_b")), Seq("id_b"))
       .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast(DoubleType) /
-          size(array_union(col("set_a"), col("set_b"))).cast(DoubleType))
+        Functional.jaccardSorted(col("set_a"), col("set_b")))
       .drop("set_a", "set_b")
   }
 
