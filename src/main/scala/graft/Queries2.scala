@@ -357,6 +357,18 @@ object Queries2 {
       |CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY kb""".stripMargin
 
+  /** Grouped exact median (continuous interpolation in both engines). */
+  def q20Median(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(median($"l_quantity").as("qty_median"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+
+  val q20Sql: String =
+    """SELECT l_returnflag, MEDIAN(l_quantity) AS qty_median, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Approximate sketches: HLL distinct + approx quantiles (rows-only —
     * sketch results are engine-specific by construction). */
   def q19ApproxSketch(s: SparkSession, dir: String): DataFrame =
@@ -419,6 +431,7 @@ object Queries2 {
     "q66_split_join" -> (q66SplitJoin _),
     "q67_map_ops" -> (q67MapOps _),
     "q19_approx_sketch" -> (q19ApproxSketch _),
+    "q20_median" -> (q20Median _),
     "q70_multimodal" -> (q70Multimodal _),
     "q80_stream_window" -> (q80StreamWindow _)
   )
@@ -439,6 +452,7 @@ object Queries2 {
     "q65_string_funcs" -> q65Sql,
     "q66_split_join" -> q66Sql,
     "q67_map_ops" -> q67Sql,
+    "q20_median" -> q20Sql,
     "q80_stream_window" -> q80Sql
   )
 }
