@@ -357,6 +357,58 @@ object Queries2 {
       |CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
       |FROM events GROUP BY 1 ORDER BY kb""".stripMargin
 
+  /** q01 re-expressed through the TFrame API end-to-end: proves the
+    * pandas-style surface (where → select computed → groupby → agg
+    * dict form → rename → sort) against the same DuckDB oracle. */
+  def q21TframePipeline(s: SparkSession, dir: String): DataFrame = {
+    import graft.frame.TFrame
+    val li = TFrame(t(s, dir, "lineitem"))
+    li.where(li("l_quantity") < 24)
+      .select("l_returnflag", "l_quantity")(
+        "disc_price" -> (li("l_extendedprice") * (lit(1.0) - li("l_discount")))
+          .cast(DecimalType(25, 4)))
+      .groupby("l_returnflag")
+      .agg(Map("l_quantity" -> Seq("sum", "mean"),
+        "disc_price" -> Seq("sum")))
+      .pipe(f => TFrame(f.df.select(
+        f("l_returnflag"),
+        f.df("`l_quantity.sum`").cast(DecimalType(25, 4)).cast(DoubleType)
+          .as("qty_sum"),
+        round(f.df("`l_quantity.mean`"), 4).as("qty_mean"),
+        f.df("`disc_price.sum`").cast(DoubleType).as("disc_sum"))))
+      .sort(Seq("l_returnflag"))
+      .df
+  }
+
+  val q21Sql: String =
+    """SELECT l_returnflag,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty_sum,
+      |ROUND(AVG(l_quantity), 4) AS qty_mean,
+      |CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |  AS DECIMAL(25,4))) AS DOUBLE) AS disc_sum
+      |FROM lineitem WHERE l_quantity < 24
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Cleaning pipeline through TFrame: dedup keep-first + fillNull +
+    * sort, oracle-checked. */
+  def q22TframeClean(s: SparkSession, dir: String): DataFrame = {
+    import graft.frame.TFrame
+    val o = TFrame(t(s, dir, "orders"))
+    o.dropDuplicates(Seq("o_custkey"), order = Seq("o_orderkey"))
+      .select("o_custkey", "o_orderkey")(
+        "status_filled" -> coalesce(nullif(o("o_orderstatus"), lit("O")),
+          lit("OPEN")))
+      .sort(Seq("o_custkey"))
+      .df
+  }
+
+  val q22Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderkey) AS rn FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   /** Grouped exact median (continuous interpolation in both engines). */
   def q20Median(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -432,6 +484,8 @@ object Queries2 {
     "q67_map_ops" -> (q67MapOps _),
     "q19_approx_sketch" -> (q19ApproxSketch _),
     "q20_median" -> (q20Median _),
+    "q21_tframe_pipeline" -> (q21TframePipeline _),
+    "q22_tframe_clean" -> (q22TframeClean _),
     "q70_multimodal" -> (q70Multimodal _),
     "q80_stream_window" -> (q80StreamWindow _)
   )
@@ -453,6 +507,8 @@ object Queries2 {
     "q66_split_join" -> q66Sql,
     "q67_map_ops" -> q67Sql,
     "q20_median" -> q20Sql,
+    "q21_tframe_pipeline" -> q21Sql,
+    "q22_tframe_clean" -> q22Sql,
     "q80_stream_window" -> q80Sql
   )
 }

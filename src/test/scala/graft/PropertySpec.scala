@@ -1,0 +1,90 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.Kernels
+import graft.types._
+
+/** Property tests promised in SURVEY §5: promotion lattice laws and
+  * kernel invariants. Deterministic ScalaCheck generators driven from
+  * a fixed seed (scalatestplus bridge is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int = 300): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default,
+      Seed(0xC0FFEEL + i)))
+
+  private val scalarDtypes: Gen[Dtype] = for {
+    n <- Gen.oneOf(true, false)
+    d <- Gen.oneOf[Boolean => Dtype](
+      TBoolean(_), TInt8(_), TInt16(_), TInt32(_), TInt64(_),
+      TFloat32(_), TFloat64(_))
+  } yield d(n)
+
+  private val dtypePairs = samples(Gen.zip(scalarDtypes, scalarDtypes))
+  private val dtypeTriples =
+    samples(Gen.zip(scalarDtypes, scalarDtypes, scalarDtypes))
+
+  test("promote is commutative and idempotent on the lattice") {
+    dtypePairs.foreach { case (a, b) =>
+      assert(Dtype.promote(a, b) === Dtype.promote(b, a), s"($a, $b)")
+    }
+    samples(scalarDtypes).foreach { a =>
+      assert(Dtype.promote(a, a) === Some(a), a)
+    }
+  }
+
+  test("promote is associative") {
+    dtypeTriples.foreach { case (a, b, c) =>
+      val left = Dtype.promote(a, b).flatMap(Dtype.promote(_, c))
+      val right = Dtype.promote(b, c).flatMap(Dtype.promote(a, _))
+      assert(left === right, s"($a, $b, $c)")
+    }
+  }
+
+  test("promotion result nullability = OR of inputs") {
+    dtypePairs.foreach { case (a, b) =>
+      assert(Dtype.promote(a, b).exists(_.nullable ==
+        (a.nullable || b.nullable)), s"($a, $b)")
+    }
+  }
+
+  test("commonDtype lifts through lists") {
+    dtypePairs.foreach { case (a, b) =>
+      val lifted = Dtype.commonDtype(TList(a), TList(b))
+      assert(lifted.map { case TList(i, _, _) => i } ===
+        Dtype.promote(a, b), s"($a, $b)")
+    }
+  }
+
+  test("sigrid_hash lands in [0, maxValue) for any input") {
+    val gen = Gen.zip(Gen.long, Gen.long, Gen.choose(1L, 1000000L))
+    samples(gen, 2000).foreach { case (v, salt, max) =>
+      val h = Kernels.sigridHash(v, salt, max)
+      assert(h >= 0L && h < max, s"sigridHash($v, $salt, $max) = $h")
+    }
+  }
+
+  test("hamming64 is a metric on the hypercube") {
+    samples(Gen.zip(Gen.long, Gen.long, Gen.long), 1000).foreach {
+      case (a, b, c) =>
+        assert(Kernels.hamming64(a, a) === 0)
+        assert(Kernels.hamming64(a, b) === Kernels.hamming64(b, a))
+        assert(Kernels.hamming64(a, c) <=
+          Kernels.hamming64(a, b) + Kernels.hamming64(b, c))
+    }
+  }
+
+  test("bucketize is monotone in its argument") {
+    val borders = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(2.0, 5.0, 10.0))
+    val gen = Gen.zip(Gen.choose(-100.0, 100.0), Gen.choose(-100.0, 100.0))
+    samples(gen, 1000).foreach { case (x, y) =>
+      val (lo, hi) = if (x <= y) (x, y) else (y, x)
+      assert(Kernels.bucketize(lo, borders) <= Kernels.bucketize(hi, borders),
+        s"($lo, $hi)")
+    }
+  }
+}
