@@ -27,7 +27,11 @@ object EventsStream {
   /** Hourly tumbling-window counts+sums per event type, computed by a
     * real streaming query with a 1-hour watermark; returns the final
     * result table (complete mode memory sink, drained synchronously). */
-  def hourlyWindow(spark: SparkSession, dir: String): DataFrame = {
+  def hourlyWindow(parent: SparkSession, dir: String): DataFrame = {
+    // cloned session: fewer shuffle partitions = fewer state stores to
+    // initialize for a single-file micro-batch (result is identical)
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     val name = s"graft_stream_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(eventsSchema)
