@@ -199,6 +199,57 @@ object Functional {
       raise_error(concat(lit(s"fixed_size list expects $n elements, got "),
         size(c).cast(StringType))))
 
+  /** Register every kernel as a SQL-callable function in the session
+    * (spark.sql("SELECT sigrid_hash(x, 0, 100) ...") works after this)
+    * — the SQL face of the reference's functional registry. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import org.apache.spark.sql.{types => T}
+    val long = T.LongType; val int = T.IntegerType
+    val longs = T.ArrayType(long, containsNull = false)
+    val ints = T.ArrayType(int, containsNull = false)
+    val floats = T.ArrayType(T.FloatType, containsNull = false)
+    val doubles = T.ArrayType(T.DoubleType, containsNull = false)
+    val str = T.StringType
+    val entries: Seq[(String, String, T.DataType, Seq[T.DataType])] = Seq(
+      ("sigrid_hash", "sigridHash", long, Seq(long, long, long)),
+      ("sigrid_hash_list", "sigridHashList", longs, Seq(longs, long, long)),
+      ("bucketize", "bucketize", int, Seq(T.DoubleType, doubles)),
+      ("bucketize_list", "bucketizeList", ints, Seq(doubles, doubles)),
+      ("id_overlap_count", "idOverlapCount", T.FloatType, Seq(longs, longs)),
+      ("get_max_count", "getMaxCount", T.FloatType, Seq(longs, longs)),
+      ("get_jaccard_similarity", "getJaccardSimilarity", T.FloatType,
+        Seq(longs, longs)),
+      ("get_cosine_similarity", "getCosineSimilarity", T.FloatType,
+        Seq(longs, floats, longs, floats)),
+      ("get_score_sum", "getScoreSum", T.FloatType,
+        Seq(longs, floats, longs, floats)),
+      ("get_score_min", "getScoreMin", T.FloatType, Seq(longs, longs, floats)),
+      ("get_score_max", "getScoreMax", T.FloatType, Seq(longs, longs, floats)),
+      ("isalpha", "isAlpha", T.BooleanType, Seq(str)),
+      ("isalnum", "isAlnum", T.BooleanType, Seq(str)),
+      ("isdigit", "isDigit", T.BooleanType, Seq(str)),
+      ("isdecimal", "isDecimal", T.BooleanType, Seq(str)),
+      ("isnumeric", "isNumeric", T.BooleanType, Seq(str)),
+      ("isspace", "isSpace", T.BooleanType, Seq(str)),
+      ("islower", "isLower", T.BooleanType, Seq(str)),
+      ("isupper", "isUpper", T.BooleanType, Seq(str)),
+      ("istitle", "isTitle", T.BooleanType, Seq(str)),
+      ("fingerprint64", "fingerprint64", long, Seq(str)),
+      ("lang_id", "langId", str,
+        Seq(T.ArrayType(str, containsNull = false))),
+      ("simhash64", "simHash64", long,
+        Seq(T.ArrayType(str, containsNull = false))),
+      ("hamming64", "hamming64", int, Seq(long, long)),
+      ("minhash_text", "minHashText", longs, Seq(str, int, int, long)),
+      ("shingle_set", "shingleSet", longs, Seq(str, int)),
+      ("jaccard_sorted", "jaccardSorted", T.DoubleType, Seq(longs, longs)),
+      ("cosine_f", "cosineF", T.DoubleType, Seq(floats, floats)),
+      ("hyperplane_lsh", "hyperplaneLsh", long, Seq(floats, int, long)))
+    entries.foreach { case (sqlName, method, dt, params) =>
+      Shim.registerKernel(spark, sqlName, K, method, dt, params)
+    }
+  }
+
   // ---- generic name dispatch (functional.__getattr__ analog) ----------
 
   /** Resolve any Spark built-in by name, mirroring the reference's

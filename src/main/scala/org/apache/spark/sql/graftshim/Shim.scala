@@ -22,6 +22,31 @@ object Shim {
   def functionRegistry(spark: SparkSession): FunctionRegistry =
     ClassicConversions.castToImpl(spark).sessionState.functionRegistry
 
+  /** Register a static-kernel builder as a SQL-callable temp function
+    * (the reference exposes every kernel through `functional.<name>`;
+    * this is the SQL face of the same registry). */
+  def registerKernel(
+      spark: SparkSession,
+      name: String,
+      clazz: Class[_],
+      methodName: String,
+      dataType: org.apache.spark.sql.types.DataType,
+      paramTypes: Seq[org.apache.spark.sql.types.DataType]): Unit =
+    functionRegistry(spark).createOrReplaceTempFunction(
+      name,
+      exprs => {
+        require(exprs.length == paramTypes.length,
+          s"$name expects ${paramTypes.length} arguments, got ${exprs.length}")
+        val cast = exprs.zip(paramTypes).map { case (e, t) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(e, t)
+        }
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          clazz, dataType, methodName, cast, Nil,
+          propagateNull = true, returnNullable = false,
+          isDeterministic = true, None)
+      },
+      "scala_udf")
+
   /** Codegen-friendly call of a static Java kernel method: inlines into
     * whole-stage codegen via `StaticInvoke` (AbstractDataType is
     * private[sql], hence this lives in the shim). `inputTypes` adds

@@ -169,6 +169,24 @@ class KernelsSpec extends SparkSpec {
     assert(hs(0) !== hs(2))
   }
 
+  test("kernels are SQL-callable after registerAll") {
+    Functional.registerAll(spark)
+    val got = spark.sql(
+      """SELECT sigrid_hash(id, 0, 100) AS h,
+        |bucketize(CAST(id AS DOUBLE), array(2.0D, 5.0D, 10.0D)) AS b,
+        |isalpha('abc') AS a,
+        |fingerprint64('x') = fingerprint64('x') AS f
+        |FROM range(3)""".stripMargin).collect().toSeq
+    assert(got.map(_.getLong(0)) === Seq(6L, 60L, 54L))
+    assert(got.map(_.getInt(1)) === Seq(0, 0, 0))
+    assert(got.forall(_.getBoolean(2)))
+    assert(got.forall(_.getBoolean(3)))
+    val jac = spark.sql(
+      "SELECT get_jaccard_similarity(array(1L,2L,3L), array(1L)) AS j")
+      .head().getFloat(0)
+    assert(math.abs(jac - 1.0f / 3.0f) < 1e-6)
+  }
+
   test("cosine kernel") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
       .toDF("a", "b", "c")

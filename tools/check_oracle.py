@@ -42,6 +42,21 @@ def main(sf_dir, out_dir):
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(want_cols)}")
             n_fail += 1; continue
+        # type strictness: int-family vs float-family vs string/bool must
+        # agree per column name (python would silently equate 4.0 == 4)
+        def fam(t):
+            t = str(t).upper()
+            if any(x in t for x in ("TINYINT","SMALLINT","INT","BIGINT","HUGEINT")): return "int"
+            if any(x in t for x in ("FLOAT","DOUBLE","REAL","DECIMAL")): return "float"
+            if "BOOL" in t: return "bool"
+            return t
+        got_types = {d[0]: fam(d[1]) for d in con.sql(
+            f"SELECT * FROM read_parquet({files!r}) LIMIT 0").description}
+        want_types = {d[0]: fam(d[1]) for d in want_rel.description}
+        tmis = {c: (got_types[c], want_types[c]) for c in got_types
+                if got_types[c] != want_types[c]}
+        if tmis:
+            print(f"FAIL {name}: type mismatch {tmis}"); n_fail += 1; continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         wi = [want_cols.index(c) for c in sorted(want_cols)]
         g = sorted(tuple(r[i] for i in gi) for r in got)
