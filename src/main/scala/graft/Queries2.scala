@@ -409,6 +409,14 @@ object Queries2 {
       |      ORDER BY o_orderkey) AS rn FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Sessionization re-expressed through mapGroupsWithState (stateful-
+    * operator path); same oracle as the window-lag q15. */
+  def q23StatefulSessions(s: SparkSession, dir: String): DataFrame =
+    EventsStream.sessionizeStateful(s, dir, gapMinutes = 30)
+      .orderBy($"user_id")
+
+  val q23Sql: String = q15Sql
+
   /** Grouped exact median (continuous interpolation in both engines). */
   def q20Median(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -486,6 +494,7 @@ object Queries2 {
     "q20_median" -> (q20Median _),
     "q21_tframe_pipeline" -> (q21TframePipeline _),
     "q22_tframe_clean" -> (q22TframeClean _),
+    "q23_stateful_sessions" -> (q23StatefulSessions _),
     "q70_multimodal" -> (q70Multimodal _),
     "q80_stream_window" -> (q80StreamWindow _)
   )
@@ -509,6 +518,7 @@ object Queries2 {
     "q20_median" -> q20Sql,
     "q21_tframe_pipeline" -> q21Sql,
     "q22_tframe_clean" -> q22Sql,
+    "q23_stateful_sessions" -> q23Sql,
     "q80_stream_window" -> q80Sql
   )
 }

