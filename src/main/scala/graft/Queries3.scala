@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.AsOfJoin
+
+/** Round-2 queries: the custom-Catalyst as-of join, rollup subtotals,
+  * and the fully-oracled exact n-gram Jaccard. Naming/oracle/float
+  * conventions as in [[Queries]].
+  */
+object Queries3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
+
+  // ---- custom Catalyst operator: backward as-of join ------------------
+
+  /** For every click, the latest preceding purchase by the same user —
+    * executed by AsOfJoinExec (plans/AsOfJoin.scala): one co-partitioned
+    * merge pass after Catalyst-inserted exchange+sort. Timestamps are
+    * µs-truncated on BOTH sides (DuckDB reads TIMESTAMP(NANOS) at µs);
+    * the purchase side is pre-deduped to one row per (user, µs) so the
+    * as-of match is deterministic in any engine. */
+  def q24AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("us"))
+    val purchases = ev.where($"event_type" === "purchase")
+      .groupBy($"user_id".as("p_user"), expr("ts div 1000").as("p_us"))
+      .agg(max($"event_id").as("purchase_id"))
+    AsOfJoin.asof(clicks, purchases, Seq("user_id"), Seq("p_user"),
+        "us", "p_us")
+      .select($"event_id", $"user_id", $"purchase_id",
+        ($"us" - $"p_us").as("lag_us"))
+      .orderBy($"event_id")
+  }
+
+  val q24Sql: String =
+    """SELECT c.event_id, c.user_id, p.purchase_id, c.us - p.p_us AS lag_us
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS us
+      |      FROM events WHERE event_type = 'click') c
+      |ASOF LEFT JOIN (SELECT user_id AS p_user, epoch_us(ts) AS p_us,
+      |                MAX(event_id) AS purchase_id
+      |                FROM events WHERE event_type = 'purchase'
+      |                GROUP BY 1, 2) p
+      |  ON c.user_id = p.p_user AND c.us >= p.p_us
+      |ORDER BY c.event_id""".stripMargin
+
+  // ---- rollup subtotals (free Catalyst capability, SURVEY §2.4 note) --
+
+  /** Hierarchical subtotals via rollup; null grouping markers coalesced
+    * to 'ALL' on both sides so ordering and hashing are engine-neutral. */
+  def q25Rollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty_sum"))
+      .select(coalesce($"l_returnflag", lit("ALL")).as("returnflag"),
+        coalesce($"l_linestatus", lit("ALL")).as("linestatus"),
+        $"n", $"qty_sum")
+      .orderBy($"returnflag", $"linestatus")
+
+  val q25Sql: String =
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |COALESCE(l_linestatus, 'ALL') AS linestatus, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty_sum
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---- exact n-gram Jaccard, fully oracled ----------------------------
+
+  /** Character-3-gram Jaccard over a bounded doc subset, computed from
+    * first principles with array built-ins on BOTH engines (identical
+    * shingle definition: substr(text, i, 3) for i in 1..len-2,
+    * distinct). Unlike q42 (hash-based LSH pipeline, rows-only check)
+    * every value here is DuckDB-verified. The subset bound keeps the
+    * all-pairs step at 19,900 pairs; at corpus scale the same jaccard
+    * expression runs on LSH candidates only (q42 path). */
+  def q44JaccardExact(s: SparkSession, dir: String): DataFrame = {
+    val sh = array_distinct(transform(
+      sequence(lit(1), length($"text") - 2),
+      i => $"text".substr(i, lit(3))))
+    val d = t(s, dir, "documents")
+      .where($"doc_id" < 200)
+      .select($"doc_id", sh.as("sh"))
+    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val inter = size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType)
+    val uni = (size($"sh_a") + size($"sh_b")).cast(DoubleType) -
+      size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType)
+    a.join(broadcast(b), $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", (inter / uni).as("j"))
+      .where($"j" >= 0.60)
+      .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q44Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS sh
+      |  FROM documents WHERE doc_id < 200),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM d a, d b WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE), 4) AS jaccard
+      |FROM p WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.60
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_asof_join" -> (q24AsofJoin _),
+    "q25_rollup" -> (q25Rollup _),
+    "q44_jaccard_exact" -> (q44JaccardExact _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_asof_join" -> q24Sql,
+    "q25_rollup" -> q25Sql,
+    "q44_jaccard_exact" -> q44Sql
+  )
+}

@@ -1,9 +1,10 @@
 package org.apache.spark.sql.graftshim
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.Expression
-import org.apache.spark.sql.classic.{ClassicConversions, ExpressionUtils}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{ClassicConversions, Dataset, ExpressionUtils}
 
 /** Narrow bridge into `private[sql]` Spark internals (Spark 4 wraps
   * `Column` around `ColumnNode`, not `Expression`). Lives under
@@ -16,6 +17,15 @@ object Shim {
 
   /** Extract the Catalyst expression backing a Column. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a raw logical plan (custom operators inject
+    * their LogicalPlan nodes through this; analyzer/optimizer/planner
+    * run as for any other plan). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(ClassicConversions.castToImpl(spark), plan)
+
+  /** The analyzed logical plan backing a DataFrame. */
+  def analyzed(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
 
   /** Session function registry, for registering custom expressions under
     * SQL-callable names. */
