@@ -172,9 +172,13 @@ object Functional {
   def hamming64(a: Column, b: Column): Column =
     invoke("hamming64", IntegerType, Seq(a, b))
 
-  /** Cosine similarity between two array<float> embeddings. */
+  /** Cosine similarity between two array<float> embeddings — native
+    * Catalyst expression with hand-written doGenCode
+    * (graft.expressions.CosineSimF); Kernels.cosineF stays as the
+    * interpreted fallback and SQL-registered form. */
   def cosineSim(a: Column, b: Column): Column =
-    invoke("cosineF", DoubleType, Seq(a, b))
+    Shim.column(graft.expressions.CosineSimF(
+      Shim.expression(a), Shim.expression(b)))
 
   def dotF(a: Column, b: Column): Column =
     invoke("dotF", DoubleType, Seq(a, b))
