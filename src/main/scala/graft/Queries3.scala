@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.AsOfJoin
+import graft.streaming.EventsStream
 
 /** Round-2 queries: the custom-Catalyst as-of join, rollup subtotals,
   * and the fully-oracled exact n-gram Jaccard. Naming/oracle/float
@@ -81,19 +82,22 @@ object Queries3 {
     * all-pairs step at 19,900 pairs; at corpus scale the same jaccard
     * expression runs on LSH candidates only (q42 path). */
   def q44JaccardExact(s: SparkSession, dir: String): DataFrame = {
-    val sh = array_distinct(transform(
+    // shingles hashed to 64-bit and kept as sorted distinct sets: the
+    // per-pair jaccard is then ONE merge scan (Kernels.jaccardSorted)
+    // instead of a string-array intersect per pair. |∩|/|∪| is
+    // unchanged up to 64-bit collisions (~1e-12 at these set sizes);
+    // the oracle computes the same ratio over the raw shingle strings.
+    val sh = sort_array(array_distinct(transform(
       sequence(lit(1), length($"text") - 2),
-      i => $"text".substr(i, lit(3))))
+      i => xxhash64($"text".substr(i, lit(3))))))
     val d = t(s, dir, "documents")
       .where($"doc_id" < 200)
       .select($"doc_id", sh.as("sh"))
     val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-    val inter = size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType)
-    val uni = (size($"sh_a") + size($"sh_b")).cast(DoubleType) -
-      size(array_intersect($"sh_a", $"sh_b")).cast(DoubleType)
     a.join(broadcast(b), $"id_a" < $"id_b")
-      .select($"id_a", $"id_b", (inter / uni).as("j"))
+      .select($"id_a", $"id_b",
+        graft.functions.Functional.jaccardSorted($"sh_a", $"sh_b").as("j"))
       .where($"j" >= 0.60)
       .select($"id_a", $"id_b", round($"j", 4).as("jaccard"))
       .orderBy($"id_a", $"id_b")
@@ -115,15 +119,95 @@ object Queries3 {
       |FROM p WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.60
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---- range join via time-bucketing ----------------------------------
+
+  /** For each error event, the count of same-user clicks in the
+    * preceding 24 h — a range join executed the scalable way: clicks
+    * are exploded to the (at most 2) day-buckets they can serve, the
+    * join runs on (user, bucket) equality, and the exact range filter
+    * prunes within buckets. No inequality-join cross product: shuffle
+    * volume is O(|events| × 2), each bucket-group is tiny. The DuckDB
+    * oracle states the same query as a plain inequality join. */
+  def q26RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = t(s, dir, "events")
+    val errors = ev.where($"event_type" === "error")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("e_us"))
+      .withColumn("bucket", expr(s"e_us div $dayUs"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", expr("ts div 1000").as("c_us"))
+      // a click can only match errors in its own or the next day-bucket
+      .withColumn("bucket", explode(array(expr(s"c_us div $dayUs"),
+        expr(s"c_us div $dayUs") + 1)))
+    errors.join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        $"c_us".isNotNull && $"c_us" >= $"e_us" - dayUs && $"c_us" < $"e_us")
+      .groupBy($"event_id")
+      .agg(sum(when($"hit", 1L).otherwise(0L)).cast(LongType).as("n_clicks"))
+      .orderBy($"event_id")
+  }
+
+  val q26Sql: String =
+    """SELECT e.event_id, COUNT(c.us) AS n_clicks
+      |FROM (SELECT event_id, user_id, epoch_us(ts) AS us
+      |      FROM events WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT user_id, epoch_us(ts) AS us
+      |           FROM events WHERE event_type = 'click') c
+      |ON e.user_id = c.user_id
+      |AND c.us >= e.us - 86400000000 AND c.us < e.us
+      |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+
+  // ---- rolling window (reference's commented-out `rolling` sketch,
+  //      velox_rt/dataframe_cpu.py:2472-2482, realized on Spark) --------
+
+  /** Rolling 3-order mean/min of order totals per customer. */
+  def q27Rolling(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(-2, org.apache.spark.sql.expressions.Window.currentRow)
+    t(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        round(avg($"o_totalprice").over(w), 4).as("roll_avg"),
+        min($"o_totalprice").over(w).as("roll_min"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val q27Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll_avg,
+      |MIN(o_totalprice) OVER (PARTITION BY o_custkey
+      |  ORDER BY o_orderdate, o_orderkey
+      |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ---- streaming dedup (stateful dropDuplicates under readStream) -----
+
+  /** Distinct (user, event_type) pairs computed by a real streaming
+    * query with dropDuplicates state; oracle = batch SELECT DISTINCT. */
+  def q81StreamDedup(s: SparkSession, dir: String): DataFrame =
+    EventsStream.streamDedup(s, dir)
+
+  val q81Sql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_asof_join" -> (q24AsofJoin _),
     "q25_rollup" -> (q25Rollup _),
-    "q44_jaccard_exact" -> (q44JaccardExact _)
+    "q26_range_join" -> (q26RangeJoin _),
+    "q27_rolling" -> (q27Rolling _),
+    "q44_jaccard_exact" -> (q44JaccardExact _),
+    "q81_stream_dedup" -> (q81StreamDedup _)
   )
 
   val oracles: Map[String, String] = Map(
     "q24_asof_join" -> q24Sql,
     "q25_rollup" -> q25Sql,
-    "q44_jaccard_exact" -> q44Sql
+    "q26_range_join" -> q26Sql,
+    "q27_rolling" -> q27Sql,
+    "q44_jaccard_exact" -> q44Sql,
+    "q81_stream_dedup" -> q81Sql
   )
 }

@@ -29,9 +29,10 @@ object EventsStream {
     * result table (complete mode memory sink, drained synchronously). */
   def hourlyWindow(parent: SparkSession, dir: String): DataFrame = {
     // cloned session: fewer shuffle partitions = fewer state stores to
-    // initialize for a single-file micro-batch (result is identical)
+    // initialize for a single-file micro-batch (result is identical);
+    // on a real cluster this is sized to the key cardinality instead
     val spark = parent.newSession()
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val name = s"graft_stream_${System.nanoTime()}"
     val stream = spark.readStream
       .schema(eventsSchema)
@@ -53,6 +54,32 @@ object EventsStream {
       .select(col("window.start").cast(LongType).as("bucket_ts"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("bucket_ts", "event_type")
+  }
+
+  /** Streaming deduplication: dropDuplicates as a stateful streaming
+    * operator over the event stream. Output = the distinct
+    * (user_id, event_type) pairs (key-only output keeps the result
+    * order-insensitive and batch-verifiable: SELECT DISTINCT). On an
+    * unbounded stream the same plan takes `.withWatermark` +
+    * dropDuplicatesWithinWatermark to bound state; the single-file
+    * micro-batch here needs no eviction. */
+  def streamDedup(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val name = s"graft_dedup_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type")
   }
 
   /** Stateful sessionization through mapGroupsWithState — the custom-
