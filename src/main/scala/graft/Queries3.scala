@@ -31,7 +31,12 @@ object Queries3 {
     val ev = t(s, dir, "events")
     val clicks = ev.where($"event_type" === "click")
       .select($"event_id", $"user_id", expr("ts div 1000").as("us"))
+    // repartition by user BEFORE the (user, µs) dedup: clustering by a
+    // subset of the group keys satisfies the aggregate's distribution,
+    // and the as-of join then reuses the same exchange — one shuffle of
+    // the purchase side instead of two
     val purchases = ev.where($"event_type" === "purchase")
+      .repartition($"user_id")
       .groupBy($"user_id".as("p_user"), expr("ts div 1000").as("p_us"))
       .agg(max($"event_id").as("purchase_id"))
     AsOfJoin.asof(clicks, purchases, Seq("user_id"), Seq("p_user"),
