@@ -187,6 +187,29 @@ object Queries3 {
       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- exact quantiles (§2.4 quantile/percentile surface) -------------
+
+  /** Exact continuous-interpolation percentiles per group — the
+    * reference's quantile(q, 'linear') (inumerical_column.py:357-413).
+    * Both engines interpolate linearly; rounding absorbs expression-
+    * form fp noise. */
+  def q28Percentiles(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        transform(percentile($"l_extendedprice",
+          array(lit(0.25), lit(0.5), lit(0.75))), x => round(x, 4))
+          .as("price_q"),
+        round(percentile($"l_quantity", lit(0.9)), 4).as("qty_p90"))
+      .orderBy($"l_returnflag")
+
+  val q28Sql: String =
+    """SELECT l_returnflag,
+      |list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+      |  x -> round(x, 4)) AS price_q,
+      |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- streaming dedup (stateful dropDuplicates under readStream) -----
 
   /** Distinct (user, event_type) pairs computed by a real streaming
@@ -203,6 +226,7 @@ object Queries3 {
     "q25_rollup" -> (q25Rollup _),
     "q26_range_join" -> (q26RangeJoin _),
     "q27_rolling" -> (q27Rolling _),
+    "q28_percentiles" -> (q28Percentiles _),
     "q44_jaccard_exact" -> (q44JaccardExact _),
     "q81_stream_dedup" -> (q81StreamDedup _)
   )
@@ -212,6 +236,7 @@ object Queries3 {
     "q25_rollup" -> q25Sql,
     "q26_range_join" -> q26Sql,
     "q27_rolling" -> q27Sql,
+    "q28_percentiles" -> q28Sql,
     "q44_jaccard_exact" -> q44Sql,
     "q81_stream_dedup" -> q81Sql
   )

@@ -186,6 +186,39 @@ final case class TFrame(df: DataFrame) {
       d.withColumn(s"$c.cumsum", functions.sum(d(c)).over(w))))
   }
 
+  /** Rolling window over the trailing `window` rows (pandas
+    * rolling(window).agg analog; the reference sketches but never
+    * implements this — velox_rt/dataframe_cpu.py:2472-2482). `by`
+    * optionally partitions (keyed rolling, the scalable form: one
+    * shuffle on the key, O(window) state per row); `order` names the
+    * explicit row order, as with [[cumsum]]. `minPeriods` mirrors
+    * pandas: frames with fewer rows yield null. */
+  def rolling(window: Int, order: Seq[String], by: Seq[String] = Nil,
+      minPeriods: Int = 1)(aggs: (String, String)*): TFrame = {
+    require(window >= 1 && minPeriods >= 1, "window/minPeriods >= 1")
+    val base = if (by.isEmpty) Window.orderBy(order.map(df(_).asc): _*)
+      else Window.partitionBy(by.map(df(_)): _*)
+        .orderBy(order.map(df(_).asc): _*)
+    val w = base.rowsBetween(-(window - 1), Window.currentRow)
+    val nRows = count(lit(1)).over(w)
+    def roll(c: String, op: String): Column = {
+      val agg = op match {
+        case "sum" => functions.sum(df(c)).over(w)
+        case "mean" => avg(df(c)).over(w)
+        case "min" => functions.min(df(c)).over(w)
+        case "max" => functions.max(df(c)).over(w)
+        case "count" => nRows.cast(DoubleType)
+        case "std" => stddev_samp(df(c)).over(w)
+        case other => throw new IllegalArgumentException(
+          s"rolling: unsupported op $other")
+      }
+      when(nRows >= minPeriods, agg)
+    }
+    TFrame(aggs.foldLeft(df) { case (d, (c, op)) =>
+      d.withColumn(s"$c.rolling_$op", roll(c, op))
+    })
+  }
+
   /** describe: count/mean/std/min/percentiles/max rows per numeric column
     * (inumerical_column.py:139-198 layout). */
   def describe(percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): TFrame = {

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.sql.types.LongType
 
-import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import graft.plans.{AsOfJoinOptimizations, AsOfJoinPlan, AsOfJoinStrategy,
+  PruneAsOfJoinChildren, PushFilterThroughAsOfJoin}
 
 /** `SparkSessionExtensions` hook for cluster deployments:
   * `spark.sql.extensions=graft.operators.GraftExtensions` makes the
@@ -17,8 +18,13 @@ import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
   * [[AsOfJoin.ensureRegistered]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // operator-optimization batch: Catalyst iterates these with its own
+    // pushdown/pruning rules to a fixed point
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOfJoin)
+    ext.injectOptimizerRule(_ => PruneAsOfJoinChildren)
+  }
 }
 
 /** Backward as-of join (latest right row with rightTs ≤ leftTs per
@@ -35,11 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   */
 object AsOfJoin {
 
-  /** Idempotently add the planner strategy to an existing session. */
+  /** Idempotently add the planner strategy and optimizer rules to an
+    * existing session (for sessions not built with GraftExtensions). */
   def ensureRegistered(spark: SparkSession): Unit = {
     val ex = spark.experimental
     if (!ex.extraStrategies.contains(AsOfJoinStrategy))
       ex.extraStrategies = ex.extraStrategies :+ AsOfJoinStrategy
+    if (!ex.extraOptimizations.contains(AsOfJoinOptimizations))
+      ex.extraOptimizations = ex.extraOptimizations :+ AsOfJoinOptimizations
   }
 
   /** As-of join via the custom Catalyst operator.

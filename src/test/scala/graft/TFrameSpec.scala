@@ -176,6 +176,22 @@ class TFrameSpec extends SparkSpec {
     intercept[Exception] { bad.collect() }
   }
 
+  test("rolling window aggs (pandas rolling analog; ref sketch only)") {
+    val df = TFrame(spark, Seq(
+      "k" -> Seq("a", "a", "a", "a", "b", "b"),
+      "t" -> Seq(1L, 2L, 3L, 4L, 1L, 2L),
+      "v" -> Seq(1.0, 2.0, 3.0, 4.0, 10.0, 20.0)))
+    val got = df.rolling(3, order = Seq("t"), by = Seq("k"), minPeriods = 2)(
+        "v" -> "sum", "v" -> "min")
+      .sort(Seq("k", "t")).df
+    val sums = got.collect().toSeq.map(r =>
+      if (r.isNullAt(3)) null else r.getDouble(3))
+    assert(sums === Seq(null, 3.0, 6.0, 9.0, null, 30.0))
+    val mins = got.collect().toSeq.map(r =>
+      if (r.isNullAt(4)) null else r.getDouble(4))
+    assert(mins === Seq(null, 1.0, 1.0, 2.0, null, 10.0))
+  }
+
   test("rename/drop/reorder/withCol/pipe (§2.2)") {
     val got = abc.rename(Map("a" -> "x")).drop("c")
       .withCol("y", lit(1L)).reorder(Seq("y", "x", "b"))
