@@ -187,6 +187,69 @@ object Queries3 {
       |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_min
       |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---- UDF surface at the gate (§2.13 map/filter over JVM closures) ---
+
+  /** The reference's df.map(fn)/filter(pred) UDF path end-to-end:
+    * filterRows drops low-quantity rows with a JVM predicate, mapRows
+    * computes a charged price with a JVM function (mapPartitions
+    * underneath — batch-amortized, no shuffle); the oracle states the
+    * same logic in SQL. Proves the closure path produces the exact
+    * values the declarative path would. */
+  def q29UdfMap(s: SparkSession, dir: String): DataFrame = {
+    import graft.frame.TFrame
+    val li = TFrame(t(s, dir, "lineitem"))
+    li.keep("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_tax")
+      .filterRows(Seq("l_quantity"))(v => v.head.asInstanceOf[Double] >= 30.0)
+      .mapRows(
+        StructType(Seq(
+          StructField("l_orderkey", LongType, nullable = false),
+          StructField("l_linenumber", IntegerType, nullable = false),
+          StructField("charged", DoubleType, nullable = false))),
+        Seq("l_orderkey", "l_linenumber", "l_extendedprice", "l_tax")) {
+        case Seq(ok, ln, price, tax) =>
+          // Seq[Any] is load-bearing: a bare Seq(Long, Int, Double)
+          // harmonizes all elements to Double (Scala numeric widening)
+          Seq[Any](ok.asInstanceOf[Long], ln.asInstanceOf[Int],
+            price.asInstanceOf[Double] * (1.0 + tax.asInstanceOf[Double]))
+      }
+      .sort(Seq("l_orderkey", "l_linenumber"))
+      .df
+  }
+
+  val q29Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |l_extendedprice * (1.0 + l_tax) AS charged
+      |FROM lineitem WHERE l_quantity >= 30.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---- lookup_indices at the gate (§2.14 vocab path) ------------------
+
+  /** Token→id lookup over a literal vocabulary with default index
+    * (text/vocab_ops.h surface): ids of the first 5 tokens of each doc
+    * summed; oracle replicates the vocab as a CASE expression. */
+  def q34VocabLookup(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Map("the" -> 1L, "of" -> 2L, "and" -> 3L, "to" -> 4L,
+      "data" -> 5L, "model" -> 6L)
+    val toks = slice(split(trim(lower($"text")), "\\s+"), 1, 5)
+    t(s, dir, "documents")
+      .select($"doc_id",
+        aggregate(
+          graft.functions.Functional.lookupIndices(vocab, 0L)(toks),
+          lit(0L), (acc, x) => acc + x).as("id_sum"))
+      .orderBy($"doc_id")
+  }
+
+  val q34Sql: String = {
+    val cases = Seq("the" -> 1, "of" -> 2, "and" -> 3, "to" -> 4,
+      "data" -> 5, "model" -> 6)
+      .map { case (w, i) => s"WHEN '$w' THEN $i" }.mkString(" ")
+    s"""SELECT doc_id, CAST(list_sum(list_transform(
+       |  list_slice(string_split_regex(trim(lower(text)), '\\s+'), 1, 5),
+       |  t -> CASE t $cases ELSE 0 END)) AS BIGINT) AS id_sum
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   // ---- exact quantiles (§2.4 quantile/percentile surface) -------------
 
   /** Exact continuous-interpolation percentiles per group — the
@@ -227,6 +290,8 @@ object Queries3 {
     "q26_range_join" -> (q26RangeJoin _),
     "q27_rolling" -> (q27Rolling _),
     "q28_percentiles" -> (q28Percentiles _),
+    "q29_udf_map" -> (q29UdfMap _),
+    "q34_vocab_lookup" -> (q34VocabLookup _),
     "q44_jaccard_exact" -> (q44JaccardExact _),
     "q81_stream_dedup" -> (q81StreamDedup _)
   )
@@ -237,6 +302,8 @@ object Queries3 {
     "q26_range_join" -> q26Sql,
     "q27_rolling" -> q27Sql,
     "q28_percentiles" -> q28Sql,
+    "q29_udf_map" -> q29Sql,
+    "q34_vocab_lookup" -> q34Sql,
     "q44_jaccard_exact" -> q44Sql,
     "q81_stream_dedup" -> q81Sql
   )

@@ -296,7 +296,10 @@ final case class TFrame(df: DataFrame) {
 
   /** Row-wise map over selected columns with an explicit output schema —
     * the reference's df.map(fn, columns=...) (icolumn.py:420-611).
-    * Implemented over mapPartitions: batch-amortized, no shuffle. */
+    * Implemented over mapPartitions: batch-amortized, no shuffle.
+    * Caution: return `Seq[Any](...)` from `fn`, not a bare `Seq(...)`
+    * of mixed numeric types — Scala harmonizes Seq(Long, Int, Double)
+    * to Seq[Double], silently widening every element. */
   def mapRows(outSchema: StructType, cols: Seq[String])(
       fn: Seq[Any] => Seq[Any]): TFrame = {
     val idx = cols.map(df.schema.fieldIndex)
