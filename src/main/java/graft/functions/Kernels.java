@@ -599,6 +599,68 @@ public final class Kernels {
     }
   }
 
+  // fused fast path: FNV hash of each stopword's lowercase UTF-8 bytes
+  // → language mask, as a sorted parallel-array table (75 entries,
+  // binary search, no per-token allocation)
+  private static final long[] STOPWORD_HASH;
+  private static final int[] STOPWORD_MASK;
+  static {
+    java.util.TreeMap<Long, Integer> m = new java.util.TreeMap<>();
+    for (java.util.Map.Entry<String, Integer> e : STOPWORD_LANG.entrySet()) {
+      byte[] b = e.getKey().getBytes(java.nio.charset.StandardCharsets.UTF_8);
+      long h = 0xcbf29ce484222325L;
+      for (byte x : b) {
+        h ^= (x & 0xffL);
+        h *= 0x100000001b3L;
+      }
+      m.merge(h, e.getValue(), (x, y) -> x | y);
+    }
+    STOPWORD_HASH = new long[m.size()];
+    STOPWORD_MASK = new int[m.size()];
+    int i = 0;
+    for (java.util.Map.Entry<Long, Integer> e : m.entrySet()) {
+      STOPWORD_HASH[i] = e.getKey();
+      STOPWORD_MASK[i] = e.getValue();
+      i++;
+    }
+  }
+
+  /** Fused language ID over raw text: single byte scan (whitespace
+   * tokenization + ASCII lowercasing + FNV hash per token + binary
+   * search in the stopword-hash table) — no token array, no String
+   * allocation. Same predictions as {@code langId(tokens(lower(text)))}
+   * up to 64-bit FNV collisions against the 75-word table. */
+  public static UTF8String langIdText(UTF8String text) {
+    byte[] bytes = text.getBytes();
+    int[] hits = new int[LANGS.length];
+    int i = 0;
+    int len = bytes.length;
+    while (i < len) {
+      while (i < len && isWs(bytes[i])) i++;
+      if (i >= len) break;
+      long h = 0xcbf29ce484222325L;
+      while (i < len && !isWs(bytes[i])) {
+        int b = bytes[i] & 0xff;
+        if (b >= 'A' && b <= 'Z') b += 32; // ASCII lowercase
+        h ^= b;
+        h *= 0x100000001b3L;
+        i++;
+      }
+      int pos = java.util.Arrays.binarySearch(STOPWORD_HASH, h);
+      if (pos >= 0) {
+        int mask = STOPWORD_MASK[pos];
+        for (int l = 0; l < LANGS.length; l++) {
+          if ((mask & (1 << l)) != 0) hits[l]++;
+        }
+      }
+    }
+    int best = -1, bestHits = 0;
+    for (int l = 0; l < LANGS.length; l++) {
+      if (hits[l] > bestHits) { bestHits = hits[l]; best = l; }
+    }
+    return UTF8String.fromString(best < 0 ? "und" : LANGS[best]);
+  }
+
   /** argmax-stopword-ratio language of a token array; "und" when no
    * profile hits. Ties break alphabetically (lang order above). */
   public static UTF8String langId(ArrayData tokens) {

@@ -143,6 +143,11 @@ object Functional {
   def langId(tokens: Column): Column =
     invoke("langId", StringType, Seq(tokens))
 
+  /** Fused language ID over raw text: one byte scan, no token-array
+    * materialization — same predictions as langId(split(lower(text))). */
+  def langIdText(text: Column): Column =
+    invoke("langIdText", StringType, Seq(text), Seq(StringType))
+
   /** k-permutation MinHash signature of an array<string> of shingles. */
   def minhash(shingles: Column, k: Int, seed: Long = 42L): Column =
     invoke("minHash", ArrayType(LongType, containsNull = false),
@@ -241,6 +246,7 @@ object Functional {
       ("fingerprint64", "fingerprint64", long, Seq(str)),
       ("lang_id", "langId", str,
         Seq(T.ArrayType(str, containsNull = false))),
+      ("lang_id_text", "langIdText", str, Seq(str)),
       ("simhash64", "simHash64", long,
         Seq(T.ArrayType(str, containsNull = false))),
       ("hamming64", "hamming64", int, Seq(long, long)),

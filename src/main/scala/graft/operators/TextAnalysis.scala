@@ -49,10 +49,10 @@ object TextAnalysis {
     size(filter(toks, t => t.isin(words: _*))).cast(DoubleType) /
       greatest(size(toks), lit(1)).cast(DoubleType)
 
-  /** Detected language code, by argmax of stopword hits — single-pass
-    * codegen kernel (profiles mirrored in Kernels.langId). */
-  def langId(text: Column): Column =
-    Functional.langId(tokens(lower(text)))
+  /** Detected language code, by argmax of stopword hits — fused
+    * single-scan kernel over the raw bytes (no lower() pass, no token
+    * array; profiles mirrored in Kernels). */
+  def langId(text: Column): Column = Functional.langIdText(text)
 
   // ---- quality scoring ------------------------------------------------
 

@@ -118,6 +118,20 @@ class OperatorsSpec extends SparkSpec {
       Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("fused langIdText agrees with the token-array kernel on real docs") {
+    import graft.functions.Functional
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val both = docs.select(
+      Functional.langIdText(col("text")).as("fused"),
+      Functional.langId(
+        split(trim(lower(col("text"))), "\\s+")).as("arr"))
+    assert(both.where(col("fused") =!= col("arr")).count() === 0)
+    // mixed case hits the ASCII-lowercase path in the fused scan
+    val upper = Seq("THE Cat IS ON the MAT AND it is WARM").toDF("text")
+    assert(col0(upper.select(Functional.langIdText(col("text")))) ===
+      Seq("en"))
+  }
+
   test("quality score ranges and orders sensibly") {
     val df = Seq(
       "the cat is on the mat and it is a warm day for all of us here",
