@@ -685,6 +685,22 @@ public final class Kernels {
   // Embedding kernels (float32 vectors as ArrayData)
   // ---------------------------------------------------------------------
 
+  /** Bit-exact port of torcharrow_round (numeric_functions.h:139-160):
+   * rint (round-half-even on the SCALED double) with a power-of-10
+   * factor — differs from Spark round (half-up: round(2.5)=3 vs 2
+   * here) and, on doubles whose scaled value is not an exact tie,
+   * from bround (which rounds the shortest decimal rendering). */
+  public static double roundRef(double number, int decimals) {
+    if (!Double.isFinite(number)) return number;
+    if (decimals == 0) return Math.rint(number);
+    if (decimals > 0) {
+      double factor = Math.pow(10, decimals);
+      return Math.rint(number * factor) / factor;
+    }
+    double factor = Math.pow(10, -decimals);
+    return Math.rint(number / factor) * factor;
+  }
+
   public static double dotF(ArrayData a, ArrayData b) {
     int n = Math.min(a.numElements(), b.numElements());
     double s = 0.0;

@@ -145,6 +145,12 @@ object namespaces {
     def powInt(other: Column): Column =
       pow(c.cast(DoubleType), other.cast(DoubleType)).cast(LongType)
 
+    /** round(decimals) with the reference's rint-on-scaled-double
+      * half-even semantics (torcharrow_round,
+      * numeric_functions.h:139-160) — not Spark round/bround. */
+    def round(decimals: Int = 0): Column =
+      graft.functions.Functional.roundRef(c, decimals)
+
     def sigmoid: Column = lit(1.0) / (lit(1.0) + exp(-c.cast(DoubleType)))
 
     /** log is natural log, int → float (numerical_column_cpu.py:617-618). */

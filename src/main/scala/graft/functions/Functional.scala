@@ -194,6 +194,12 @@ object Functional {
   def hyperplaneLsh(v: Column, bits: Int, seed: Long = 42L): Column =
     invoke("hyperplaneLsh", LongType, Seq(v, lit(bits), lit(seed)))
 
+  /** Reference round semantics (torcharrow_round: rint half-even on
+    * the scaled double) — NOT Spark round/bround. */
+  def roundRef(c: Column, decimals: Int): Column =
+    invoke("roundRef", DoubleType, Seq(c.cast(DoubleType), lit(decimals)),
+      Seq(DoubleType, IntegerType))
+
   /** Vectorized ternary (icolumn.py:100-119): null cond → null result,
     * result type = LUB (Catalyst coercion). */
   def ifElse(cond: Column, a: Column, b: Column): Column =
@@ -254,7 +260,8 @@ object Functional {
       ("shingle_set", "shingleSet", longs, Seq(str, int)),
       ("jaccard_sorted", "jaccardSorted", T.DoubleType, Seq(longs, longs)),
       ("cosine_f", "cosineF", T.DoubleType, Seq(floats, floats)),
-      ("hyperplane_lsh", "hyperplaneLsh", long, Seq(floats, int, long)))
+      ("hyperplane_lsh", "hyperplaneLsh", long, Seq(floats, int, long)),
+      ("round_ref", "roundRef", T.DoubleType, Seq(T.DoubleType, int)))
     entries.foreach { case (sqlName, method, dt, params) =>
       Shim.registerKernel(spark, sqlName, K, method, dt, params)
     }

@@ -196,4 +196,28 @@ class KernelsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
     assert(math.abs(r.getDouble(1)) < 1e-12)
   }
+
+  test("roundRef: reference rint semantics, not Spark round") {
+    // torcharrow_round = rint on the scaled double: ties go to even
+    // (2.5→2, 3.5→4); 2.675*100 is EXACTLY 267.5 in IEEE → even → 2.68;
+    // 1250/100 = 12.5 → even → 12 → 1200
+    assert(Kernels.roundRef(2.5, 0) === 2.0)
+    assert(Kernels.roundRef(3.5, 0) === 4.0)
+    assert(Kernels.roundRef(-2.5, 0) === -2.0)
+    assert(Kernels.roundRef(2.675, 2) === 2.68)
+    assert(Kernels.roundRef(1250.0, -2) === 1200.0)
+    assert(Kernels.roundRef(Double.NaN, 2).isNaN)
+    assert(Kernels.roundRef(Double.PositiveInfinity, 2)
+      === Double.PositiveInfinity)
+    // column path + SQL registration + divergence from Spark's half-up
+    Functional.registerAll(spark)
+    val r = spark.sql(
+      "SELECT round_ref(CAST(2.5 AS DOUBLE), 0) AS a, " +
+        "round(CAST(2.5 AS DOUBLE), 0) AS b").head()
+    assert(r.getDouble(0) === 2.0 && r.getDouble(1) === 3.0)
+    import graft.frame.namespaces._
+    val viaNs = Seq(2.5, 3.5).toDF("x")
+      .select(col("x").arith.round(0)).collect().map(_.getDouble(0)).toSeq
+    assert(viaNs === Seq(2.0, 4.0))
+  }
 }
