@@ -284,6 +284,17 @@ object Queries3 {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-static join: events enriched with a broadcast customer
+    * dimension under readStream; oracle = the batch join. */
+  def q82StreamJoin(s: SparkSession, dir: String): DataFrame =
+    EventsStream.streamStaticJoin(s, dir)
+
+  val q82Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_asof_join" -> (q24AsofJoin _),
     "q25_rollup" -> (q25Rollup _),
@@ -293,7 +304,8 @@ object Queries3 {
     "q29_udf_map" -> (q29UdfMap _),
     "q34_vocab_lookup" -> (q34VocabLookup _),
     "q44_jaccard_exact" -> (q44JaccardExact _),
-    "q81_stream_dedup" -> (q81StreamDedup _)
+    "q81_stream_dedup" -> (q81StreamDedup _),
+    "q82_stream_join" -> (q82StreamJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -305,6 +317,7 @@ object Queries3 {
     "q29_udf_map" -> q29Sql,
     "q34_vocab_lookup" -> q34Sql,
     "q44_jaccard_exact" -> q44Sql,
-    "q81_stream_dedup" -> q81Sql
+    "q81_stream_dedup" -> q81Sql,
+    "q82_stream_join" -> q82Sql
   )
 }

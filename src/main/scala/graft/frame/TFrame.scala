@@ -186,6 +186,20 @@ final case class TFrame(df: DataFrame) {
       d.withColumn(s"$c.cumsum", functions.sum(d(c)).over(w))))
   }
 
+  /** Positional row slice df[start:stop:step] (icolumn.py:301-409).
+    * Needs an explicit total order (`order`) to be well-defined on a
+    * distributed engine; the global row_number is an oracle-style
+    * construct — at scale, slice on a key predicate instead. */
+  def rowSlice(start: Int, stop: Int, step: Int,
+      order: Seq[String]): TFrame = {
+    require(step >= 1, "step must be >= 1")
+    val w = Window.orderBy(order.map(df(_).asc): _*)
+    TFrame(df.withColumn("__rn", row_number().over(w) - 1)
+      .where(col("__rn") >= start && col("__rn") < stop &&
+        (col("__rn") - start) % step === 0)
+      .drop("__rn"))
+  }
+
   /** Rolling window over the trailing `window` rows (pandas
     * rolling(window).agg analog; the reference sketches but never
     * implements this — velox_rt/dataframe_cpu.py:2472-2482). `by`

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{functions, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -80,6 +80,37 @@ object EventsStream {
       .start()
     try q.processAllAvailable() finally q.stop()
     spark.table(name).orderBy("user_id", "event_type")
+  }
+
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (broadcast — the stream side never shuffles for the
+    * join), then aggregated per segment. The standard pattern for
+    * joining a 100 TB/day stream to reference data: the static side is
+    * re-read per micro-batch, so dimension updates are picked up
+    * without restarting the query. */
+  def streamStaticJoin(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val name = s"graft_ssjoin_${System.nanoTime()}"
+    val dim = functions.broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_mktsegment")))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("sum_value"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("c_mktsegment")
   }
 
   /** Stateful sessionization through mapGroupsWithState — the custom-

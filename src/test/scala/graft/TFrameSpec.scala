@@ -176,6 +176,13 @@ class TFrameSpec extends SparkSpec {
     intercept[Exception] { bad.collect() }
   }
 
+  test("rowSlice start:stop:step with explicit order (§2.2)") {
+    val df = TFrame(spark, Seq("a" -> (0L until 10L)))
+    assert(col0(df.rowSlice(2, 9, 3, Seq("a")).df) === Seq(2L, 5L, 8L))
+    assert(col0(df.rowSlice(0, 4, 1, Seq("a")).df) === Seq(0L, 1L, 2L, 3L))
+    assert(df.rowSlice(8, 100, 1, Seq("a")).length === 2L)
+  }
+
   test("rolling window aggs (pandas rolling analog; ref sketch only)") {
     val df = TFrame(spark, Seq(
       "k" -> Seq("a", "a", "a", "a", "b", "b"),
