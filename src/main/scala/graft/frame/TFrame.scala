@@ -179,11 +179,63 @@ final case class TFrame(df: DataFrame) {
   /** Cumulative ops need an explicit row order at scale; `order` names
     * the ordering columns (SURVEY §7.4: monotonically_increasing_id is
     * not contiguous — callers pass real key columns). */
-  def cumsum(valueCols: Seq[String], order: Seq[String]): TFrame = {
+  def cumsum(valueCols: Seq[String], order: Seq[String]): TFrame =
+    cumApply("cumsum", functions.sum, valueCols, order)
+
+  def cummin(valueCols: Seq[String], order: Seq[String]): TFrame =
+    cumApply("cummin", functions.min, valueCols, order)
+
+  def cummax(valueCols: Seq[String], order: Seq[String]): TFrame =
+    cumApply("cummax", functions.max, valueCols, order)
+
+  /** Exact running product via Catalyst's Product aggregate (no
+    * exp/ln round-trip — correct for zeros and negatives; the
+    * aggregate has no SQL/functions-API name, so it is built
+    * directly). */
+  def cumprod(valueCols: Seq[String], order: Seq[String]): TFrame =
+    cumApply("cumprod", c => {
+      import org.apache.spark.sql.graftshim.Shim
+      Shim.column(
+        new org.apache.spark.sql.catalyst.expressions.aggregate.Product(
+          Shim.expression(c.cast(DoubleType)))
+          .toAggregateExpression())
+    }, valueCols, order)
+
+  private def cumApply(opName: String, op: Column => Column,
+      valueCols: Seq[String], order: Seq[String]): TFrame = {
     val w = Window.orderBy(order.map(df(_).asc): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     TFrame(valueCols.foldLeft(df)((d, c) =>
-      d.withColumn(s"$c.cumsum", functions.sum(d(c)).over(w))))
+      d.withColumn(s"$c.$opName", op(d(c)).over(w))))
+  }
+
+  /** Column quantile with the reference's 5 interpolation modes
+    * (inumerical_column.py:357-413): linear/lower/higher/midpoint/
+    * nearest over the sorted non-null values → scalar. */
+  def quantile(c: String, q: Double,
+      interpolation: String = "linear"): Double = {
+    require(q >= 0.0 && q <= 1.0, "q in [0,1]")
+    val vals = df.select(df(c).cast(DoubleType).as("__v")).na.drop()
+    val n = vals.count()
+    require(n > 0, s"quantile of empty column $c")
+    val pos = q * (n - 1)
+    val lo = math.floor(pos).toLong
+    val hi = math.ceil(pos).toLong
+    // only the two order statistics reach the driver
+    val w = Window.orderBy(col("__v").asc)
+    val two = vals.withColumn("__rn", row_number().over(w) - 1)
+      .where(col("__rn") === lo || col("__rn") === hi)
+      .orderBy(col("__rn")).collect().map(_.getDouble(0))
+    val (vlo, vhi) = (two.head, two.last)
+    interpolation match {
+      case "linear" => vlo + (vhi - vlo) * (pos - lo)
+      case "lower" => vlo
+      case "higher" => vhi
+      case "midpoint" => (vlo + vhi) / 2.0
+      case "nearest" => if (pos - lo <= hi - pos) vlo else vhi
+      case other =>
+        throw new IllegalArgumentException(s"interpolation $other")
+    }
   }
 
   /** Positional row slice df[start:stop:step] (icolumn.py:301-409).

@@ -176,6 +176,30 @@ class TFrameSpec extends SparkSpec {
     intercept[Exception] { bad.collect() }
   }
 
+  test("cummin/cummax/cumprod running aggregates (§2.4)") {
+    val df = TFrame(spark, Seq("o" -> Seq(1L, 2L, 3L, 4L),
+      "v" -> Seq(2.0, -1.0, 0.0, 3.0)))
+    val got = df.cummin(Seq("v"), Seq("o")).cummax(Seq("v"), Seq("o"))
+      .cumprod(Seq("v"), Seq("o")).sort(Seq("o")).df
+    assert(got.collect().toSeq.map(r =>
+      (r.getDouble(2), r.getDouble(3), r.getDouble(4))) ===
+      Seq((2.0, 2.0, 2.0), (-1.0, 2.0, -2.0), (-1.0, 2.0, 0.0),
+        (-1.0, 3.0, 0.0)))
+  }
+
+  test("quantile interpolation modes (inumerical_column.py:357-413)") {
+    val df = TFrame(spark, Seq("x" -> Seq(1.0, 2.0, 3.0, 4.0)))
+    // q=0.5 over 4 values: pos=1.5 between 2 and 3
+    assert(df.quantile("x", 0.5, "linear") === 2.5)
+    assert(df.quantile("x", 0.5, "lower") === 2.0)
+    assert(df.quantile("x", 0.5, "higher") === 3.0)
+    assert(df.quantile("x", 0.5, "midpoint") === 2.5)
+    assert(df.quantile("x", 0.5, "nearest") === 2.0) // tie -> lower
+    assert(df.quantile("x", 0.8, "nearest") === 3.0) // pos=2.4
+    assert(df.quantile("x", 1.0, "linear") === 4.0)
+    assert(df.quantile("x", 0.0, "higher") === 1.0)
+  }
+
   test("rowSlice start:stop:step with explicit order (§2.2)") {
     val df = TFrame(spark, Seq("a" -> (0L until 10L)))
     assert(col0(df.rowSlice(2, 9, 3, Seq("a")).df) === Seq(2L, 5L, 8L))
