@@ -316,25 +316,44 @@ public final class Kernels {
     return allCodePoints(s, Character::isLetter);
   }
 
+  /** Alpha (Lu∪Ll∪Lt∪Lm∪Lo = Character.isLetter) or Number
+   * (Nd∪Nl∪No), per string_functions.h:131-132. */
   public static boolean isAlnum(UTF8String s) {
-    return allCodePoints(s, cp -> Character.isLetter(cp)
-        || Character.isDigit(cp)
-        || Character.getType(cp) == Character.LETTER_NUMBER);
+    return allCodePoints(s, cp -> {
+      int t = Character.getType(cp);
+      return Character.isLetter(cp)
+          || t == Character.DECIMAL_DIGIT_NUMBER
+          || t == Character.LETTER_NUMBER
+          || t == Character.OTHER_NUMBER;
+    });
   }
 
+  /** Reference isdigit is Unicode-category based: Nd ∪ No
+   * (string_functions.h:34-37) — superscripts and vulgar fractions
+   * count, Roman numerals (Nl) do not. NOT Character.isDigit (Nd
+   * only) and not CPython's Numeric_Type rules. */
   public static boolean isDigit(UTF8String s) {
-    return allCodePoints(s, Character::isDigit);
+    return allCodePoints(s, cp -> {
+      int t = Character.getType(cp);
+      return t == Character.DECIMAL_DIGIT_NUMBER
+          || t == Character.OTHER_NUMBER;
+    });
   }
 
+  /** Nd only (string_functions.h:39-41). */
   public static boolean isDecimal(UTF8String s) {
     return allCodePoints(s,
         cp -> Character.getType(cp) == Character.DECIMAL_DIGIT_NUMBER);
   }
 
+  /** Nd ∪ Nl ∪ No (string_functions.h:28-32). */
   public static boolean isNumeric(UTF8String s) {
-    return allCodePoints(s, cp -> Character.isDigit(cp)
-        || Character.getType(cp) == Character.LETTER_NUMBER
-        || Character.getType(cp) == Character.OTHER_NUMBER);
+    return allCodePoints(s, cp -> {
+      int t = Character.getType(cp);
+      return t == Character.DECIMAL_DIGIT_NUMBER
+          || t == Character.LETTER_NUMBER
+          || t == Character.OTHER_NUMBER;
+    });
   }
 
   public static boolean isSpace(UTF8String s) {

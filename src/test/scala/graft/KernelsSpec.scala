@@ -139,6 +139,22 @@ class KernelsSpec extends SparkSpec {
       Seq(false, false, false, true, true))
   }
 
+  test("digit predicates use the reference's Unicode categories") {
+    // string_functions.h:28-41: isdecimal=Nd, isdigit=Nd|No,
+    // isnumeric=Nd|Nl|No. Pins: "7"=Nd, "²"(superscript)=No,
+    // "½"(fraction)=No, "Ⅴ"(Roman numeral)=Nl
+    val df = Seq("7", "²", "½", "Ⅴ", "7a").toDF("s")
+    assert(col0(df.select(Functional.isdecimal(col("s")))) ===
+      Seq(true, false, false, false, false))
+    assert(col0(df.select(Functional.isdigit(col("s")))) ===
+      Seq(true, true, true, false, false))
+    assert(col0(df.select(Functional.isnumeric(col("s")))) ===
+      Seq(true, true, true, true, false))
+    // isalnum admits every Number category (letter or Nd|Nl|No)
+    assert(col0(df.select(Functional.isalnum(col("s")))) ===
+      Seq(true, true, true, true, true))
+  }
+
   test("firstx / clamp_list / add_tokens compose correctly") {
     val df = Seq(Seq(1L, 2L, 3L), Seq(5L, 8L), Seq(13L)).toDF("a")
     assert(col0(df.select(Functional.firstx(col("a"), 3)))
