@@ -743,6 +743,62 @@ public final class Kernels {
     return dotF(a, b) / (na * nb);
   }
 
+  /** IVF coarse quantizer assignment: index of the centroid (rows of
+   * the flattened `centroids` array, each `dim` doubles, assumed
+   * L2-normalized) with the largest dot product against the vector —
+   * spherical k-means cell. */
+  public static int nearestCell(ArrayData v, ArrayData centroids, int dim) {
+    int nc = centroids.numElements() / dim;
+    int n = Math.min(dim, v.numElements());
+    double best = Double.NEGATIVE_INFINITY;
+    int bi = 0;
+    for (int c = 0; c < nc; c++) {
+      double dot = 0.0;
+      int base = c * dim;
+      for (int i = 0; i < n; i++) {
+        dot += centroids.getDouble(base + i) * v.getFloat(i);
+      }
+      if (dot > best) {
+        best = dot;
+        bi = c;
+      }
+    }
+    return bi;
+  }
+
+  /** The `nProbe` nearest cells for a probe vector (descending dot
+   * product; ties by lower cell id). */
+  public static ArrayData nearestCells(ArrayData v, ArrayData centroids,
+      int dim, int nProbe) {
+    int nc = centroids.numElements() / dim;
+    int n = Math.min(dim, v.numElements());
+    double[] dots = new double[nc];
+    for (int c = 0; c < nc; c++) {
+      double dot = 0.0;
+      int base = c * dim;
+      for (int i = 0; i < n; i++) {
+        dot += centroids.getDouble(base + i) * v.getFloat(i);
+      }
+      dots[c] = dot;
+    }
+    int m = Math.min(nProbe, nc);
+    int[] out = new int[m];
+    boolean[] used = new boolean[nc];
+    for (int r = 0; r < m; r++) {
+      double best = Double.NEGATIVE_INFINITY;
+      int bi = -1;
+      for (int c = 0; c < nc; c++) {
+        if (!used[c] && dots[c] > best) {
+          best = dots[c];
+          bi = c;
+        }
+      }
+      used[bi] = true;
+      out[r] = bi;
+    }
+    return new GenericArrayData(out);
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits
    * of dot products with pseudo-random hyperplanes derived from seed. */
   public static long hyperplaneLsh(ArrayData v, int bits, long seed) {

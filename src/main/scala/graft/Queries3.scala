@@ -273,6 +273,18 @@ object Queries3 {
       |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- IVF ANN (the second scale path beside LSH; rows-only:
+  //      approximate by construction) --------------------------------
+
+  def q52KnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where($"vec_id" < 5)
+    graft.operators.Similarity.ivfTopK(emb, probes, "embedding",
+        "vec_id", "vec_id", k = 10, nCells = 16, nProbe = 4)
+      .select($"probe_id", $"id", $"rank")
+      .orderBy($"probe_id", $"rank")
+  }
+
   // ---- streaming dedup (stateful dropDuplicates under readStream) -----
 
   /** Distinct (user, event_type) pairs computed by a real streaming
@@ -304,6 +316,7 @@ object Queries3 {
     "q29_udf_map" -> (q29UdfMap _),
     "q34_vocab_lookup" -> (q34VocabLookup _),
     "q44_jaccard_exact" -> (q44JaccardExact _),
+    "q52_knn_ivf" -> (q52KnnIvf _),
     "q81_stream_dedup" -> (q81StreamDedup _),
     "q82_stream_join" -> (q82StreamJoin _)
   )

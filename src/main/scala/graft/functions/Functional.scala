@@ -190,6 +190,17 @@ object Functional {
 
   def normF(a: Column): Column = invoke("normF", DoubleType, Seq(a))
 
+  /** IVF cell assignment against flattened normalized centroids. */
+  def nearestCell(v: Column, centroidsFlat: Column, dim: Int): Column =
+    invoke("nearestCell", IntegerType,
+      Seq(v, centroidsFlat, lit(dim)))
+
+  /** The nProbe nearest IVF cells for a probe vector. */
+  def nearestCells(v: Column, centroidsFlat: Column, dim: Int,
+      nProbe: Int): Column =
+    invoke("nearestCells", ArrayType(IntegerType, containsNull = false),
+      Seq(v, centroidsFlat, lit(dim), lit(nProbe)))
+
   /** Random-hyperplane LSH bucket for an array<float> embedding. */
   def hyperplaneLsh(v: Column, bits: Int, seed: Long = 42L): Column =
     invoke("hyperplaneLsh", LongType, Seq(v, lit(bits), lit(seed)))

@@ -118,6 +118,22 @@ class OperatorsSpec extends SparkSpec {
       Seq("en", "de", "fr", "es", "und"))
   }
 
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val emb = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val probes = emb.where(col("vec_id") < 5)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("probe_id"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(emb, probes, "embedding",
+      "vec_id", "vec_id", k = 10))
+    val ivf = hits(Similarity.ivfTopK(emb, probes, "embedding",
+      "vec_id", "vec_id", k = 10, nCells = 8, nProbe = 3))
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+    // ivf returns at most k per probe, ranked
+    assert(ivf.size <= exact.size)
+  }
+
   test("fused langIdText agrees with the token-array kernel on real docs") {
     import graft.functions.Functional
     val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
