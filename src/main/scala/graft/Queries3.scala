@@ -273,6 +273,24 @@ object Queries3 {
       |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- bool reductions all/any at the gate (§2.4) ---------------------
+
+  /** Grouped all/any (null-skipping bool reductions) — the reference's
+    * col.all/col.any lifted through groupby. */
+  def q35BoolAgg(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        min(($"l_quantity" < 50).cast(BooleanType)).as("all_small"),
+        max(($"l_discount" > 0.05).cast(BooleanType)).as("any_disc"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+
+  val q35Sql: String =
+    """SELECT l_returnflag, BOOL_AND(l_quantity < 50) AS all_small,
+      |BOOL_OR(l_discount > 0.05) AS any_disc, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---- IVF ANN (the second scale path beside LSH; rows-only:
   //      approximate by construction) --------------------------------
 
@@ -315,6 +333,7 @@ object Queries3 {
     "q28_percentiles" -> (q28Percentiles _),
     "q29_udf_map" -> (q29UdfMap _),
     "q34_vocab_lookup" -> (q34VocabLookup _),
+    "q35_bool_agg" -> (q35BoolAgg _),
     "q44_jaccard_exact" -> (q44JaccardExact _),
     "q52_knn_ivf" -> (q52KnnIvf _),
     "q81_stream_dedup" -> (q81StreamDedup _),
@@ -329,6 +348,7 @@ object Queries3 {
     "q28_percentiles" -> q28Sql,
     "q29_udf_map" -> q29Sql,
     "q34_vocab_lookup" -> q34Sql,
+    "q35_bool_agg" -> q35Sql,
     "q44_jaccard_exact" -> q44Sql,
     "q81_stream_dedup" -> q81Sql,
     "q82_stream_join" -> q82Sql

@@ -166,6 +166,20 @@ final case class TFrame(df: DataFrame) {
     def |>[B](f: A => B): B = f(a)
   }
 
+  private def boolCols: Seq[String] = df.schema.fields.toSeq.collect {
+    case f if f.dataType == BooleanType => f.name
+  }
+
+  /** df-level all/any over the boolean columns (null-skipping bool
+    * reductions, icolumn.py:1090-1100 / dataframe_cpu.py:1642-1758). */
+  def allAgg: TFrame = TFrame(df.agg(
+    functions.min(df(boolCols.head)).as(s"${boolCols.head}.all"),
+    boolCols.tail.map(c => functions.min(df(c)).as(s"$c.all")): _*))
+
+  def anyAgg: TFrame = TFrame(df.agg(
+    functions.max(df(boolCols.head)).as(s"${boolCols.head}.any"),
+    boolCols.tail.map(c => functions.max(df(c)).as(s"$c.any")): _*))
+
   def sum: TFrame = summarize(c => functions.sum(df(c)))
   def mean: TFrame = summarize(c => avg(df(c)))
   def min: TFrame = summarize(c => functions.min(df(c)))

@@ -176,6 +176,16 @@ class TFrameSpec extends SparkSpec {
     intercept[Exception] { bad.collect() }
   }
 
+  test("df-level all/any bool reductions (§2.4, null-skipping)") {
+    val df = TFrame(spark, Seq(
+      "p" -> Seq[Any](true, true, null),
+      "q" -> Seq[Any](false, null, false)))
+    val all = df.allAgg.df.head()
+    assert(all.getBoolean(0) === true && all.getBoolean(1) === false)
+    val any = df.anyAgg.df.head()
+    assert(any.getBoolean(0) === true && any.getBoolean(1) === false)
+  }
+
   test("cummin/cummax/cumprod running aggregates (§2.4)") {
     val df = TFrame(spark, Seq("o" -> Seq(1L, 2L, 3L, 4L),
       "v" -> Seq(2.0, -1.0, 0.0, 3.0)))
