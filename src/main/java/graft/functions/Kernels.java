@@ -743,6 +743,65 @@ public final class Kernels {
     return dotF(a, b) / (na * nb);
   }
 
+  /** ASCII letter ratio: [A-Za-z] bytes / max(byte length, 1) — the
+   * byte-scan equivalent of
+   * length(regexp_replace(text,'[^A-Za-z]','')) / greatest(length,1)
+   * for ASCII text (bytes == chars; the driver corpus is pure
+   * printable ASCII at every SF). */
+  public static double asciiAlphaRatio(UTF8String text) {
+    byte[] b = text.getBytes();
+    int letters = 0;
+    for (byte x : b) {
+      if ((x >= 'A' && x <= 'Z') || (x >= 'a' && x <= 'z')) letters++;
+    }
+    return (double) letters / (double) Math.max(b.length, 1);
+  }
+
+  private static final byte[][] EN_STOPWORDS = {
+    "the".getBytes(), "a".getBytes(), "of".getBytes(), "and".getBytes(),
+    "to".getBytes(), "in".getBytes(), "is".getBytes(), "that".getBytes(),
+    "it".getBytes(), "for".getBytes(), "on".getBytes(), "with".getBytes(),
+    "as".getBytes(), "are".getBytes(), "this".getBytes()};
+
+  /** English stopword-token ratio in one byte scan: equivalent of
+   * size(filter(split(trim(lower(text)),'\s+'), t -> t IN en)) /
+   * greatest(size(split(trim(lower(text)),'\s+')), 1). Token count
+   * mirrors regex-split semantics: segments = whitespace runs + 1
+   * after space-trimming (leading/trailing non-space whitespace yields
+   * empty segments, as in split with limit -1). */
+  public static double stopwordRatioEn(UTF8String text) {
+    byte[] b = text.getBytes();
+    int lo = 0;
+    int hi = b.length;
+    while (lo < hi && b[lo] == ' ') lo++;   // trim spaces only
+    while (hi > lo && b[hi - 1] == ' ') hi--;
+    int runs = 0;
+    int hits = 0;
+    int i = lo;
+    while (i < hi) {
+      if (isWs(b[i])) {
+        runs++;
+        while (i < hi && isWs(b[i])) i++;
+      } else {
+        int s = i;
+        while (i < hi && !isWs(b[i])) i++;
+        int len = i - s;
+        for (byte[] w : EN_STOPWORDS) {
+          if (w.length != len) continue;
+          boolean eq = true;
+          for (int j = 0; j < len; j++) {
+            int c = b[s + j] & 0xff;
+            if (c >= 'A' && c <= 'Z') c += 32;
+            if (c != (w[j] & 0xff)) { eq = false; break; }
+          }
+          if (eq) { hits++; break; }
+        }
+      }
+    }
+    int tokens = runs + 1; // matches split('\s+', -1) segment count
+    return (double) hits / (double) Math.max(tokens, 1);
+  }
+
   /** IVF coarse quantizer assignment: index of the centroid (rows of
    * the flattened `centroids` array, each `dim` doubles, assumed
    * L2-normalized) with the largest dot product against the vector —

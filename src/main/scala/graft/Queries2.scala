@@ -122,18 +122,16 @@ object Queries2 {
       .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
       .orderBy($"lang_pred")
 
-  def q32Quality(s: SparkSession, dir: String): DataFrame = {
-    val en = TextAnalysis.stopwordProfiles("en")
-    val toks = split(trim(lower($"text")), "\\s+")
+  /** Quality ratios as fused single-scan kernels (asciiAlphaRatio /
+    * stopwordRatioEn) — numerators/denominators are the same integers
+    * the regex formulation counts, so the divisions are bit-identical
+    * to the DuckDB oracle's regex restatement. */
+  def q32Quality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select($"doc_id",
-        (length(regexp_replace($"text", "[^A-Za-z]", "")).cast(DoubleType) /
-          greatest(length($"text"), lit(1)).cast(DoubleType))
-          .as("alpha_ratio"),
-        (size(filter(toks, x => x.isin(en: _*))).cast(DoubleType) /
-          greatest(size(toks), lit(1)).cast(DoubleType)).as("stopword_ratio"))
+        Functional.asciiAlphaRatio($"text").as("alpha_ratio"),
+        Functional.stopwordRatioEn($"text").as("stopword_ratio"))
       .orderBy($"doc_id")
-  }
 
   val q32Sql: String = {
     val en = TextAnalysis.stopwordProfiles("en")

@@ -190,6 +190,14 @@ object Functional {
 
   def normF(a: Column): Column = invoke("normF", DoubleType, Seq(a))
 
+  /** Single-scan ASCII letter ratio (quality scoring fast path). */
+  def asciiAlphaRatio(text: Column): Column =
+    invoke("asciiAlphaRatio", DoubleType, Seq(text), Seq(StringType))
+
+  /** Single-scan English stopword-token ratio (quality fast path). */
+  def stopwordRatioEn(text: Column): Column =
+    invoke("stopwordRatioEn", DoubleType, Seq(text), Seq(StringType))
+
   /** IVF cell assignment against flattened normalized centroids. */
   def nearestCell(v: Column, centroidsFlat: Column, dim: Int): Column =
     invoke("nearestCell", IntegerType,

@@ -67,12 +67,10 @@ object TextAnalysis {
       size(toks).as("n_tokens"),
       (length(regexp_replace(text, "\\s+", "")).cast(DoubleType) /
         nToks.cast(DoubleType)).as("mean_token_len"),
-      (length(regexp_replace(text, "[^A-Za-z]", "")).cast(DoubleType) /
-        greatest(nChars, lit(1)).cast(DoubleType)).as("alpha_ratio"),
+      Functional.asciiAlphaRatio(text).as("alpha_ratio"),
       (length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast(DoubleType) /
         greatest(nChars, lit(1)).cast(DoubleType)).as("punct_ratio"),
-      hitRatio(split(trim(lower(text)), "\\s+"), stopwordProfiles("en"))
-        .as("stopword_ratio"))
+      Functional.stopwordRatioEn(text).as("stopword_ratio"))
   }
 
   /** Scalar quality score in [0,1]: soft-window each feature to its
