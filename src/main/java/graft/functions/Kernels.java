@@ -547,6 +547,19 @@ public final class Kernels {
     return new GenericArrayData(java.util.Arrays.copyOf(out, m));
   }
 
+  /** Fraction of equal positions between two equal-length minhash
+   * signatures — the MinHash Jaccard estimate, one fused pass
+   * (replaces a zip_with + aggregate HOF chain per candidate pair). */
+  public static double sigMatchRatio(ArrayData a, ArrayData b) {
+    int n = Math.min(a.numElements(), b.numElements());
+    if (n == 0) return 0.0;
+    int eq = 0;
+    for (int i = 0; i < n; i++) {
+      if (a.getLong(i) == b.getLong(i)) eq++;
+    }
+    return (double) eq / (double) n;
+  }
+
   /** Jaccard of two sorted distinct long arrays (merge scan). */
   public static double jaccardSorted(ArrayData a, ArrayData b) {
     int na = a.numElements(), nb = b.numElements();

@@ -166,6 +166,10 @@ object Functional {
     invoke("shingleSet", ArrayType(LongType, containsNull = false),
       Seq(text, lit(shingleSize)), Seq(StringType, IntegerType))
 
+  /** MinHash signature match ratio (estimated Jaccard), fused. */
+  def sigMatchRatio(a: Column, b: Column): Column =
+    invoke("sigMatchRatio", DoubleType, Seq(a, b))
+
   /** Exact Jaccard of two sorted hashed-shingle sets. */
   def jaccardSorted(a: Column, b: Column): Column =
     invoke("jaccardSorted", DoubleType, Seq(a, b))

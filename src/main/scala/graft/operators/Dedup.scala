@@ -84,12 +84,12 @@ object Dedup {
       col("id").as("id_b"), col("sig").as("sig_b"))
 
     // estimated jaccard = fraction of equal signature positions
+    // (fused kernel — one pass per pair, no HOF intermediate arrays)
     val est = l.join(r, Seq("band", "bandHash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (aggregate(zip_with(col("sig_a"), col("sig_b"),
-            (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / k).as("est_jaccard"))
+        Functional.sigMatchRatio(col("sig_a"), col("sig_b"))
+          .as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
     est
