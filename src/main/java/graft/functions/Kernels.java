@@ -661,7 +661,11 @@ public final class Kernels {
    * tokenization + ASCII lowercasing + FNV hash per token + binary
    * search in the stopword-hash table) — no token array, no String
    * allocation. Same predictions as {@code langId(tokens(lower(text)))}
-   * up to 64-bit FNV collisions against the 75-word table. */
+   * up to (a) 64-bit FNV collisions against the 75-word table and
+   * (b) UPPERCASE NON-ASCII letters: the scan lowercases ASCII only, so
+   * e.g. "FÜR" does not match the German stopword "für" while
+   * {@code lower()} would — acceptable for the heuristic (stopwords in
+   * running text are overwhelmingly lowercase). */
   public static UTF8String langIdText(UTF8String text) {
     byte[] bytes = text.getBytes();
     int[] hits = new int[LANGS.length];

@@ -440,18 +440,39 @@ object Queries2 {
           .as("p99_price"))
       .orderBy($"l_returnflag")
 
-  // ---- multimodal plumbing (decode is a marked stub) ------------------
+  // ---- multimodal: REAL header decode, fully oracled -------------------
 
+  /** Real PNG-IHDR / JPEG-SOF byte parsing end-to-end: each doc gets a
+    * synthesized VALID image header (seeded dimensions), decodeMeta
+    * parses the actual bytes back in a partition-wise batch pass, and
+    * the oracle predicts format/width/height/size arithmetically from
+    * the seed — a green row proves the byte-level parser is exact. */
   def q70Multimodal(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").select($"doc_id", $"text")
-    Multimodal.decodeMeta(Multimodal.withBlob(docs, "text"))
-      .select($"doc_id", $"media_meta.format".as("format"),
+    val synth = udf((id: Long) =>
+      Multimodal.synthesizeBlob(id * 1048573L + 11L))
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", synth($"doc_id").as("blob"))
+    Multimodal.decodeMeta(docs)
+      .select($"media_meta.format".as("format"),
         $"media_meta.width".as("width"), $"media_meta.height".as("height"),
         $"media_meta.n_bytes".as("n_bytes"))
       .groupBy($"format")
-      .agg(count(lit(1)).as("n"), sum($"n_bytes").as("total_bytes"))
+      .agg(count(lit(1)).as("n"),
+        sum($"width").cast(LongType).as("sum_w"),
+        sum($"height").cast(LongType).as("sum_h"),
+        sum($"n_bytes").cast(LongType).as("total_bytes"))
       .orderBy($"format")
   }
+
+  val q70Sql: String =
+    """WITH d AS (SELECT doc_id * 1048573 + 11 AS seed FROM documents)
+      |SELECT CASE WHEN seed % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |COUNT(*) AS n,
+      |CAST(SUM(64 + ((seed // 16) % 1857)) AS BIGINT) AS sum_w,
+      |CAST(SUM(64 + ((seed // 16777216) % 1017)) AS BIGINT) AS sum_h,
+      |CAST(SUM(CASE WHEN seed % 2 = 0 THEN 61 ELSE 44 END) AS BIGINT)
+      |  AS total_bytes
+      |FROM d GROUP BY 1 ORDER BY format""".stripMargin
 
   // ---- structured streaming -------------------------------------------
 
@@ -517,6 +538,7 @@ object Queries2 {
     "q21_tframe_pipeline" -> q21Sql,
     "q22_tframe_clean" -> q22Sql,
     "q23_stateful_sessions" -> q23Sql,
+    "q70_multimodal" -> q70Sql,
     "q80_stream_window" -> q80Sql
   )
 }

@@ -95,8 +95,11 @@ object Queries3 {
     val sh = sort_array(array_distinct(transform(
       sequence(lit(1), length($"text") - 2),
       i => xxhash64($"text".substr(i, lit(3))))))
+    // length >= 3 guard: sequence(1, len-2) would DESCEND for shorter
+    // docs (e.g. [1,0]) and fabricate shingles the oracle's half-open
+    // range(1, len-1) never produces
     val d = t(s, dir, "documents")
-      .where($"doc_id" < 200)
+      .where($"doc_id" < 200 && length($"text") >= 3)
       .select($"doc_id", sh.as("sh"))
     val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
@@ -113,7 +116,7 @@ object Queries3 {
       |  SELECT doc_id, list_distinct(list_transform(
       |    range(1, length(text) - 1),
       |    i -> substr(text, CAST(i AS INT), 3))) AS sh
-      |  FROM documents WHERE doc_id < 200),
+      |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
       |p AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
@@ -256,20 +259,29 @@ object Queries3 {
     * reference's quantile(q, 'linear') (inumerical_column.py:357-413).
     * Both engines interpolate linearly; rounding absorbs expression-
     * form fp noise. */
-  def q28Percentiles(s: SparkSession, dir: String): DataFrame =
+  def q28Percentiles(s: SparkSession, dir: String): DataFrame = {
+    // one percentile() aggregate computes all three order statistics in
+    // a single per-group pass; scalar output columns (the driver's
+    // compare cannot hash list columns)
+    val q = percentile($"l_extendedprice",
+      array(lit(0.25), lit(0.5), lit(0.75)))
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
-      .agg(
-        transform(percentile($"l_extendedprice",
-          array(lit(0.25), lit(0.5), lit(0.75))), x => round(x, 4))
-          .as("price_q"),
+      .agg(q.as("q"),
         round(percentile($"l_quantity", lit(0.9)), 4).as("qty_p90"))
+      .select($"l_returnflag",
+        round($"q".getItem(0), 4).as("p25"),
+        round($"q".getItem(1), 4).as("p50"),
+        round($"q".getItem(2), 4).as("p75"),
+        $"qty_p90")
       .orderBy($"l_returnflag")
+  }
 
   val q28Sql: String =
     """SELECT l_returnflag,
-      |list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
-      |  x -> round(x, 4)) AS price_q,
+      |round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+      |round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+      |round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
       |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

@@ -110,6 +110,36 @@ final case class TFrame(df: DataFrame) {
     }: _*))
   }
 
+  /** isin dict form (dataframe_cpu.py:1496-1531): per-column candidate
+    * lists; columns without an entry are all-false, values whose type
+    * can't inhabit a column are non-members. */
+  def isinDict(values: Map[String, Seq[Any]]): TFrame =
+    TFrame(df.select(df.schema.fields.toSeq.map { f =>
+      values.get(f.name) match {
+        case Some(vs) if vs.nonEmpty => df(f.name).isin(vs: _*).as(f.name)
+        case _ => lit(false).as(f.name)
+      }
+    }: _*))
+
+  /** isin frame form: membership of each value in the SAME-NAMED column
+    * of `other` — the distributed-safe set reading of the reference's
+    * frame overload (a broadcast left join per shared column; null is
+    * never a member, matching pandas). Columns `other` lacks are
+    * all-false. */
+  def isinFrame(other: TFrame): TFrame = {
+    val shared = columns.toSet & other.columns.toSet
+    val joined = columns.filter(shared).foldLeft(df) { (d, c) =>
+      val vals = org.apache.spark.sql.functions.broadcast(
+        other.df.select(other.df(c).as(s"__v_$c")).distinct()
+          .withColumn(s"__hit_$c", lit(true)))
+      d.join(vals, d(c) === col(s"__v_$c"), "left").drop(s"__v_$c")
+    }
+    TFrame(joined.select(columns.map { c =>
+      (if (shared(c)) coalesce(col(s"__hit_$c"), lit(false))
+       else lit(false)).as(c)
+    }: _*))
+  }
+
   // ---- null handling (§2.8) -------------------------------------------
 
   def fillNull(value: Any): TFrame = value match {
@@ -171,14 +201,26 @@ final case class TFrame(df: DataFrame) {
   }
 
   /** df-level all/any over the boolean columns (null-skipping bool
-    * reductions, icolumn.py:1090-1100 / dataframe_cpu.py:1642-1758). */
-  def allAgg: TFrame = TFrame(df.agg(
-    functions.min(df(boolCols.head)).as(s"${boolCols.head}.all"),
-    boolCols.tail.map(c => functions.min(df(c)).as(s"$c.all")): _*))
+    * reductions, icolumn.py:1090-1100 / dataframe_cpu.py:1642-1758).
+    * All-null (or empty) columns yield the vacuous true/false, like the
+    * reference's null-skipping reductions. */
+  def allAgg: TFrame = {
+    require(boolCols.nonEmpty, "allAgg: frame has no boolean columns")
+    TFrame(df.agg(
+      coalesce(functions.min(df(boolCols.head)), lit(true))
+        .as(s"${boolCols.head}.all"),
+      boolCols.tail.map(c =>
+        coalesce(functions.min(df(c)), lit(true)).as(s"$c.all")): _*))
+  }
 
-  def anyAgg: TFrame = TFrame(df.agg(
-    functions.max(df(boolCols.head)).as(s"${boolCols.head}.any"),
-    boolCols.tail.map(c => functions.max(df(c)).as(s"$c.any")): _*))
+  def anyAgg: TFrame = {
+    require(boolCols.nonEmpty, "anyAgg: frame has no boolean columns")
+    TFrame(df.agg(
+      coalesce(functions.max(df(boolCols.head)), lit(false))
+        .as(s"${boolCols.head}.any"),
+      boolCols.tail.map(c =>
+        coalesce(functions.max(df(c)), lit(false)).as(s"$c.any")): _*))
+  }
 
   def sum: TFrame = summarize(c => functions.sum(df(c)))
   def mean: TFrame = summarize(c => avg(df(c)))
@@ -192,40 +234,56 @@ final case class TFrame(df: DataFrame) {
 
   /** Cumulative ops need an explicit row order at scale; `order` names
     * the ordering columns (SURVEY §7.4: monotonically_increasing_id is
-    * not contiguous — callers pass real key columns). */
-  def cumsum(valueCols: Seq[String], order: Seq[String]): TFrame =
-    cumApply("cumsum", functions.sum, valueCols, order)
+    * not contiguous — callers pass real key columns). Pass `by` to
+    * partition the running computation — the scale-safe form (one
+    * shuffle on the key, bounded per-task state). With `by` empty the
+    * window is GLOBAL: the whole column funnels through one task —
+    * driver-scale data only. */
+  def cumsum(valueCols: Seq[String], order: Seq[String],
+      by: Seq[String] = Nil): TFrame =
+    cumApply("cumsum", functions.sum, valueCols, order, by)
 
-  def cummin(valueCols: Seq[String], order: Seq[String]): TFrame =
-    cumApply("cummin", functions.min, valueCols, order)
+  def cummin(valueCols: Seq[String], order: Seq[String],
+      by: Seq[String] = Nil): TFrame =
+    cumApply("cummin", functions.min, valueCols, order, by)
 
-  def cummax(valueCols: Seq[String], order: Seq[String]): TFrame =
-    cumApply("cummax", functions.max, valueCols, order)
+  def cummax(valueCols: Seq[String], order: Seq[String],
+      by: Seq[String] = Nil): TFrame =
+    cumApply("cummax", functions.max, valueCols, order, by)
 
   /** Exact running product via Catalyst's Product aggregate (no
     * exp/ln round-trip — correct for zeros and negatives; the
     * aggregate has no SQL/functions-API name, so it is built
     * directly). */
-  def cumprod(valueCols: Seq[String], order: Seq[String]): TFrame =
+  def cumprod(valueCols: Seq[String], order: Seq[String],
+      by: Seq[String] = Nil): TFrame =
     cumApply("cumprod", c => {
       import org.apache.spark.sql.graftshim.Shim
       Shim.column(
         new org.apache.spark.sql.catalyst.expressions.aggregate.Product(
           Shim.expression(c.cast(DoubleType)))
           .toAggregateExpression())
-    }, valueCols, order)
+    }, valueCols, order, by)
 
   private def cumApply(opName: String, op: Column => Column,
-      valueCols: Seq[String], order: Seq[String]): TFrame = {
-    val w = Window.orderBy(order.map(df(_).asc): _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      valueCols: Seq[String], order: Seq[String], by: Seq[String]): TFrame = {
+    val base = if (by.isEmpty) Window.orderBy(order.map(df(_).asc): _*)
+      else Window.partitionBy(by.map(df(_)): _*)
+        .orderBy(order.map(df(_).asc): _*)
+    val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     TFrame(valueCols.foldLeft(df)((d, c) =>
       d.withColumn(s"$c.$opName", op(d(c)).over(w))))
   }
 
   /** Column quantile with the reference's 5 interpolation modes
     * (inumerical_column.py:357-413): linear/lower/higher/midpoint/
-    * nearest over the sorted non-null values → scalar. */
+    * nearest over the sorted non-null values → scalar.
+    *
+    * Exact at scale WITHOUT a global sort: pass 1 brackets the target
+    * rank with approxQuantile (GK sketch, rank error ≤ err·n
+    * guaranteed), pass 2 counts below the bracket and sorts only the
+    * ~4·err·n rows inside it. No single task ever sees more than the
+    * bracket; shrink `err` for tighter brackets on huge columns. */
   def quantile(c: String, q: Double,
       interpolation: String = "linear"): Double = {
     require(q >= 0.0 && q <= 1.0, "q in [0,1]")
@@ -235,12 +293,7 @@ final case class TFrame(df: DataFrame) {
     val pos = q * (n - 1)
     val lo = math.floor(pos).toLong
     val hi = math.ceil(pos).toLong
-    // only the two order statistics reach the driver
-    val w = Window.orderBy(col("__v").asc)
-    val two = vals.withColumn("__rn", row_number().over(w) - 1)
-      .where(col("__rn") === lo || col("__rn") === hi)
-      .orderBy(col("__rn")).collect().map(_.getDouble(0))
-    val (vlo, vhi) = (two.head, two.last)
+    val (vlo, vhi) = orderStats(vals, n, q, lo, hi)
     interpolation match {
       case "linear" => vlo + (vhi - vlo) * (pos - lo)
       case "lower" => vlo
@@ -252,17 +305,43 @@ final case class TFrame(df: DataFrame) {
     }
   }
 
+  /** The (lo, hi) order statistics of a single-column frame of doubles:
+    * approx bracket, then exact sort of the bracket only. Falls back to
+    * a full sorted collect below 4096 rows (where the GK rank guarantee
+    * `err·n ≥ 1` has no room to work). */
+  private def orderStats(vals: DataFrame, n: Long, q: Double,
+      lo: Long, hi: Long): (Double, Double) = {
+    def pick(sorted: Array[Double], offset: Long): (Double, Double) =
+      (sorted((lo - offset).toInt), sorted((hi - offset).toInt))
+    if (n < 4096)
+      return pick(vals.orderBy(col("__v")).collect().map(_.getDouble(0)), 0L)
+    val err = math.max(1e-4, 16.0 / n)
+    val qlo = math.max(0.0, q - 2 * err)
+    val qhi = math.min(1.0, q + 2 * err)
+    val Array(blo, bhi) =
+      vals.stat.approxQuantile("__v", Array(qlo, qhi), err)
+    val nBelow = vals.where(col("__v") < blo).count()
+    val cand = vals.where(col("__v") >= blo && col("__v") <= bhi)
+      .orderBy(col("__v")).collect().map(_.getDouble(0))
+    if (nBelow <= lo && nBelow + cand.length > hi) pick(cand, nBelow)
+    else // sketch guarantee violated only by pathological duplicates:
+      pick(vals.orderBy(col("__v")).collect().map(_.getDouble(0)), 0L)
+  }
+
   /** Positional row slice df[start:stop:step] (icolumn.py:301-409).
     * Needs an explicit total order (`order`) to be well-defined on a
-    * distributed engine; the global row_number is an oracle-style
-    * construct — at scale, slice on a key predicate instead. */
+    * distributed engine. The plan is a distributed top-`stop`
+    * (TakeOrdered) followed by a row_number over only those `stop`
+    * rows — no full-column single-task sort; cost scales with `stop`,
+    * not with the frame. For huge offsets slice on a key predicate
+    * instead. */
   def rowSlice(start: Int, stop: Int, step: Int,
       order: Seq[String]): TFrame = {
     require(step >= 1, "step must be >= 1")
-    val w = Window.orderBy(order.map(df(_).asc): _*)
-    TFrame(df.withColumn("__rn", row_number().over(w) - 1)
-      .where(col("__rn") >= start && col("__rn") < stop &&
-        (col("__rn") - start) % step === 0)
+    val top = df.orderBy(order.map(df(_).asc): _*).limit(stop)
+    val w = Window.orderBy(order.map(top(_).asc): _*)
+    TFrame(top.withColumn("__rn", row_number().over(w) - 1)
+      .where(col("__rn") >= start && (col("__rn") - start) % step === 0)
       .drop("__rn"))
   }
 
@@ -280,19 +359,22 @@ final case class TFrame(df: DataFrame) {
       else Window.partitionBy(by.map(df(_)): _*)
         .orderBy(order.map(df(_).asc): _*)
     val w = base.rowsBetween(-(window - 1), Window.currentRow)
-    val nRows = count(lit(1)).over(w)
     def roll(c: String, op: String): Column = {
+      // pandas min_periods counts NON-NULL observations in the window,
+      // not rows — count(df(c)) skips nulls; "count" likewise returns
+      // the non-null count
+      val nonNull = count(df(c)).over(w)
       val agg = op match {
         case "sum" => functions.sum(df(c)).over(w)
         case "mean" => avg(df(c)).over(w)
         case "min" => functions.min(df(c)).over(w)
         case "max" => functions.max(df(c)).over(w)
-        case "count" => nRows.cast(DoubleType)
+        case "count" => nonNull.cast(DoubleType)
         case "std" => stddev_samp(df(c)).over(w)
         case other => throw new IllegalArgumentException(
           s"rolling: unsupported op $other")
       }
-      when(nRows >= minPeriods, agg)
+      when(nonNull >= minPeriods, agg)
     }
     TFrame(aggs.foldLeft(df) { case (d, (c, op)) =>
       d.withColumn(s"$c.rolling_$op", roll(c, op))
@@ -300,8 +382,36 @@ final case class TFrame(df: DataFrame) {
   }
 
   /** describe: count/mean/std/min/percentiles/max rows per numeric column
-    * (inumerical_column.py:139-198 layout). */
-  def describe(percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75)): TFrame = {
+    * (inumerical_column.py:139-198 layout). `include`/`exclude` select
+    * described columns by dtype family name ("int", "float", "bool",
+    * "numeric") — dataframe_cpu.py:1786-1838. */
+  def describe(percentiles: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      include: Seq[String] = Nil, exclude: Seq[String] = Nil): TFrame = {
+    def family(dt: DataType): String = dt match {
+      case ByteType | ShortType | IntegerType | LongType => "int"
+      case FloatType | DoubleType | _: DecimalType => "float"
+      case BooleanType => "bool"
+      case _ => "other"
+    }
+    def matches(sel: Seq[String], f: String): Boolean =
+      sel.contains(f) || (sel.contains("numeric") && (f == "int" || f == "float"))
+    val described = df.schema.fields.toSeq.collect {
+      case fld if {
+        val f = family(fld.dataType)
+        val in = if (include.isEmpty) f == "int" || f == "float"
+          else matches(include, f)
+        in && !matches(exclude, f)
+      } => fld.name
+    }
+    require(described.nonEmpty, "describe: no columns selected")
+    // cast up-front so bool columns (include = Seq("bool")) describe as
+    // 0/1 like pandas
+    TFrame(df.select(described.map(c => df(c).cast(DoubleType).as(c)): _*))
+      .describeCols(described, percentiles)
+  }
+
+  private def describeCols(numericCols: Seq[String],
+      percentiles: Seq[Double]): TFrame = {
     val metrics: Seq[(String, String => Column)] =
       Seq[(String, String => Column)](
         ("count", c => count(df(c)).cast(DoubleType)),
@@ -510,4 +620,35 @@ final case class TGrouped(df: DataFrame, keys: Seq[String]) {
   def apply(c: String): TFrame =
     TFrame(df.groupBy(keys.map(df(_)): _*)
       .agg(collect_list(df(c)).as(c)))
+
+  /** Grouped mode with a DETERMINISTIC tie-break — smallest
+    * most-frequent value (inumerical_column.py:417-429 made total-order
+    * safe; Spark's builtin `mode` picks an arbitrary tied value). Two
+    * hash aggregates: counts per (keys, value), then argmax by
+    * (count, -value) struct ordering — shuffles counts, never rows. */
+  def modeDet(c: String): TFrame = {
+    val cnt = df.groupBy((keys :+ c).map(df(_)): _*)
+      .agg(count(lit(1)).as("__n"))
+    TFrame(cnt.groupBy(keys.map(cnt(_)): _*)
+      .agg(max_by(cnt(c), struct(cnt("__n"), -cnt(c))).as(s"$c.mode")))
+  }
+
+  /** Grouped iteration `for (key, subframe) <- grouped`
+    * (dataframe_cpu.py:2227-2245): keys are collected (bounded by
+    * `maxGroups`); each subframe is a LAZY filtered view of the parent —
+    * no data moves until the caller acts on a subframe, and each one
+    * inherits the full pushdown/pruning pipeline. */
+  def iterGroups(maxGroups: Int = 1000): Seq[(Row, TFrame)] = {
+    val ks = df.select(keys.map(df(_)): _*).distinct()
+      .orderBy(keys.map(col): _*).limit(maxGroups + 1).collect()
+    require(ks.length <= maxGroups,
+      s"iterGroups: more than $maxGroups groups; raise maxGroups or " +
+        "use an aggregate instead")
+    ks.toSeq.map { kr =>
+      val pred = keys.zipWithIndex.map { case (k, i) =>
+        df(k) === lit(kr.get(i))
+      }.reduce(_ && _)
+      (kr, TFrame(df.filter(pred)))
+    }
+  }
 }

@@ -125,10 +125,16 @@ object namespaces {
         .otherwise(a / other)
     }
 
-    /** `//` rounds toward −∞ (numeric_functions.h:28-101); int//0
+    /** `//` rounds toward −∞ and stays float, ±inf/nan pass through
+      * (numeric_functions.h:28-101) — Spark's floor() returns LONG and
+      * would overflow on ±inf, so non-finite values bypass it; int//0
       * raises like Python (numerical_column_cpu.py:353-449). */
-    def floordiv(other: Column): Column =
-      floor(c.cast(DoubleType).arith.truediv(other))
+    def floordiv(other: Column): Column = {
+      val t = c.cast(DoubleType).arith.truediv(other)
+      when(t.isNull || t.isNaN ||
+        t === Double.PositiveInfinity || t === Double.NegativeInfinity, t)
+        .otherwise(floor(t).cast(DoubleType))
+    }
 
     def floordivInt(other: Column): Column =
       when(other === 0, raise_error(lit("ZeroDivisionError: integer " +

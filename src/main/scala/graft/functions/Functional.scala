@@ -223,6 +223,14 @@ object Functional {
     invoke("roundRef", DoubleType, Seq(c.cast(DoubleType), lit(decimals)),
       Seq(DoubleType, IntegerType))
 
+  /** functional.rand (velox_rt/functional.py:47-63): uniform [0,1) per
+    * row. The seeded form is deterministic for a fixed partition
+    * layout (per-partition XOR-shift streams — Spark semantics); the
+    * unseeded form is fresh per run, like the reference. */
+  def randCol(): Column = org.apache.spark.sql.functions.rand()
+
+  def randCol(seed: Long): Column = org.apache.spark.sql.functions.rand(seed)
+
   /** Vectorized ternary (icolumn.py:100-119): null cond → null result,
     * result type = LUB (Catalyst coercion). */
   def ifElse(cond: Column, a: Column, b: Column): Column =

@@ -32,19 +32,68 @@ object Multimodal {
       : DataFrame =
     df.withColumn(blobCol, col(payloadCol).cast(BinaryType))
 
-  /** STUB DECODER: a real deployment would decode image headers here
-    * (JPEG/PNG dimensions etc.). Deterministic fake derived from the
-    * byte content so tests are stable. */
+  /** STUB fallback for UNKNOWN formats only: a real deployment would
+    * route these to a codec library. Deterministic fake derived from
+    * the byte content so tests are stable. */
   private def fakeDecode(bytes: Array[Byte]): (String, Int, Int, Int) = {
     var h = 0xcbf29ce484222325L
     var i = 0
     while (i < bytes.length) {
       h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
     }
-    val fmt = if ((h & 1L) == 0L) "png" else "jpeg"
     val w = 64 + ((h >>> 8) % 1857).toInt  // 64..1920
     val ht = 64 + ((h >>> 24) % 1017).toInt // 64..1080
-    (fmt, w, ht, 3)
+    ("unknown", w, ht, 3)
+  }
+
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) |
+      ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+
+  /** REAL header decode — pure JVM, no codec libraries:
+    *  - PNG: 8-byte signature, then the IHDR chunk holds width/height
+    *    big-endian at offsets 16/20 and color type at 25 (PNG spec §11.2.2).
+    *  - JPEG: scan marker segments from SOI for the first SOFn frame
+    *    header (C0–CF except C4/C8/CC), which carries height/width/
+    *    component count (ITU T.81 §B.2.2).
+    * Unknown formats fall through to the marked stub. */
+  private[graft] def decodeHeader(bytes: Array[Byte])
+      : (String, Int, Int, Int) = {
+    if (bytes.length >= 26 && (bytes(0) & 0xff) == 0x89 &&
+        bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte &&
+        bytes(3) == 'G'.toByte) {
+      val w = be32(bytes, 16)
+      val h = be32(bytes, 20)
+      val channels = (bytes(25) & 0xff) match {
+        case 0 => 1 // greyscale
+        case 2 => 3 // truecolor
+        case 3 => 1 // palette
+        case 4 => 2 // grey + alpha
+        case 6 => 4 // truecolor + alpha
+        case _ => 3
+      }
+      ("png", w, h, channels)
+    } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
+        (bytes(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 9 < bytes.length) {
+        if ((bytes(i) & 0xff) == 0xff) {
+          val m = bytes(i + 1) & 0xff
+          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+              m != 0xcc) {
+            val h = be16(bytes, i + 5)
+            val w = be16(bytes, i + 7)
+            return ("jpeg", w, h, bytes(i + 9) & 0xff)
+          }
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no payload
+          else i += 2 + be16(bytes, i + 2)
+        } else i += 1
+      }
+      ("jpeg", 0, 0, 0) // truncated stream: no frame header found
+    } else fakeDecode(bytes)
   }
 
   /** Batched partition-wise metadata extraction over the blob column:
@@ -58,12 +107,43 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](blobIdx)
         val meta = if (bytes == null) null else {
-          val (fmt, w, h, c) = fakeDecode(bytes)
+          val (fmt, w, h, c) = decodeHeader(bytes)
           Row(fmt, w, h, c, bytes.length.toLong)
         }
         Row.fromSeq(r.toSeq :+ meta)
       }
     }
+  }
+
+  /** Synthesize a REAL image header (not a stub) from a seed: a valid
+    * PNG signature+IHDR or JPEG SOI+SOF0 prefix with deterministic
+    * dimensions, followed by seed-derived payload bytes. Lets tests and
+    * the gate query exercise the real header parser without codec
+    * libraries. */
+  def synthesizeBlob(seed: Long, payloadLen: Int = 32): Array[Byte] = {
+    val w = 64 + ((seed >>> 4) % 1857).toInt
+    val h = 64 + ((seed >>> 24) % 1017).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    if ((seed & 1L) == 0L) {
+      // PNG: signature + IHDR length/type + w/h + bit depth 8, color 2
+      out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+        .map(_.toByte), 0, 8)
+      out.write(Array(0, 0, 0, 13).map(_.toByte), 0, 4)
+      out.write("IHDR".getBytes("US-ASCII"), 0, 4)
+      out.write(Array(w >>> 24, w >>> 16, w >>> 8, w).map(_.toByte), 0, 4)
+      out.write(Array(h >>> 24, h >>> 16, h >>> 8, h).map(_.toByte), 0, 4)
+      out.write(Array(8, 2, 0, 0, 0).map(_.toByte), 0, 5)
+    } else {
+      // JPEG: SOI + SOF0 (len 17, precision 8, h, w, 3 components)
+      out.write(Array(0xff, 0xd8, 0xff, 0xc0, 0, 17, 8,
+        h >>> 8, h, w >>> 8, w, 3).map(_.toByte), 0, 12)
+    }
+    var x = seed
+    for (_ <- 0 until payloadLen) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write((x >>> 56).toInt)
+    }
+    out.toByteArray
   }
 
   /** Deterministic frame-sampling stub for a video-like blob: selects

@@ -128,7 +128,7 @@ object Similarity {
       .select(col("probe_id"), col("probe_vec"),
         explode(concat(array(col("b0")),
           transform(sequence(lit(0), lit(bits - 1)),
-            i => col("b0").bitwiseXOR(pow(lit(2.0), i).cast("long")))))
+            i => col("b0").bitwiseXOR(call_function("shiftleft", lit(1L), i)))))
           .as("bucket")))
     val scored = cb.join(pb, Seq("bucket"))
       .where(col("id") =!= col("probe_id"))

@@ -57,6 +57,29 @@ object Shim {
       },
       "scala_udf")
 
+  /** to_arrow (§2.1, reference interop.py:17-34 / interop_arrow.py):
+    * serialize a DataFrame's rows into Arrow IPC record batches — the
+    * same columnar wire format the reference's zero-copy export uses.
+    * Driver-side by design, like the reference's `to_arrow`. */
+  def toArrowBatches(
+      df: DataFrame,
+      maxRecordsPerBatch: Long = 1L << 14): Iterator[Array[Byte]] = {
+    val classic = ClassicConversions.castToImpl(df.sparkSession)
+    org.apache.spark.sql.execution.arrow.ArrowConverters.toBatchIterator(
+      df.queryExecution.executedPlan.executeCollect().iterator,
+      df.schema, maxRecordsPerBatch,
+      classic.sessionState.conf.sessionLocalTimeZone,
+      true, false, null)
+  }
+
+  /** from_arrow: rebuild a DataFrame from Arrow IPC record batches. */
+  def fromArrowBatches(
+      spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      batches: Iterator[Array[Byte]]): DataFrame =
+    org.apache.spark.sql.execution.arrow.ArrowConverters.toDataFrame(
+      batches, schema.json, ClassicConversions.castToImpl(spark))
+
   /** Codegen-friendly call of a static Java kernel method: inlines into
     * whole-stage codegen via `StaticInvoke` (AbstractDataType is
     * private[sql], hence this lives in the shim). `inputTypes` adds

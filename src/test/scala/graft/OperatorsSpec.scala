@@ -169,7 +169,35 @@ class OperatorsSpec extends SparkSpec {
     assert(r1.map(_.toString) === r2.map(_.toString)) // deterministic stub
     val meta = r1.head.getStruct(r1.head.fieldIndex("media_meta"))
     assert(meta.getAs[Int]("width") >= 64)
-    assert(Set("png", "jpeg").contains(meta.getAs[String]("format")))
+    // raw text bytes are no known image format → the marked stub path
+    assert(meta.getAs[String]("format") === "unknown")
+  }
+
+  test("real PNG IHDR / JPEG SOF header decode") {
+    // hand-built PNG: signature + IHDR, 640x480, truecolor+alpha
+    val png = Multimodal.synthesizeBlob(seed = 2L) // even seed → png
+    val (pf, pw, ph, pc) = Multimodal.decodeHeader(png)
+    assert(pf === "png")
+    assert(pw === 64 + ((2L >>> 4) % 1857).toInt)
+    assert(ph === 64 + ((2L >>> 24) % 1017).toInt)
+    assert(pc === 3) // color type 2 = truecolor
+    val jpg = Multimodal.synthesizeBlob(seed = 7L) // odd seed → jpeg
+    val (jf, jw, jh, jc) = Multimodal.decodeHeader(jpg)
+    assert(jf === "jpeg")
+    assert(jw === 64 + ((7L >>> 4) % 1857).toInt)
+    assert(jh === 64 + ((7L >>> 24) % 1017).toInt)
+    assert(jc === 3)
+    // a JPEG with leading APP0 segment before SOF still parses (marker
+    // scan skips non-SOF segments by their declared length)
+    val app0 = Array(0xff, 0xd8, 0xff, 0xe0, 0, 4, 0x4a, 0x46).map(_.toByte)
+    val withApp0 = app0 ++ jpg.drop(2)
+    val (af, aw, ah, _) = Multimodal.decodeHeader(withApp0)
+    assert((af, aw, ah) === ("jpeg", jw, jh))
+    // PNG with explicit bytes: 16x8 greyscale
+    val raw = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 0, 16, 0, 0, 0, 8, 8, 0, 0, 0, 0).map(_.toByte)
+    assert(Multimodal.decodeHeader(raw) === ("png", 16, 8, 1))
   }
 
   test("frame sampling emits n rows per blob") {

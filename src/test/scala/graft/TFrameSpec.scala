@@ -240,4 +240,81 @@ class TFrameSpec extends SparkSpec {
     assert(got.columns === Seq("y", "x", "b"))
     assert(got.length === 2L)
   }
+
+  test("all/any vacuous truth on all-null bool columns") {
+    val df = TFrame(spark, Seq("p" -> Seq[Any](true, null, null)))
+    val allNull = df.where(df("p").isNull) // bool column, only nulls left
+    assert(allNull.allAgg.df.head().getBoolean(0) === true)
+    assert(allNull.anyAgg.df.head().getBoolean(0) === false)
+    val nobool = TFrame(spark, Seq("x" -> Seq(1L)))
+    intercept[IllegalArgumentException](nobool.allAgg)
+  }
+
+  test("isin dict form (dataframe_cpu.py:1496-1531)") {
+    val got = grouping.isinDict(Map(
+      "A" -> Seq("a"), "B" -> Seq(2L, 4L, 99L)))
+    val rows = got.df.collect().toSeq.map(r =>
+      (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(rows === Seq((true, false, false), (false, true, false),
+      (true, false, false), (false, true, false)))
+  }
+
+  test("isin frame form: same-named column membership") {
+    val other = TFrame(spark, Seq("A" -> Seq("b", "b"), "B" -> Seq(1L, 3L)))
+    val got = grouping.isinFrame(other).df.collect().toSeq.map(r =>
+      (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(got.toSet === Set((false, true, false), (true, false, false),
+      (false, true, false), (true, false, false)))
+  }
+
+  test("deterministic grouped mode (smallest most-frequent)") {
+    val df = TFrame(spark, Seq(
+      "k" -> Seq("x", "x", "x", "x", "y", "y"),
+      "v" -> Seq(3L, 3L, 1L, 1L, 5L, 2L))) // x: tie {1,3} -> 1
+    val got = df.groupby("k").modeDet("v").df.orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("x", 1L), ("y", 2L)))
+  }
+
+  test("grouped iteration yields lazy per-key subframes") {
+    val groups = grouping.groupby("A").iterGroups()
+    assert(groups.map(_._1.getString(0)) === Seq("a", "b"))
+    val (_, aFrame) = groups.head
+    assert(col0(aFrame.df.select("B").orderBy("B")) === Seq(1L, 3L))
+    intercept[IllegalArgumentException](
+      grouping.groupby("B").iterGroups(maxGroups = 2))
+  }
+
+  test("describe include/exclude dtype selection (dataframe_cpu.py:1786-1838)") {
+    val df = TFrame(spark, Seq(
+      "i" -> Seq(1L, 2L), "f" -> Seq(1.5, 2.5), "s" -> Seq("a", "b")))
+    assert(df.describe().columns === Seq("metric", "i", "f"))
+    assert(df.describe(include = Seq("float")).columns ===
+      Seq("metric", "f"))
+    assert(df.describe(exclude = Seq("float")).columns ===
+      Seq("metric", "i"))
+    assert(df.describe(include = Seq("numeric"), exclude = Seq("int"))
+      .columns === Seq("metric", "f"))
+    intercept[IllegalArgumentException](df.describe(include = Seq("bool")))
+  }
+
+  test("functional.rand lands in [0,1) (velox_rt/functional.py:47-63)") {
+    import graft.functions.Functional
+    val df = TFrame(spark, Seq("x" -> (0L until 100L)))
+      .withCol("r", Functional.randCol(42L))
+    assert(df.df.where(col("r") < 0.0 || col("r") >= 1.0).isEmpty)
+    // seeded: stable across two runs over the same partition layout
+    assert(col0(df.df.select("r")) === col0(df.df.select("r")))
+  }
+
+  test("partitioned cumulatives (by-key running aggregates)") {
+    val df = TFrame(spark, Seq(
+      "k" -> Seq("a", "a", "b", "b"),
+      "o" -> Seq(1L, 2L, 1L, 2L),
+      "v" -> Seq(1.0, 2.0, 10.0, 20.0)))
+    val got = df.cumsum(Seq("v"), order = Seq("o"), by = Seq("k"))
+      .sort(Seq("k", "o")).df
+    assert(got.collect().toSeq.map(_.getDouble(3)) ===
+      Seq(1.0, 3.0, 10.0, 30.0))
+  }
 }
