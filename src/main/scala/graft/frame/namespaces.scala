@@ -131,7 +131,12 @@ object namespaces {
       * raises like Python (numerical_column_cpu.py:353-449). */
     def floordiv(other: Column): Column = {
       val t = c.cast(DoubleType).arith.truediv(other)
-      when(t.isNull || t.isNaN ||
+      // ±0.0 passes through: floor() returns LONG, turning −0.0 into
+      // +0.0, whereas std::floor (numeric_functions.h:45-52) and the
+      // oracle keep the sign. |t| ≥ 2^63 is already integral and would
+      // overflow the LONG; pass it through too.
+      when(t.isNull || t.isNaN || t === 0.0 ||
+        abs(t) >= 9.223372036854776e18 ||
         t === Double.PositiveInfinity || t === Double.NegativeInfinity, t)
         .otherwise(floor(t).cast(DoubleType))
     }

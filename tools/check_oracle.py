@@ -11,12 +11,19 @@ import duckdb
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows):
-    out = []
-    for r in rows:
-        out.append(tuple(float(v) if isinstance(v, (int,)) and False else v
-                         for v in r))
-    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+def cell_eq(a, b):
+    """Hash-faithful cell compare: the driver hashes canonical string
+    forms, so -0.0 != 0.0 and NaN == NaN, unlike Python's ==."""
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
+    if isinstance(a, (list, tuple)) and isinstance(b, (list, tuple)):
+        return len(a) == len(b) and all(cell_eq(x, y) for x, y in zip(a, b))
+    return a == b
+
+def row_eq(a, b):
+    return cell_eq(a, b)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -63,7 +70,7 @@ def main(sf_dir, out_dir):
         w = sorted(tuple(r[i] for i in wi) for r in want)
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
-        bad = [(a, b) for a, b in zip(g, w) if a != b]
+        bad = [(a, b) for a, b in zip(g, w) if not row_eq(a, b)]
         if bad:
             print(f"FAIL {name}: {len(bad)} mismatched rows, first: {bad[0]}")
             n_fail += 1
