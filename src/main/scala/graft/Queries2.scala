@@ -240,13 +240,26 @@ object Queries2 {
       |ELSE 4 END AS bucket, COUNT(*) AS n
       |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin
 
-  /** sigrid_hash distribution (bit-exact kernel; rows-only — pinned
-    * values are asserted in the ScalaTest suite instead). */
-  def q61SigridHash(s: SparkSession, dir: String): DataFrame =
+  /** sigrid_hash distribution (bit-exact kernel; rows-only for the
+    * distribution, but self-checking: every row carries pinned_ok,
+    * which re-hashes the reference's pinned fixture in-query
+    * (test_sigrid_hash.py:48-56: range(16), salt 0, max 100) and
+    * raises on any deviation — the gate run itself proves
+    * bit-exactness, not just ScalaTest. */
+  def q61SigridHash(s: SparkSession, dir: String): DataFrame = {
+    val fixture = array((0 until 16).map(i => lit(i.toLong)): _*)
+    val pinned = array(Seq(6L, 60L, 54L, 54L, 9L, 4L, 91L, 11L, 67L, 79L,
+      2L, 25L, 92L, 98L, 83L, 66L).map(lit): _*)
+    val pinnedOk =
+      when(Functional.sigridHashList(fixture, 0L, 100L) === pinned, lit(true))
+        .otherwise(raise_error(lit(
+          "sigrid_hash pinned fixture mismatch (test_sigrid_hash.py:48-56)")))
     t(s, dir, "lineitem")
       .select(Functional.sigridHash($"l_partkey", 0L, 1000L).as("bucket"))
       .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .withColumn("pinned_ok", pinnedOk)
       .orderBy($"bucket")
+  }
 
   /** firstx over per-order sorted quantity arrays (array ops path). */
   def q62Firstx(s: SparkSession, dir: String): DataFrame =

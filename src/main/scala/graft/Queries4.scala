@@ -417,15 +417,58 @@ object Queries4 {
           "ing" -> 108L, "or" -> 109L)
     val enc = new BpeEncoder(merges, vocab, unkId = 0L)
     val ids = Bpe.bpeTokenize(enc)(lower(substring($"text", 1, 60)))
+    // Self-check: encode a fixed input in-query and compare to ids
+    // hand-derived from the merge table ("the"→101; " and"→[unk,104];
+    // " ring"→[unk,r=18,ing=108]; " or"→[unk,109]; " in"→[unk,102] —
+    // the leading-space unit maps to the 256+ byte-level char, absent
+    // from the vocab → unkId 0). Raises on any deviation, so the gate
+    // run itself proves the greedy lowest-rank merge order.
+    val pinned = array(Seq(101L, 0L, 104L, 0L, 18L, 108L, 0L, 109L, 0L,
+      102L).map(lit): _*)
+    val pinnedOk =
+      when(Bpe.bpeTokenize(enc)(lit("the and ring or in")) === pinned,
+        lit(true))
+        .otherwise(raise_error(lit("bpe pinned fixture mismatch")))
     t(s, dir, "documents")
       .select($"doc_id", ids.as("ids"))
       .select($"doc_id", size($"ids").as("n_tokens"),
         aggregate($"ids", lit(0L), (acc, x) => acc + x).as("id_sum"))
+      .withColumn("pinned_ok", pinnedOk)
       .orderBy($"doc_id")
   }
 
+  // ---- §2.1 Arrow interop at the gate ----------------------------------
+
+  /** to_arrow / from_arrow as a first-class source/sink (reference
+    * interop.py:17-34): aggregate orders, serialize the result through
+    * Arrow IPC record batches (Shim.toArrowBatches), rebuild a
+    * DataFrame from the bytes (fromArrowBatches), and emit that — the
+    * oracle computes the same aggregate directly, so a green row proves
+    * the wire format round-trips values, nulls, and types exactly.
+    * Driver-side by design, like the reference's to_arrow; the payload
+    * is the bounded 3-row aggregate, never base-table rows. */
+  def q71ArrowRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.Shim
+    val agg = t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        sum($"o_totalprice".cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("sum_price"),
+        count(lit(1)).as("n"))
+    val roundTripped =
+      Shim.fromArrowBatches(s, agg.schema, Shim.toArrowBatches(agg))
+    roundTripped.orderBy($"o_orderstatus")
+  }
+
+  val q71Sql: String =
+    """SELECT o_orderstatus,
+      |CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS sum_price,
+      |COUNT(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q36_bpe" -> (q36Bpe _),
+    "q71_arrow_roundtrip" -> (q71ArrowRoundtrip _),
     "q37_compute_scores" -> (q37ComputeScores _),
     "q38_arith_semantics" -> (q38ArithSemantics _),
     "q39_mode" -> (q39Mode _),
@@ -440,6 +483,7 @@ object Queries4 {
 
   val oracles: Map[String, String] = Map(
     "q37_compute_scores" -> q37Sql,
+    "q71_arrow_roundtrip" -> q71Sql,
     "q38_arith_semantics" -> q38Sql,
     "q39_mode" -> q39Sql,
     "q45_flatmap" -> q45Sql,
