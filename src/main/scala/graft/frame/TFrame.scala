@@ -306,9 +306,14 @@ final case class TFrame(df: DataFrame) {
   }
 
   /** The (lo, hi) order statistics of a single-column frame of doubles:
-    * approx bracket, then exact sort of the bracket only. Falls back to
-    * a full sorted collect below 4096 rows (where the GK rank guarantee
-    * `err·n ≥ 1` has no room to work). */
+    * approx bracket, then exact sort of the bracket only. Below 4096
+    * rows (where the GK rank guarantee `err·n ≥ 1` has no room to
+    * work) a bounded full collect is used. Above that, every driver
+    * collect is capped: a rank-correct but row-huge bracket (duplicate-
+    * dominant data) is collected as a (value, count) histogram —
+    * bounded by DISTINCT values in the bracket, not rows — and a
+    * rank-incorrect bracket is retried with a doubled rank margin
+    * (≤ 2 retries) before erroring. No path collects the full column. */
   private def orderStats(vals: DataFrame, n: Long, q: Double,
       lo: Long, hi: Long): (Double, Double) = {
     def pick(sorted: Array[Double], offset: Long): (Double, Double) =
@@ -316,16 +321,48 @@ final case class TFrame(df: DataFrame) {
     if (n < 4096)
       return pick(vals.orderBy(col("__v")).collect().map(_.getDouble(0)), 0L)
     val err = math.max(1e-4, 16.0 / n)
-    val qlo = math.max(0.0, q - 2 * err)
-    val qhi = math.min(1.0, q + 2 * err)
-    val Array(blo, bhi) =
-      vals.stat.approxQuantile("__v", Array(qlo, qhi), err)
-    val nBelow = vals.where(col("__v") < blo).count()
-    val cand = vals.where(col("__v") >= blo && col("__v") <= bhi)
-      .orderBy(col("__v")).collect().map(_.getDouble(0))
-    if (nBelow <= lo && nBelow + cand.length > hi) pick(cand, nBelow)
-    else // sketch guarantee violated only by pathological duplicates:
-      pick(vals.orderBy(col("__v")).collect().map(_.getDouble(0)), 0L)
+    val cap = TFrame.maxBracketCollect
+    var margin = 2.0
+    var attempt = 0
+    while (attempt <= 2) {
+      val qlo = math.max(0.0, q - margin * err)
+      val qhi = math.min(1.0, q + margin * err)
+      val Array(blo, bhi) =
+        vals.stat.approxQuantile("__v", Array(qlo, qhi), err)
+      val nBelow = vals.where(col("__v") < blo).count()
+      val cand = vals.where(col("__v") >= blo && col("__v") <= bhi)
+      val nCand = cand.count()
+      if (nBelow <= lo && nBelow + nCand > hi) {
+        if (nCand <= cap)
+          return pick(
+            cand.orderBy(col("__v")).collect().map(_.getDouble(0)), nBelow)
+        // Bracket covers the target ranks but is row-huge — duplicates
+        // dominate it. The distinct-value histogram is small exactly
+        // when rows are many (few distinct values repeated), so this
+        // collect stays bounded where the row collect would not.
+        val hist = cand.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+          .orderBy(col("__v")).collect()
+          .map(r => (r.getDouble(0), r.getLong(1)))
+        if (hist.length <= cap) {
+          var cum = nBelow
+          var vlo = Double.NaN
+          var vhi = Double.NaN
+          hist.foreach { case (v, c) =>
+            if (cum <= lo && lo < cum + c) vlo = v
+            if (cum <= hi && hi < cum + c) vhi = v
+            cum += c
+          }
+          return (vlo, vhi)
+        }
+      }
+      margin *= 2
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"quantile bracket failed after 3 attempts (n=$n, q=$q): rank " +
+        "bracket never both covered the target ranks and fit the " +
+        "driver cap; lower the approxQuantile err or pre-aggregate " +
+        "the column")
   }
 
   /** Positional row slice df[start:stop:step] (icolumn.py:301-409).
@@ -370,7 +407,9 @@ final case class TFrame(df: DataFrame) {
         case "min" => functions.min(df(c)).over(w)
         case "max" => functions.max(df(c)).over(w)
         case "count" => nonNull.cast(DoubleType)
-        case "std" => stddev_samp(df(c)).over(w)
+        // pandas ddof=1: a single observation yields NaN, not null
+        case "std" => when(nonNull === 1, lit(Double.NaN))
+          .otherwise(stddev_samp(df(c)).over(w))
         case other => throw new IllegalArgumentException(
           s"rolling: unsupported op $other")
       }
@@ -537,6 +576,11 @@ final case class TFrame(df: DataFrame) {
 }
 
 object TFrame {
+  /** Hard cap on rows (or histogram entries) a single quantile bracket
+    * may bring to the driver: 4M doubles ≈ 32 MB. Package-visible so
+    * specs can shrink it to force the histogram/retry paths. */
+  private[graft] var maxBracketCollect: Long = 1L << 22
+
   /** Factory from named columns of Scala values with dtype inference
     * (scope.py:252-388 analog). */
   def apply(spark: SparkSession, data: Seq[(String, Seq[Any])]): TFrame = {
@@ -624,13 +668,16 @@ final case class TGrouped(df: DataFrame, keys: Seq[String]) {
   /** Grouped mode with a DETERMINISTIC tie-break — smallest
     * most-frequent value (inumerical_column.py:417-429 made total-order
     * safe; Spark's builtin `mode` picks an arbitrary tied value). Two
-    * hash aggregates: counts per (keys, value), then argmax by
-    * (count, -value) struct ordering — shuffles counts, never rows. */
+    * hash aggregates: counts per (keys, value), then argmin by
+    * (−count, value) struct ordering — highest count wins, ties break
+    * to the smallest value under the type's natural order, so string
+    * and other non-numeric columns work too. Shuffles counts, never
+    * rows. */
   def modeDet(c: String): TFrame = {
     val cnt = df.groupBy((keys :+ c).map(df(_)): _*)
       .agg(count(lit(1)).as("__n"))
     TFrame(cnt.groupBy(keys.map(cnt(_)): _*)
-      .agg(max_by(cnt(c), struct(cnt("__n"), -cnt(c))).as(s"$c.mode")))
+      .agg(min_by(cnt(c), struct(-cnt("__n"), cnt(c))).as(s"$c.mode")))
   }
 
   /** Grouped iteration `for (key, subframe) <- grouped`
@@ -645,8 +692,10 @@ final case class TGrouped(df: DataFrame, keys: Seq[String]) {
       s"iterGroups: more than $maxGroups groups; raise maxGroups or " +
         "use an aggregate instead")
     ks.toSeq.map { kr =>
+      // null-safe equality: a null-valued key must select its group's
+      // rows, not a silently empty subframe
       val pred = keys.zipWithIndex.map { case (k, i) =>
-        df(k) === lit(kr.get(i))
+        df(k) <=> lit(kr.get(i))
       }.reduce(_ && _)
       (kr, TFrame(df.filter(pred)))
     }

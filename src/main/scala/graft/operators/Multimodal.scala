@@ -78,19 +78,32 @@ object Multimodal {
       ("png", w, h, channels)
     } else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xff &&
         (bytes(1) & 0xff) == 0xd8) {
+      // Marker-segment walk per ITU T.81 §B.1.1.2: a marker is any run
+      // of 0xFF fill bytes followed by a non-FF, non-00 code. TEM/RSTn/
+      // SOI are parameterless; the scan stops at SOS (entropy-coded
+      // data follows — naive scanning would misread it) and at EOI.
       var i = 2
-      while (i + 9 < bytes.length) {
-        if ((bytes(i) & 0xff) == 0xff) {
-          val m = bytes(i + 1) & 0xff
-          if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
-              m != 0xcc) {
-            val h = be16(bytes, i + 5)
-            val w = be16(bytes, i + 7)
-            return ("jpeg", w, h, bytes(i + 9) & 0xff)
-          }
-          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7)) i += 2 // no payload
-          else i += 2 + be16(bytes, i + 2)
-        } else i += 1
+      while (i < bytes.length) {
+        if ((bytes(i) & 0xff) != 0xff)
+          return ("jpeg", 0, 0, 0) // desynchronized: not at a marker
+        var j = i + 1
+        while (j < bytes.length && (bytes(j) & 0xff) == 0xff) j += 1
+        if (j >= bytes.length) return ("jpeg", 0, 0, 0)
+        val m = bytes(j) & 0xff
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+            m != 0xcc) { // SOFn frame header
+          if (j + 8 >= bytes.length) return ("jpeg", 0, 0, 0)
+          val h = be16(bytes, j + 4)
+          val w = be16(bytes, j + 6)
+          return ("jpeg", w, h, bytes(j + 8) & 0xff)
+        } else if (m == 0xda || m == 0xd9 || m == 0x00) {
+          // SOS / EOI before any SOFn, or a stuffed byte (desync)
+          return ("jpeg", 0, 0, 0)
+        } else if (m == 0x01 || (m >= 0xd0 && m <= 0xd8)) {
+          i = j + 1 // TEM / RSTn / SOI: no payload
+        } else if (j + 2 < bytes.length) {
+          i = j + 1 + be16(bytes, j + 1) // length field includes itself
+        } else return ("jpeg", 0, 0, 0)
       }
       ("jpeg", 0, 0, 0) // truncated stream: no frame header found
     } else fakeDecode(bytes)

@@ -200,6 +200,27 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(raw) === ("png", 16, 8, 1))
   }
 
+  test("JPEG marker scan: fill bytes, parameterless markers, SOS stop") {
+    val sof = Array(0xff, 0xc0, 0, 17, 8, 0, 100, 0, 200, 3).map(_.toByte)
+    // fill bytes (extra 0xFF) before the SOF marker code
+    val fill = Array(0xff, 0xd8, 0xff, 0xff, 0xff).map(_.toByte) ++
+      sof.drop(1)
+    assert(Multimodal.decodeHeader(fill) === ("jpeg", 200, 100, 3))
+    // parameterless TEM and RST markers before SOF are stepped over
+    val tem = Array(0xff, 0xd8, 0xff, 0x01, 0xff, 0xd3).map(_.toByte) ++ sof
+    assert(Multimodal.decodeHeader(tem) === ("jpeg", 200, 100, 3))
+    // SOS before any SOFn: scan must stop, not read entropy-coded data
+    val sos = Array(0xff, 0xd8, 0xff, 0xda, 0, 2, 0x12, 0x34, 0xff, 0xc0,
+      0, 17, 8, 0, 1, 0, 1, 1).map(_.toByte)
+    assert(Multimodal.decodeHeader(sos) === ("jpeg", 0, 0, 0))
+    // EOI before SOF: stop
+    val eoi = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte) ++ sof
+    assert(Multimodal.decodeHeader(eoi) === ("jpeg", 0, 0, 0))
+    // stuffed byte / desync: bail instead of misparsing
+    val stuffed = Array(0xff, 0xd8, 0xff, 0x00, 0x12).map(_.toByte)
+    assert(Multimodal.decodeHeader(stuffed) === ("jpeg", 0, 0, 0))
+  }
+
   test("frame sampling emits n rows per blob") {
     val df = Seq((1L, "x")).toDF("id", "text")
     val out = Multimodal.sampleFrames(

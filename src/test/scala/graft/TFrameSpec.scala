@@ -210,6 +210,31 @@ class TFrameSpec extends SparkSpec {
     assert(df.quantile("x", 0.0, "higher") === 1.0)
   }
 
+  test("quantile duplicate-dominant column stays exact under a tiny " +
+      "bracket cap (histogram path, no full-column collect)") {
+    // 10k rows, 90% a single value: the rank bracket around the median
+    // contains ~9k rows — far over the shrunk cap — so orderStats must
+    // take the distinct-value histogram path (≤ 3 entries) and still
+    // be exact. Oracle: sorted.head semantics give median = 5.0.
+    val vals = (0 until 10000).map(i =>
+      if (i % 10 == 0) (i % 100).toDouble / 100.0 + 10.0 else 5.0)
+    val df = TFrame(spark.range(10000).toDF("i")).withCol("x",
+      when(col("i") % 10 === 0,
+        (col("i") % 100).cast("double") / 100.0 + 10.0).otherwise(5.0))
+    val saved = TFrame.maxBracketCollect
+    try {
+      TFrame.maxBracketCollect = 64
+      assert(df.quantile("x", 0.5, "linear") === 5.0)
+      assert(df.quantile("x", 0.25, "higher") === 5.0)
+      // a quantile inside the 10% tail still resolves (row path fits
+      // the cap only after margin widening or directly, but never via
+      // a full-column collect)
+      val q99 = df.quantile("x", 0.995, "lower")
+      val expected = vals.sorted.apply((0.995 * (10000 - 1)).floor.toInt)
+      assert(q99 === expected)
+    } finally TFrame.maxBracketCollect = saved
+  }
+
   test("rowSlice start:stop:step with explicit order (§2.2)") {
     val df = TFrame(spark, Seq("a" -> (0L until 10L)))
     assert(col0(df.rowSlice(2, 9, 3, Seq("a")).df) === Seq(2L, 5L, 8L))
@@ -231,6 +256,16 @@ class TFrameSpec extends SparkSpec {
     val mins = got.collect().toSeq.map(r =>
       if (r.isNullAt(4)) null else r.getDouble(4))
     assert(mins === Seq(null, 1.0, 1.0, 2.0, null, 10.0))
+  }
+
+  test("rolling std with minPeriods=1 yields NaN on one observation") {
+    val df = TFrame(spark, Seq(
+      "t" -> Seq(1L, 2L, 3L), "v" -> Seq(1.0, 3.0, 5.0)))
+    val got = df.rolling(2, order = Seq("t"), minPeriods = 1)("v" -> "std")
+      .sort(Seq("t")).df.collect().toSeq.map(_.getDouble(2))
+    assert(got.head.isNaN) // pandas ddof=1: single obs -> NaN, not null
+    assert(math.abs(got(1) - math.sqrt(2.0)) < 1e-12)
+    assert(math.abs(got(2) - math.sqrt(2.0)) < 1e-12)
   }
 
   test("rename/drop/reorder/withCol/pipe (§2.2)") {
@@ -274,6 +309,25 @@ class TFrameSpec extends SparkSpec {
     val got = df.groupby("k").modeDet("v").df.orderBy("k").collect()
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq ===
       Seq(("x", 1L), ("y", 2L)))
+  }
+
+  test("deterministic grouped mode on a non-numeric column") {
+    val df = TFrame(spark, Seq(
+      "k" -> Seq("x", "x", "x", "x", "y"),
+      "v" -> Seq("b", "b", "a", "a", "z"))) // x: tie {a,b} -> a
+    val got = df.groupby("k").modeDet("v").df.orderBy("k").collect()
+    assert(got.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("x", "a"), ("y", "z")))
+  }
+
+  test("grouped iteration pairs a null-valued key with its rows") {
+    val df = TFrame(spark, Seq(
+      "k" -> Seq("a", null, null), "v" -> Seq(1L, 2L, 3L)))
+    val groups = df.groupby("k").iterGroups()
+    val byKey = groups.map { case (kr, sub) =>
+      (if (kr.isNullAt(0)) null else kr.getString(0)) -> sub.df.count()
+    }.toMap
+    assert(byKey === Map("a" -> 1L, (null: String) -> 2L))
   }
 
   test("grouped iteration yields lazy per-key subframes") {
