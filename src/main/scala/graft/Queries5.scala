@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.frame.{TFrame, TGrouped}
+import graft.functions.Functional
+
+/** Round-6 queries: oracled gate entries for the TFrame surface that
+  * was previously ScalaTest-only — rename/reorder/append, construction
+  * with dtype inference, is_unique / is_monotonic, the Presto-style
+  * name dispatch, describe(include/exclude), grouped[col],
+  * functional.rand, and grouped iteration. Naming/oracle/float
+  * conventions as in [[Queries]].
+  */
+object Queries5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- §2.1/2.2/2.6 TFrame surface sweep -------------------------------
+
+  /** rename → reorder → append(literal row) → computed columns via the
+    * generic name dispatch (functional.__getattr__ analog), a joined
+    * frame CONSTRUCTED from Scala values (dtype inference path), and
+    * the is_unique / is_monotonic scalar predicates as literal output
+    * columns. nation is 25 rows at every SF — the driver actions behind
+    * the scalar predicates are bounded, and the constructed tag frame
+    * broadcasts. */
+  def q72TframeSurface(s: SparkSession, dir: String): DataFrame = {
+    val nat = TFrame(t(s, dir, "nation"))
+      .rename(Map("n_name" -> "name"))
+      .reorder(Seq("name", "n_nationkey", "n_regionkey"))
+      .append(Seq(Row("NATION_99", 99, 4)))
+    val tags = TFrame(s, Seq(
+      "n_regionkey" -> Seq(0, 1, 2, 3, 4),
+      "region_tag" -> Seq("T0", "T1", "T2", "T3", "T4")))
+    val unique = nat.isUnique("name")
+    // NATION_xx string order interleaves 19 before 2 → not monotonic
+    val mono = nat.isMonotonicIncreasing("n_nationkey", Seq("name"))
+    nat.df
+      .join(broadcast(tags.df), "n_regionkey")
+      .select($"name", $"n_nationkey", $"n_regionkey",
+        Functional("lower", $"name").as("name_lower"),
+        $"region_tag",
+        lit(unique).as("name_unique"),
+        lit(mono).as("key_mono"))
+      .orderBy($"name")
+  }
+
+  val q72Sql: String =
+    """WITH nat AS (
+      |  SELECT n_name AS name, n_nationkey, n_regionkey FROM nation
+      |  UNION ALL SELECT 'NATION_99', 99, 4
+      |)
+      |SELECT name, n_nationkey, n_regionkey, LOWER(name) AS name_lower,
+      |  'T' || CAST(n_regionkey AS VARCHAR) AS region_tag,
+      |  (SELECT COUNT(DISTINCT name) = COUNT(*) FROM nat) AS name_unique,
+      |  (SELECT NOT EXISTS (SELECT 1 FROM (
+      |     SELECT n_nationkey,
+      |            LAG(n_nationkey) OVER (ORDER BY name) AS prev FROM nat)
+      |     WHERE n_nationkey < prev)) AS key_mono
+      |FROM nat ORDER BY name""".stripMargin
+
+  // ---- §2.4 describe(include/exclude) at the gate -----------------------
+
+  /** describe with dtype-family selection (dataframe_cpu.py:1786-1838):
+    * include="numeric" minus exclude="int" leaves exactly the float
+    * column s_acctbal. Only the deterministic metric rows are compared
+    * (count/mean/min/max — the percentile rows are sketch-based by
+    * design); mean is rounded per the float convention. */
+  def q73DescribeForms(s: SparkSession, dir: String): DataFrame =
+    TFrame(t(s, dir, "supplier"))
+      .describe(include = Seq("numeric"), exclude = Seq("int"))
+      .where(col("metric").isin("count", "mean", "min", "max"))
+      .withCol("s_acctbal", round(col("s_acctbal"), 4))
+      .sort(Seq("metric")).df
+
+  val q73Sql: String =
+    """SELECT * FROM (
+      |  SELECT 'count' AS metric,
+      |         ROUND(CAST(COUNT(s_acctbal) AS DOUBLE), 4) AS s_acctbal
+      |  FROM supplier
+      |  UNION ALL SELECT 'mean', ROUND(AVG(s_acctbal), 4) FROM supplier
+      |  UNION ALL SELECT 'min', ROUND(MIN(s_acctbal), 4) FROM supplier
+      |  UNION ALL SELECT 'max', ROUND(MAX(s_acctbal), 4) FROM supplier
+      |) ORDER BY metric""".stripMargin
+
+  // ---- §2.4 grouped[col] + functional.rand -------------------------------
+
+  /** grouped[col] (per-group value lists, dataframe_cpu.py:2304-2321)
+    * scalarized via sorted join for the hash compare, cross-joined with
+    * a one-row functional.rand range proof: rand() values are fresh per
+    * run (like the reference), so the oracle checks the [0,1) contract
+    * and row count, not values. */
+  def q74GroupedColRand(s: SparkSession, dir: String): DataFrame = {
+    val byRegion = TGrouped(t(s, dir, "nation"), Seq("n_regionkey"))("n_name")
+    val randProof = t(s, dir, "supplier")
+      .select(Functional.randCol().as("r"))
+      .agg(count(lit(1)).as("n_sup"),
+        (min($"r") >= 0.0 && max($"r") < 1.0).as("rand_ok"))
+    byRegion.df
+      .select($"n_regionkey",
+        array_join(sort_array($"n_name"), ",").as("names"))
+      .crossJoin(randProof)
+      .orderBy($"n_regionkey")
+  }
+
+  val q74Sql: String =
+    """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names,
+      |  (SELECT COUNT(*) FROM supplier) AS n_sup, TRUE AS rand_ok
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---- §2.4 grouped iteration at the gate --------------------------------
+
+  /** `for (key, subframe) <- grouped` (dataframe_cpu.py:2227-2245):
+    * iterate region groups of nation (bounded: 5 keys), aggregate each
+    * LAZY subframe independently, and reassemble the per-group results
+    * into one frame. Driver-side by nature, like the reference's
+    * grouped iteration; each subframe aggregate is its own pushed-down
+    * Spark job. */
+  def q75IterGroups(s: SparkSession, dir: String): DataFrame = {
+    val groups = TFrame(t(s, dir, "nation"))
+      .groupby("n_regionkey").iterGroups(maxGroups = 16)
+    val rows = groups.map { case (kr, sub) =>
+      val agg = sub.df.agg(count(lit(1)).as("n_nations"),
+        min(col("n_name")).as("min_name")).head()
+      Row(kr.getInt(0), agg.getLong(0), agg.getString(1))
+    }
+    val schema = StructType(Seq(
+      StructField("n_regionkey", IntegerType),
+      StructField("n_nations", LongType),
+      StructField("min_name", StringType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy($"n_regionkey")
+  }
+
+  val q75Sql: String =
+    """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS min_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_tframe_surface" -> (q72TframeSurface _),
+    "q73_describe_forms" -> (q73DescribeForms _),
+    "q74_grouped_col_rand" -> (q74GroupedColRand _),
+    "q75_iter_groups" -> (q75IterGroups _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q72_tframe_surface" -> q72Sql,
+    "q73_describe_forms" -> q73Sql,
+    "q74_grouped_col_rand" -> q74Sql,
+    "q75_iter_groups" -> q75Sql
+  )
+}

@@ -30,7 +30,8 @@ object SparkEntry {
     "q12_concat" -> (Queries.q12Concat _),
     "q13_events_window" -> (Queries.q13EventsWindow _),
     "q14_agg_forms" -> (Queries.q14AggForms _)
-  ) ++ Queries2.entries ++ Queries3.entries ++ Queries4.entries
+  ) ++ Queries2.entries ++ Queries3.entries ++ Queries4.entries ++
+    Queries5.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,6 @@ object SparkEntry {
     "q12_concat" -> Queries.q12Sql,
     "q13_events_window" -> Queries.q13Sql,
     "q14_agg_forms" -> Queries.q14Sql
-  ) ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles
+  ) ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++
+    Queries5.oracles
 }

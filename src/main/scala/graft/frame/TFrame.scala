@@ -582,14 +582,27 @@ object TFrame {
   private[graft] var maxBracketCollect: Long = 1L << 22
 
   /** Factory from named columns of Scala values with dtype inference
-    * (scope.py:252-388 analog). */
+    * (scope.py:252-388 analog). Values are coerced to the inferred
+    * type — inference widens Scala Int to int64 (Python int
+    * semantics), so the raw boxed Integers must become Longs before
+    * they meet the LongType schema. */
   def apply(spark: SparkSession, data: Seq[(String, Seq[Any])]): TFrame = {
     val fields = data.map { case (n, vs) =>
       StructField(n, Dtype.inferFromSeq(vs).spark, vs.contains(null))
     }
+    def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+      case (null, _) => null
+      case (x: Byte, LongType) => x.toLong
+      case (x: Short, LongType) => x.toLong
+      case (x: Int, LongType) => x.toLong
+      case (x: Float, DoubleType) => x.toDouble
+      case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
+      case _ => v
+    }
     val n = data.headOption.map(_._2.length).getOrElse(0)
     require(data.forall(_._2.length == n), "columns must share length")
-    val rows = (0 until n).map(i => Row.fromSeq(data.map(_._2(i))))
+    val rows = (0 until n).map(i => Row.fromSeq(
+      data.zip(fields).map { case ((_, vs), f) => coerce(vs(i), f.dataType) }))
     TFrame(spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), StructType(fields)))
   }

@@ -311,6 +311,14 @@ class TFrameSpec extends SparkSpec {
       Seq(("x", 1L), ("y", 2L)))
   }
 
+  test("construction coerces Scala Int to the inferred int64") {
+    val df = TFrame(spark, Seq(
+      "a" -> Seq(1, 2, 3),          // Int infers int64 (Python int)
+      "b" -> Seq[Any](1.5f, 2.0, 3.0))) // mixed f32/f64 -> float64
+    assert(df.df.schema.map(_.dataType) === Seq(LongType, DoubleType))
+    assert(col0(df.df.orderBy("a")) === Seq(1L, 2L, 3L))
+  }
+
   test("deterministic grouped mode on a non-numeric column") {
     val df = TFrame(spark, Seq(
       "k" -> Seq("x", "x", "x", "x", "y"),
