@@ -115,12 +115,25 @@ object Queries2 {
       |  AS mean_token_len
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Language ID — heuristic, not SQL-expressible: rows-only check. */
-  def q31LangId(s: SparkSession, dir: String): DataFrame =
+  /** Language ID — heuristic, not SQL-expressible: rows-only for the
+    * distribution, but pinned_ok re-classifies three fixed sentences
+    * in-query (unambiguous en/de stopwords + a no-hit string → "und")
+    * and raises on any deviation. */
+  def q31LangId(s: SparkSession, dir: String): DataFrame = {
+    val pinnedOk = when(
+      TextAnalysis.langId(lit("the cat sat on the mat and it is warm"))
+        === "en" &&
+      TextAnalysis.langId(lit("der hund und die katze sind nicht im haus"))
+        === "de" &&
+      TextAnalysis.langId(lit("zzz qqq xxx")) === "und",
+      lit(true))
+      .otherwise(raise_error(lit("q31: langId pinned fixture mismatch")))
     t(s, dir, "documents")
       .select($"doc_id", TextAnalysis.langId($"text").as("lang_pred"))
       .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
+      .withColumn("pinned_ok", pinnedOk)
       .orderBy($"lang_pred")
+  }
 
   /** Quality ratios as fused single-scan kernels (asciiAlphaRatio /
     * stopwordRatioEn) — numerators/denominators are the same integers
@@ -441,7 +454,11 @@ object Queries2 {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Approximate sketches: HLL distinct + approx quantiles (rows-only —
-    * sketch results are engine-specific by construction). */
+    * sketch results are engine-specific by construction). Self-checking:
+    * the same aggregate computes the exact values and sketch_ok raises
+    * unless every sketch lands inside its published error bound (HLL
+    * rsd 0.05 → 15% generous bound; percentile_approx accuracy 1000 →
+    * rank error 0.001, checked against exact ±0.015-rank brackets). */
   def q19ApproxSketch(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy($"l_returnflag")
@@ -450,7 +467,20 @@ object Queries2 {
         percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
           .as("p50_price"),
         percentile_approx($"l_extendedprice", lit(0.99), lit(1000))
-          .as("p99_price"))
+          .as("p99_price"),
+        countDistinct($"l_partkey").as("__exact_parts"),
+        percentile($"l_extendedprice",
+          array(lit(0.485), lit(0.515), lit(0.975), lit(0.9999)))
+          .as("__pb"))
+      .select($"l_returnflag", $"approx_parts", $"p50_price", $"p99_price",
+        when(
+          abs($"approx_parts" - $"__exact_parts").cast(DoubleType) /
+            $"__exact_parts" <= 0.15 &&
+          $"p50_price".between(element_at($"__pb", 1), element_at($"__pb", 2)) &&
+          $"p99_price".between(element_at($"__pb", 3), element_at($"__pb", 4)),
+          lit(true))
+          .otherwise(raise_error(lit(
+            "q19: sketch outside its error bound vs exact"))).as("sketch_ok"))
       .orderBy($"l_returnflag")
 
   // ---- multimodal: REAL header decode, fully oracled -------------------
