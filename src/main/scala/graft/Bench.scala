@@ -21,6 +21,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // bench times the sketch-only plans; the exact-bound self-checks
+    // stay on in the Verify/correctness path (default true)
+    spark.conf.set("graft.sketch.selfcheck", "false")
 
     def materialize(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()

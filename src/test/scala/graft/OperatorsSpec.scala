@@ -227,4 +227,21 @@ class OperatorsSpec extends SparkSpec {
       Multimodal.withBlob(df, "text"), "blob", 4)
     assert(out.count() === 4L)
   }
+
+  test("q19 bench mode drops the exact self-check aggregates but " +
+      "keeps the schema (graft.sketch.selfcheck=false)") {
+    val dir = "/root/testdata/sf0.001"
+    val checked = Queries2.q19ApproxSketch(spark, dir)
+    assert(checked.collect().forall(_.getAs[Boolean]("sketch_ok")))
+    try {
+      spark.conf.set("graft.sketch.selfcheck", "false")
+      val bench = Queries2.q19ApproxSketch(spark, dir)
+      assert(bench.schema.map(f => (f.name, f.dataType)) ===
+        checked.schema.map(f => (f.name, f.dataType)))
+      val plan = bench.queryExecution.optimizedPlan.toString
+      assert(!plan.contains("count(distinct"))
+      assert(!plan.toLowerCase.contains("percentile(")) // approx only
+      assert(bench.collect().forall(_.getAs[Boolean]("sketch_ok")))
+    } finally spark.conf.set("graft.sketch.selfcheck", "true")
+  }
 }

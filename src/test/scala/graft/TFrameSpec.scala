@@ -235,6 +235,22 @@ class TFrameSpec extends SparkSpec {
     } finally TFrame.maxBracketCollect = saved
   }
 
+  test("quantile fails fast when the covering bracket exceeds the cap " +
+      "in both rows and distinct values (no useless margin retries)") {
+    // 10k all-distinct doubles, cap 16: the median bracket covers the
+    // target ranks with ~64 rows = ~64 distinct values, both > cap.
+    // Widening can only grow the bracket, so orderStats must throw the
+    // fail-fast covering-bracket error, not the retry-exhausted one.
+    val df = TFrame(spark.range(10000).toDF("i"))
+      .withCol("x", col("i").cast("double") / 10000.0)
+    val saved = TFrame.maxBracketCollect
+    try {
+      TFrame.maxBracketCollect = 16
+      val e = intercept[IllegalStateException](df.quantile("x", 0.5))
+      assert(e.getMessage.contains("rank-covering bracket"))
+    } finally TFrame.maxBracketCollect = saved
+  }
+
   test("rowSlice start:stop:step with explicit order (§2.2)") {
     val df = TFrame(spark, Seq("a" -> (0L until 10L)))
     assert(col0(df.rowSlice(2, 9, 3, Seq("a")).df) === Seq(2L, 5L, 8L))
@@ -317,6 +333,20 @@ class TFrameSpec extends SparkSpec {
       "b" -> Seq[Any](1.5f, 2.0, 3.0))) // mixed f32/f64 -> float64
     assert(df.df.schema.map(_.dataType) === Seq(LongType, DoubleType))
     assert(col0(df.df.orderBy("a")) === Seq(1L, 2L, 3L))
+  }
+
+  test("construction coerces mixed int/float columns to the promoted " +
+      "float type") {
+    // int ⊔ float64 → float64, int ⊔ float32 → float32 (lattice);
+    // every boxed int width must widen to the promoted schema type
+    val df = TFrame(spark, Seq(
+      "a" -> Seq[Any](1, 2.5, null, 3L),
+      "b" -> Seq[Any](1.toByte, 2.toShort, 0.5f, 4)))
+    assert(df.df.schema.map(_.dataType) ===
+      Seq(DoubleType, FloatType))
+    assert(col0(df.df.orderBy("a")) === Seq(null, 1.0, 2.5, 3.0))
+    assert(df.df.orderBy("b").collect().map(_.get(1)).toSeq ===
+      Seq(0.5f, 1.0f, 2.0f, 4.0f))
   }
 
   test("deterministic grouped mode on a non-numeric column") {

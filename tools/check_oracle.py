@@ -5,7 +5,7 @@ result parquet written by graft.Verify. Compares schema (column names),
 row count, and exact cell values after sorting columns by name and rows
 by all columns. Usage: check_oracle.py <sfDir> <verifyOutDir>
 """
-import sys, json, glob, math
+import sys, json, glob, math, struct, decimal
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -24,6 +24,36 @@ def cell_eq(a, b):
 
 def row_eq(a, b):
     return cell_eq(a, b)
+
+def cell_key(x):
+    """Total-order sort key matching cell_eq's equality: Python sorted()
+    treats -0.0 == 0.0 and raises on NaN comparisons, so two result sets
+    differing only in the order of a 0.0 vs -0.0 row (or with NaN sort
+    keys) would misalign. Floats key on their IEEE-754 bytes with NaN
+    canonicalized; equal keys iff cell_eq, and any deterministic total
+    order aligns both sides identically."""
+    if x is None:
+        return (0, b"")
+    if isinstance(x, bool):
+        return (1, b"\x01" if x else b"\x00")
+    if isinstance(x, float):
+        if math.isnan(x):
+            return (3, b"\xff" * 9)  # one canonical NaN, after all floats
+        return (3, struct.pack(">d", x))
+    if isinstance(x, decimal.Decimal):
+        # DuckDB DECIMAL vs Spark double: same keyspace so rows align;
+        # cell_eq still does the exact cross-type compare
+        return (3, struct.pack(">d", float(x)))
+    if isinstance(x, int):
+        return (2, x)
+    if isinstance(x, (list, tuple)):
+        return (4, tuple(cell_key(v) for v in x))
+    if isinstance(x, bytes):
+        return (5, x)
+    return (6, str(x))
+
+def row_key(r):
+    return tuple(cell_key(c) for c in r)
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -66,8 +96,8 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: type mismatch {tmis}"); n_fail += 1; continue
         gi = [got_cols.index(c) for c in sorted(got_cols)]
         wi = [want_cols.index(c) for c in sorted(want_cols)]
-        g = sorted(tuple(r[i] for i in gi) for r in got)
-        w = sorted(tuple(r[i] for i in wi) for r in want)
+        g = sorted((tuple(r[i] for i in gi) for r in got), key=row_key)
+        w = sorted((tuple(r[i] for i in wi) for r in want), key=row_key)
         if len(g) != len(w):
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}"); n_fail += 1; continue
         bad = [(a, b) for a, b in zip(g, w) if not row_eq(a, b)]
