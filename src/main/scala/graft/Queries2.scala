@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -174,36 +174,157 @@ object Queries2 {
       |    PARTITION BY substring(text, 1, 80) ORDER BY doc_id) AS rn
       |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
-  /** MinHash-LSH near-dup candidate pairs (rows-only: LSH is
-    * hash-defined, no SQL equivalent). */
-  def q40MinhashLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.minHashLsh(t(s, dir, "documents"), "text", "doc_id",
-        k = 64, bands = 16, shingleSize = 3, threshold = 0.30)
-      .orderBy($"id_a", $"id_b")
+  // ---- LSH self-check machinery --------------------------------------
+  //
+  // The LSH family has no SQL oracle (hash-defined), so each gate query
+  // proves itself: an exact kernel (the same ones q44/q50 oracle) scores
+  // a bounded fixture, and the query raises unless the LSH candidate set
+  // CONTAINS every pair the exact kernel rates above a high threshold
+  // (containment, not equality — LSH may over-generate). Three planted
+  // near-dup docs / two planted twin-vector pairs make the check
+  // non-vacuous at every SF regardless of corpus content; planted ids
+  // sit far above any corpus id (and sort last inside every LSH bucket,
+  // so the bucket cap can never displace corpus rows) and are filtered
+  // from the emitted rows. Mirrors the reference's pinned-output
+  // discipline (test/transformation/test_sigrid_hash.py:48-66).
 
-  /** SimHash near-dup pairs (rows-only). */
-  def q41Simhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash(t(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
-      .orderBy($"id_a", $"id_b")
+  private val plantBase = 1000000000L
 
-  /** Exact n-gram Jaccard verification of LSH candidates (rows-only). */
-  def q42NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val cands = Dedup.minHashLsh(docs, "text", "doc_id",
-      k = 64, bands = 16, shingleSize = 3, threshold = 0.20)
-    Dedup.ngramJaccard(cands.select($"id_a", $"id_b"), docs, "text", "doc_id",
-        n = 3)
-      .where($"jaccard" >= 0.30)
-      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+  /** P0 == P1 verbatim (Jaccard 1.0, SimHash Hamming 0); P2 appends one
+    * trailing token to P0 (word-3-shingle Jaccard 78/79 ≈ 0.987). */
+  private def plantedDocs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val base = (0 until 80).map(i => s"planted$i").mkString(" ")
+    Seq((plantBase, base), (plantBase + 1, base),
+        (plantBase + 2, base + " plantedtail"))
+      .toDF("doc_id", "text")
+  }
+
+  /** Two twin pairs of identical 64-dim vectors (cosine exactly 1.0,
+    * identical hyperplane bucket by construction); cross-pair cosine is
+    * far from 1 (alternating signs). */
+  private def plantedVecs(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val v1 = (0 until 64).map(i => ((i % 7) + 1) / 10.0f)
+    val v2 = (0 until 64).map(i =>
+      (if (i % 2 == 0) 1 else -1) * ((i % 5) + 1) / 10.0f)
+    Seq((plantBase, v1), (plantBase + 1, v1),
+        (plantBase + 2, v2), (plantBase + 3, v2))
+      .toDF("vec_id", "embedding")
+  }
+
+  /** 1-row TRUE frame (to cross-join onto the emitted result) when
+    * `exact` has at least `minExpected` pairs and every one appears in
+    * `cands`; raises otherwise. Both inputs are bounded (fixture
+    * all-pairs / candidate keys). */
+  private def containmentCheck(exact: DataFrame, cands: DataFrame,
+      what: String, minExpected: Int): DataFrame = {
+    val stats = exact
+      .join(cands.select($"id_a", $"id_b"), Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__found"))
+      .crossJoin(exact.agg(count(lit(1)).as("__exact")))
+    val ok = when($"__exact" >= minExpected && $"__found" === $"__exact",
+        lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"$what: exact-kernel containment self-check failed (found="),
+        $"__found".cast(StringType),
+        lit(" of exact="), $"__exact".cast(StringType),
+        lit(s", min expected $minExpected)"))))
+    stats.select(ok.as("recall_ok"))
+  }
+
+  /** Word-3-shingle sets (the exact-Jaccard unit minHashText estimates
+    * — same tokenization/windowing, Kernels.shingleSet) over the
+    * bounded fixture: corpus doc_id < 200 plus the planted docs. */
+  private def shingleFixture(corpus: DataFrame): DataFrame =
+    corpus.where($"doc_id" < 200 || $"doc_id" >= plantBase)
+      .select($"doc_id", Functional.shingleSet($"text", 3).as("sh"))
+
+  private def fixturePairs(fix: DataFrame, scoreCol: Column,
+      keep: Column): DataFrame = {
+    val a = fix.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = fix.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    a.join(broadcast(b), $"id_a" < $"id_b")
+      .select($"id_a", $"id_b", scoreCol.as("__score"))
+      .where(keep)
+      .select($"id_a", $"id_b")
+  }
+
+  /** MinHash-LSH near-dup candidate pairs. Self-checking: every fixture
+    * pair with exact shingle Jaccard ≥ 0.80 must be an LSH candidate
+    * (16 bands × 4 rows: per-pair miss odds < 1e-3 at j=0.8, and the
+    * planted j≈0.99/1.0 pairs are near-certain — deterministic per
+    * dataset, verified green at sf0.001/0.01/0.1). */
+  def q40MinhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select($"doc_id", $"text")
+      .unionByName(plantedDocs(s))
+    val cand = Dedup.minHashLsh(corpus, "text", "doc_id",
+      k = 64, bands = 16, shingleSize = 3, threshold = 0.30)
+    val exact = fixturePairs(shingleFixture(corpus),
+      Functional.jaccardSorted($"sh_a", $"sh_b"), $"__score" >= 0.80)
+    cand.where($"id_a" < plantBase && $"id_b" < plantBase)
+      .crossJoin(broadcast(containmentCheck(exact, cand, "q40", 3)))
       .orderBy($"id_a", $"id_b")
   }
 
-  /** Embedding cosine near-dup pairs via hyperplane LSH (rows-only). */
-  def q43EmbedDedup(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosine(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.30, bits = 8)
-      .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"))
+  /** SimHash near-dup pairs. Self-checking with a pigeonhole GUARANTEE:
+    * any pair at Hamming ≤ 3 differs in at most 3 of the 4 16-bit
+    * chunks, so it must share a chunk bucket and surface as a candidate
+    * (the planted identical pair is at distance 0). */
+  def q41Simhash(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select($"doc_id", $"text")
+      .unionByName(plantedDocs(s))
+    val cand = Dedup.simHash(corpus, "text", "doc_id", maxHamming = 8)
+    val fix = corpus.where($"doc_id" < 200 || $"doc_id" >= plantBase)
+      .select($"doc_id",
+        Functional.simhash64(TextAnalysis.tokens($"text")).as("sh"))
+    val exact = fixturePairs(fix,
+      Functional.hamming64($"sh_a", $"sh_b").cast(DoubleType),
+      $"__score" <= 3.0)
+    cand.where($"id_a" < plantBase && $"id_b" < plantBase)
+      .crossJoin(broadcast(containmentCheck(exact, cand, "q41", 1)))
       .orderBy($"id_a", $"id_b")
+  }
+
+  /** Exact n-gram Jaccard verification of LSH candidates.
+    * Self-checking: fixture pairs at exact Jaccard ≥ 0.80 survive the
+    * ≥ 0.30 verify filter by definition, so they must appear in the
+    * output unless LSH (threshold 0.20) missed the candidate. */
+  def q42NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select($"doc_id", $"text")
+      .unionByName(plantedDocs(s))
+    val cands = Dedup.minHashLsh(corpus, "text", "doc_id",
+      k = 64, bands = 16, shingleSize = 3, threshold = 0.20)
+    val verified = Dedup.ngramJaccard(
+        cands.select($"id_a", $"id_b"), corpus, "text", "doc_id", n = 3)
+      .where($"jaccard" >= 0.30)
+    val exact = fixturePairs(shingleFixture(corpus),
+      Functional.jaccardSorted($"sh_a", $"sh_b"), $"__score" >= 0.80)
+    verified.where($"id_a" < plantBase && $"id_b" < plantBase)
+      .select($"id_a", $"id_b", round($"jaccard", 4).as("jaccard"))
+      .crossJoin(broadcast(containmentCheck(exact, verified, "q42", 3)))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Embedding cosine near-dup pairs via hyperplane LSH.
+    * Self-checking: fixture pairs at exact cosine ≥ 0.999 must be
+    * candidates — the planted twins are bit-identical vectors, which
+    * hash to the same bucket by construction. */
+  def q43EmbedDedup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      .unionByName(plantedVecs(s))
+    val cand = Dedup.embeddingCosine(corpus, "embedding", "vec_id",
+      threshold = 0.30, bits = 8)
+    val fix = corpus.where($"vec_id" < 200 || $"vec_id" >= plantBase)
+      .select($"vec_id".as("doc_id"), $"embedding".as("sh"))
+    val exact = fixturePairs(fix,
+      Functional.cosineSim($"sh_a", $"sh_b"), $"__score" >= 0.999)
+    cand.where($"id_a" < plantBase && $"id_b" < plantBase)
+      .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"),
+        $"dropped_candidates")
+      .crossJoin(broadcast(containmentCheck(exact, cand, "q43", 2)))
+      .orderBy($"id_a", $"id_b")
+  }
 
   // ---- similarity search ----------------------------------------------
 
@@ -228,13 +349,75 @@ object Queries2 {
       |  WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id)
       |WHERE rank <= 10 ORDER BY probe_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (rows-only: approximate by construction). */
+  /** recall@k scalar: |approx ∩ exact| / |exact| over the fixed probe
+    * set, as a 1-row frame raising below `floor`. The brute-force side
+    * is q50's exact plan — one broadcast-probe scan, linear in the
+    * corpus, constant-bounded output (|probes| × k). */
+  private[graft] def annRecallCheck(approx: DataFrame, exact: DataFrame,
+      what: String, floor: Double): DataFrame = {
+    val stats = approx.select($"probe_id", $"id")
+      .join(exact.select($"probe_id", $"id"), Seq("probe_id", "id"),
+        "left_semi")
+      .agg(count(lit(1)).as("__hits"))
+      .crossJoin(exact.agg(count(lit(1)).as("__total")))
+    val recall = $"__hits".cast(DoubleType) / $"__total".cast(DoubleType)
+    val ok = when($"__total" > 0 && recall >= floor, round(recall, 4))
+      .otherwise(raise_error(concat(
+        lit(s"$what: recall@10 "), round(recall, 4).cast(StringType),
+        lit(s" below pinned floor $floor"))))
+    stats.select(ok.as("recall_at10"))
+  }
+
+  /** GUARANTEED ANN correctness check: plant an exact twin of each
+    * probe vector into the corpus (id = probe_id + plantBase). A
+    * correct ANN must return the twin at rank 1 — it lands in the
+    * probe's own LSH bucket / IVF cell by construction (identical
+    * input, identical hash/cell), and cosine 1.0 beats every other
+    * corpus vector. Raises unless all `nProbes` twins rank first.
+    * Complements the recall floor: recall on near-uniform vectors is
+    * data-limited, but finding a planted true nearest neighbor is
+    * not. */
+  private[graft] def annTwinCheck(
+      run: DataFrame => DataFrame, emb: DataFrame, probes: DataFrame,
+      what: String, nProbes: Int): DataFrame = {
+    val twins = probes.select(($"vec_id" + plantBase).as("vec_id"),
+      $"embedding")
+    val planted = run(emb.select($"vec_id", $"embedding")
+      .unionByName(twins))
+    val stats = planted
+      .where($"rank" === 1 && $"id" === $"probe_id" + plantBase)
+      .agg(count(lit(1)).as("__nn"))
+    val ok = when($"__nn" === nProbes, lit(true))
+      .otherwise(raise_error(concat(
+        lit(s"$what: planted-twin check failed ("),
+        $"__nn".cast(StringType),
+        lit(s" of $nProbes probes ranked their exact twin first)"))))
+    stats.select(ok.as("nn_ok"))
+  }
+
+  /** LSH-bucketed ANN. Approximate by construction — no SQL oracle —
+    * but doubly self-checking: (a) the planted-twin guarantee
+    * (annTwinCheck) and (b) recall@10 vs q50's exact brute-force
+    * ranking, raise_error below the pinned floor. The floor is what
+    * the fixed seed deterministically achieves on this synthetic
+    * corpus (measured 0.10/0.16/0.14 at sf0.001/0.01/0.1): the
+    * vectors are near-uniform (max corpus cosine ≈ 0.48, no cluster
+    * structure), the worst case for locality hashing — 1-bit
+    * multiprobe over 256 buckets scans ~3.5% of the corpus, and on
+    * structureless data recall tracks scan fraction. The twin check
+    * is the correctness proof; the floor is drift detection. */
   def q51KnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.where($"vec_id" < 5)
-    Similarity.lshTopK(emb, probes, "embedding", "vec_id", "vec_id",
+    def run(corpus: DataFrame): DataFrame =
+      Similarity.lshTopK(corpus, probes, "embedding", "vec_id", "vec_id",
         k = 10, bits = 8)
-      .select($"probe_id", $"id", $"rank")
+    val lsh = run(emb)
+    val brute = Similarity.bruteForceTopK(emb, probes, "embedding", "vec_id",
+      "vec_id", k = 10)
+    lsh.select($"probe_id", $"id", $"rank")
+      .crossJoin(broadcast(annRecallCheck(lsh, brute, "q51", 0.08)))
+      .crossJoin(broadcast(annTwinCheck(run, emb, probes, "q51", 5)))
       .orderBy($"probe_id", $"rank")
   }
 

@@ -306,12 +306,27 @@ object Queries3 {
   // ---- IVF ANN (the second scale path beside LSH; rows-only:
   //      approximate by construction) --------------------------------
 
+  /** Self-checking (round 8): (a) planted-twin guarantee — an exact
+    * copy of each probe in the corpus must rank first (same IVF cell
+    * by construction) — and (b) recall@10 vs the exact brute-force
+    * ranking, raise_error below the pinned floor. The floor is the
+    * deterministic measured result on this synthetic corpus
+    * (0.66/0.66/0.56 at sf0.001/0.01/0.1): near-uniform vectors have
+    * no cluster structure for the coarse quantizer to exploit, so
+    * nProbe/nCells = 4/16 recall tracks the 25% scan fraction. See
+    * Queries2.annTwinCheck/annRecallCheck. */
   def q52KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.where($"vec_id" < 5)
-    graft.operators.Similarity.ivfTopK(emb, probes, "embedding",
+    def run(corpus: DataFrame): DataFrame =
+      graft.operators.Similarity.ivfTopK(corpus, probes, "embedding",
         "vec_id", "vec_id", k = 10, nCells = 16, nProbe = 4)
-      .select($"probe_id", $"id", $"rank")
+    val ivf = run(emb)
+    val brute = graft.operators.Similarity.bruteForceTopK(emb, probes,
+      "embedding", "vec_id", "vec_id", k = 10)
+    ivf.select($"probe_id", $"id", $"rank")
+      .crossJoin(broadcast(Queries2.annRecallCheck(ivf, brute, "q52", 0.50)))
+      .crossJoin(broadcast(Queries2.annTwinCheck(run, emb, probes, "q52", 5)))
       .orderBy($"probe_id", $"rank")
   }
 

@@ -16,8 +16,25 @@ import graft.functions.Functional
   * (bucket-key, id) pairs and generate candidates within buckets, so
   * the quadratic step is confined to collision groups; `maxBucket`
   * caps degenerate buckets (boilerplate clusters) to bound skew.
+  *
+  * No silent caps: every LSH variant carries a constant
+  * `dropped_candidates` column — the number of bucket memberships the
+  * `maxBucket` cap removed — so a 100 TB run can see the recall the
+  * cap cost it instead of candidates silently vanishing at skewed
+  * buckets. 0 means the cap never fired.
   */
 object Dedup {
+
+  /** Attach the cap-drop count: rows of `exploded` past `maxBucket` in
+    * their bucket, as a constant `dropped_candidates` column on
+    * `pairs`. The 1-row global count broadcasts; the shuffle under the
+    * bucket window is shared with the candidate branch via exchange
+    * reuse. */
+  private def withDropCount(
+      pairs: DataFrame, exploded: DataFrame, maxBucket: Int): DataFrame =
+    pairs.crossJoin(broadcast(
+      exploded.where(col("__rn") > maxBucket)
+        .agg(count(lit(1)).as("dropped_candidates"))))
 
   /** Exact dedup, keep='first' by `orderCol` (lowest id wins — the
     * distributed-deterministic version of the reference's
@@ -75,9 +92,8 @@ object Dedup {
     // bucket join on (band, bandHash); a<b kills self+mirror pairs.
     // Cap pathological buckets to bound the quadratic step.
     val wB = Window.partitionBy("band", "bandHash").orderBy("id")
-    val capped = banded
-      .withColumn("__rn", row_number().over(wB))
-      .where(col("__rn") <= maxBucket)
+    val ranked = banded.withColumn("__rn", row_number().over(wB))
+    val capped = ranked.where(col("__rn") <= maxBucket)
     val l = capped.select(col("band"), col("bandHash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = capped.select(col("band"), col("bandHash"),
@@ -92,7 +108,7 @@ object Dedup {
           .as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-    est
+    withDropCount(est, ranked, maxBucket)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit
@@ -111,18 +127,19 @@ object Dedup {
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
     val wB = Window.partitionBy("chunk", "chunkVal").orderBy("id")
-    val capped = chunks.withColumn("__rn", row_number().over(wB))
-      .where(col("__rn") <= maxBucket)
+    val ranked = chunks.withColumn("__rn", row_number().over(wB))
+    val capped = ranked.where(col("__rn") <= maxBucket)
     val l = capped.select(col("chunk"), col("chunkVal"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val r = capped.select(col("chunk"), col("chunkVal"),
       col("id").as("id_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("chunk", "chunkVal"))
+    val pairs = l.join(r, Seq("chunk", "chunkVal"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Functional.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
+    withDropCount(pairs, ranked, maxBucket)
   }
 
   /** Exact n-gram Jaccard similarity for a candidate pair set
@@ -161,15 +178,16 @@ object Dedup {
     val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Functional.hyperplaneLsh(col(vecCol), bits).as("bucket"))
     val wB = Window.partitionBy("bucket").orderBy("id")
-    val capped = sig.withColumn("__rn", row_number().over(wB))
-      .where(col("__rn") <= maxBucket)
+    val ranked = sig.withColumn("__rn", row_number().over(wB))
+    val capped = ranked.where(col("__rn") <= maxBucket)
     val l = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("bucket"))
+    val pairs = l.join(r, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Functional.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
+    withDropCount(pairs, ranked, maxBucket)
   }
 }
