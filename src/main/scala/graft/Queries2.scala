@@ -116,15 +116,23 @@ object Queries2 {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Language ID — heuristic, not SQL-expressible: rows-only for the
-    * distribution, but pinned_ok re-classifies three fixed sentences
-    * in-query (unambiguous en/de stopwords + a no-hit string → "und")
-    * and raises on any deviation. */
+    * distribution, but pinned_ok re-classifies one fixed sentence per
+    * supported stopword profile (en/de/fr/es/zh) plus a no-hit string
+    * (→ "und") in-query and raises on any deviation — the full
+    * profile table is exercised at the gate, not just in ScalaTest. */
   def q31LangId(s: SparkSession, dir: String): DataFrame = {
     val pinnedOk = when(
       TextAnalysis.langId(lit("the cat sat on the mat and it is warm"))
         === "en" &&
       TextAnalysis.langId(lit("der hund und die katze sind nicht im haus"))
         === "de" &&
+      TextAnalysis.langId(lit(
+        "le chat est dans la maison et il dort pour le moment")) === "fr" &&
+      TextAnalysis.langId(lit(
+        "el perro es un animal que vive en la casa con una familia"))
+        === "es" &&
+      TextAnalysis.langId(lit("我 是 中 文 的 人 他 们 不 在 这 个"))
+        === "zh" &&
       TextAnalysis.langId(lit("zzz qqq xxx")) === "und",
       lit(true))
       .otherwise(raise_error(lit("q31: langId pinned fixture mismatch")))
@@ -658,7 +666,11 @@ object Queries2 {
         percentile_approx($"l_extendedprice", lit(0.99), lit(1000))
           .as("p99_price"))
         .select($"l_returnflag", $"approx_parts", $"p50_price",
-          $"p99_price", lit(true).as("sketch_ok"))
+          $"p99_price",
+          // schema parity only — in bench mode the bound-check does NOT
+          // run; this column is NOT a verified result here. The gate
+          // (Verify, selfcheck=true) is the path that proves the bound.
+          lit(true).as("sketch_ok"))
         .orderBy($"l_returnflag")
     else sketches
       .agg(

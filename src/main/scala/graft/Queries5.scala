@@ -140,17 +140,50 @@ object Queries5 {
     """SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS min_name
       |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
 
+  // ---- §2.1 collect / to_pylist at the gate ---------------------------
+
+  /** The driver-side export path (reference collect/to_pylist,
+    * icolumn.py:1104-1125): aggregate customer per market segment,
+    * export the bounded result through TFrame.toPylist (name → value
+    * maps via the capped collectRows), rebuild a DataFrame from the
+    * exported maps, and emit THAT — a green oracle row proves the
+    * export round-trips names, values, nulls and types exactly. The
+    * collected payload is the 5-row aggregate, never base-table rows. */
+  def q76CollectExport(s: SparkSession, dir: String): DataFrame = {
+    val agg = TFrame(t(s, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        sum($"c_acctbal".cast(DecimalType(25, 2))).cast(DoubleType)
+          .as("bal_sum")))
+    val exported = agg.toPylist(maxRows = 100)
+    val rows = exported.map(m =>
+      Row(m("c_mktsegment"), m("n"), m("bal_sum")))
+    val schema = StructType(Seq(
+      StructField("c_mktsegment", StringType),
+      StructField("n", LongType),
+      StructField("bal_sum", DoubleType)))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .orderBy($"c_mktsegment")
+  }
+
+  val q76Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS bal_sum
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_tframe_surface" -> (q72TframeSurface _),
     "q73_describe_forms" -> (q73DescribeForms _),
     "q74_grouped_col_rand" -> (q74GroupedColRand _),
-    "q75_iter_groups" -> (q75IterGroups _)
+    "q75_iter_groups" -> (q75IterGroups _),
+    "q76_collect_export" -> (q76CollectExport _)
   )
 
   val oracles: Map[String, String] = Map(
     "q72_tframe_surface" -> q72Sql,
     "q73_describe_forms" -> q73Sql,
     "q74_grouped_col_rand" -> q74Sql,
-    "q75_iter_groups" -> q75Sql
+    "q75_iter_groups" -> q75Sql,
+    "q76_collect_export" -> q76Sql
   )
 }

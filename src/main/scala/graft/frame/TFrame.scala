@@ -182,6 +182,29 @@ final case class TFrame(df: DataFrame) {
     concat(TFrame(df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)))
 
+  // ---- driver-side export (§2.1) --------------------------------------
+
+  /** Collect the frame as local rows (the reference's collect /
+    * to_pandas export half, icolumn.py:1104-1125). Driver-side by
+    * design — `maxRows` guards against an unbounded collect reaching a
+    * large run: the fetch is limit(maxRows+1), so exceeding the cap
+    * fails fast without pulling the full result. */
+  def collectRows(maxRows: Int = 100000): Seq[Row] = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"collectRows: result exceeds maxRows=$maxRows; " +
+        "aggregate or filter before exporting, or raise maxRows")
+    rows.toSeq
+  }
+
+  /** to_pylist equivalent (icolumn.py:1117-1125): each row as a
+    * column-name → value map. Same maxRows guard as collectRows. */
+  def toPylist(maxRows: Int = 100000): Seq[Map[String, Any]] = {
+    val names = df.columns
+    collectRows(maxRows).map(r =>
+      names.iterator.zipWithIndex.map { case (n, i) => n -> r.get(i) }.toMap)
+  }
+
   // ---- column-level reductions lifted per column (§2.4) ---------------
 
   private def numericCols: Seq[String] = df.schema.fields.toSeq.collect {
@@ -267,6 +290,14 @@ final case class TFrame(df: DataFrame) {
 
   private def cumApply(opName: String, op: Column => Column,
       valueCols: Seq[String], order: Seq[String], by: Seq[String]): TFrame = {
+    // plan-time guard for the documented sharp edge: an unpartitioned
+    // running aggregate is a global single-partition window — fine on
+    // a bounded frame, a serialization point at scale. Warn loudly so
+    // it cannot reach a large run silently; pass `by` to distribute.
+    if (by.isEmpty)
+      TFrame.log.warn(
+        s"TFrame.$opName without `by`: global single-partition window " +
+          "(driver-scale only). Pass a partition key to distribute.")
     val base = if (by.isEmpty) Window.orderBy(order.map(df(_).asc): _*)
       else Window.partitionBy(by.map(df(_)): _*)
         .orderBy(order.map(df(_).asc): _*)
@@ -583,6 +614,9 @@ final case class TFrame(df: DataFrame) {
 }
 
 object TFrame {
+  private[frame] val log =
+    org.slf4j.LoggerFactory.getLogger(classOf[TFrame])
+
   /** Hard cap on rows (or histogram entries) a single quantile bracket
     * may bring to the driver: 4M doubles ≈ 32 MB. Package-visible so
     * specs can shrink it to force the histogram/retry paths. */

@@ -409,4 +409,18 @@ class TFrameSpec extends SparkSpec {
     assert(got.collect().toSeq.map(_.getDouble(3)) ===
       Seq(1.0, 3.0, 10.0, 30.0))
   }
+
+  test("collectRows / toPylist export (icolumn.py:1104-1125)") {
+    val rows = abc.collectRows()
+    assert(rows.length === 7)
+    val maps = abc.toPylist()
+    assert(maps.head.keySet === Set("a", "b", "c"))
+    assert(maps.map(_("a")) === (0L to 6L))
+    // null round-trips as null, not a default
+    val withNull = TFrame(spark, Seq("x" -> Seq[Any](1L, null, 3L)))
+    assert(withNull.toPylist().map(_("x")) === Seq(1L, null, 3L))
+    // the cap fails fast instead of collecting past the bound
+    val e = intercept[IllegalArgumentException](abc.collectRows(maxRows = 3))
+    assert(e.getMessage.contains("maxRows"))
+  }
 }

@@ -38,12 +38,20 @@ def cell_key(x):
         return (1, b"\x01" if x else b"\x00")
     if isinstance(x, float):
         if math.isnan(x):
-            return (3, b"\xff" * 9)  # one canonical NaN, after all floats
-        return (3, struct.pack(">d", x))
+            return (3, b"\xff" * 9, "")  # one canonical NaN, after all floats
+        return (3, struct.pack(">d", x), "")
     if isinstance(x, decimal.Decimal):
-        # DuckDB DECIMAL vs Spark double: same keyspace so rows align;
-        # cell_eq still does the exact cross-type compare
-        return (3, struct.pack(">d", float(x)))
+        # DuckDB DECIMAL vs Spark double: key on the double approximation
+        # so cross-type rows align, plus a LOSSLESS tiebreaker — two
+        # distinct Decimals within one double ulp would otherwise get
+        # equal keys and sort by engine-specific fetch order, which could
+        # misalign rows and yield a spurious FAIL. Floats carry an empty
+        # tiebreaker; cell_eq still does the exact cross-type compare.
+        try:
+            d = struct.pack(">d", float(x))
+        except (OverflowError, ValueError):
+            d = b"\xfe" * 8
+        return (3, d, str(x.normalize()))
     if isinstance(x, int):
         return (2, x)
     if isinstance(x, (list, tuple)):
