@@ -429,6 +429,67 @@ public final class Kernels {
     return h;
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+   * Local Algorithms for Document Fingerprinting", SIGMOD 2003):
+   * polynomial rolling hash over byte k-grams, then the minimum hash of
+   * each window of w consecutive k-gram hashes is selected, taking the
+   * RIGHTMOST minimum on ties (the paper's robust tie rule). Guarantee
+   * (paper §3): two documents sharing a substring of at least
+   * w + k - 1 bytes share at least one fingerprint, and no match
+   * shorter than k bytes is ever detected. A document with fewer than
+   * w k-grams contributes the minimum over all of them. Returns the
+   * distinct selected fingerprints as a sorted array&lt;long&gt;,
+   * directly consumable by {@link #jaccardSorted}. O(n) per document:
+   * one rolling-hash pass plus a monotonic-deque sliding minimum. */
+  public static ArrayData winnow(UTF8String text, int k, int w) {
+    if (k < 1 || w < 1) {
+      throw new IllegalArgumentException("winnow: need k >= 1 and w >= 1");
+    }
+    byte[] b = text.getBytes();
+    int m = b.length - k + 1; // number of byte k-grams
+    if (m <= 0) return new GenericArrayData(new long[0]);
+    final long B = 0x100000001b3L; // odd -> invertible multiplier mod 2^64
+    long bk = 1L;
+    for (int i = 1; i < k; i++) bk *= B; // B^(k-1), weight of the oldest byte
+    long h = 0L;
+    for (int i = 0; i < k; i++) h = h * B + (b[i] & 0xffL);
+    long[] grams = new long[m];
+    grams[0] = twangMix64(h);
+    for (int i = 1; i < m; i++) {
+      h = (h - (b[i - 1] & 0xffL) * bk) * B + (b[i + k - 1] & 0xffL);
+      grams[i] = twangMix64(h);
+    }
+    // Sliding unsigned minimum via a monotonic index deque. Popping the
+    // back on `>=` makes the front the rightmost minimum of the window.
+    // A fingerprint is recorded whenever the winning POSITION changes
+    // (standard winnowing: one record per selection, not per window).
+    int win = Math.min(w, m);
+    int[] deque = new int[m];
+    int head = 0, tail = 0; // candidates live in [head, tail)
+    long[] sel = new long[m];
+    int nSel = 0;
+    int lastPick = -1;
+    for (int i = 0; i < m; i++) {
+      while (tail > head
+          && grams[deque[tail - 1]] + Long.MIN_VALUE
+              >= grams[i] + Long.MIN_VALUE) {
+        tail--;
+      }
+      deque[tail++] = i;
+      if (deque[head] <= i - win) head++;
+      if (i >= win - 1 && deque[head] != lastPick) {
+        lastPick = deque[head];
+        sel[nSel++] = grams[lastPick];
+      }
+    }
+    java.util.Arrays.sort(sel, 0, nSel);
+    int d = 0;
+    for (int s = 0; s < nSel; s++) {
+      if (d == 0 || sel[s] != sel[d - 1]) sel[d++] = sel[s];
+    }
+    return new GenericArrayData(java.util.Arrays.copyOf(sel, d));
+  }
+
   /** Affine permutation coefficients per (seed, k), derived
    * deterministically and cached — they are shingle-invariant. */
   private static final ConcurrentHashMap<Long, long[][]> MINHASH_COEF =

@@ -171,12 +171,61 @@ object Queries5 {
       |CAST(SUM(CAST(c_acctbal AS DECIMAL(25,2))) AS DOUBLE) AS bal_sum
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  // ---- LLM-pipeline: winnowing fingerprints at the gate -----------------
+
+  /** Winnowing (rolling-hash) document fingerprints — Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03 — self-checking in the q61/q36
+    * pinned-fixture discipline. The literal fixture asserts the paper's
+    * guarantees at run time, raise_error on violation: (1) two docs
+    * sharing a run of >= w + k - 1 bytes share at least one
+    * fingerprint; (2) disjoint-alphabet docs share none (deterministic
+    * on this fixture); (3) selection density: at least one fingerprint
+    * per w windows, never more than one per k-gram. Output is the
+    * per-document fingerprint-set profile over `documents` — at scale a
+    * fingerprint-join dedup shuffles this bounded set (expected density
+    * 2/(w+1) per k-gram), never the text. */
+  def q77Winnow(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 16
+    // strictly distinct ascending tokens: every byte k-gram spans a
+    // token boundary and is unique, so the density lower bound on
+    // selected POSITIONS transfers to distinct VALUES
+    val base = (0 until 60).map(i => s"tok${i}x").mkString(" ")
+    // shares the long base prefix (>> w+k-1 bytes), then diverges
+    val near = base.substring(0, base.length - 25) + "@@divergent tail body"
+    // disjoint byte alphabet: no k-gram can be shared with `base`
+    val other = (0 until 60).map(i => s"QQ${i * 5 % 29}!").mkString("_")
+    def wf(text: String) = Functional.winnow(lit(text), k, w)
+    val mBase = base.getBytes("UTF-8").length - (k - 1) // k-gram count
+    val minSel = (mBase - w + 1 + w - 1) / w // >= 1 pick per w windows
+    val stats = s.range(1).select(
+      size(array_intersect(wf(base), wf(near))).as("shared_bn"),
+      size(array_intersect(wf(base), wf(other))).as("shared_bo"),
+      size(wf(base)).as("n_base"))
+    val ok = when($"shared_bn" >= 1 && $"shared_bo" === 0 &&
+        $"n_base".between(minSel, mBase), lit(true))
+      .otherwise(raise_error(concat(
+        lit("q77: winnowing self-check failed (shared_bn="),
+        $"shared_bn".cast(StringType),
+        lit(" shared_bo="), $"shared_bo".cast(StringType),
+        lit(" n_base="), $"n_base".cast(StringType),
+        lit(s" bounds=[$minSel,$mBase])"))))
+    val check = stats.select(ok.as("winnow_ok"))
+    t(s, dir, "documents")
+      .select($"doc_id", Functional.winnow($"text", k, w).as("fp"))
+      .select($"doc_id", size($"fp").as("n_fp"),
+        // the set is sorted -> element 1 is the (signed) min fingerprint
+        coalesce(element_at($"fp", 1), lit(0L)).as("fp_min"))
+      .crossJoin(broadcast(check))
+      .orderBy($"doc_id")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_tframe_surface" -> (q72TframeSurface _),
     "q73_describe_forms" -> (q73DescribeForms _),
     "q74_grouped_col_rand" -> (q74GroupedColRand _),
     "q75_iter_groups" -> (q75IterGroups _),
-    "q76_collect_export" -> (q76CollectExport _)
+    "q76_collect_export" -> (q76CollectExport _),
+    "q77_winnow" -> (q77Winnow _)
   )
 
   val oracles: Map[String, String] = Map(

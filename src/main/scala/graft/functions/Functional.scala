@@ -139,6 +139,17 @@ object Functional {
   def fingerprint64(c: Column): Column =
     invoke("fingerprint64", LongType, Seq(c), Seq(StringType))
 
+  /** Winnowing fingerprint set over raw text (Schleimer et al.,
+    * SIGMOD'03): byte k-gram rolling hash, per-window rightmost-minimum
+    * selection. Sorted distinct array<long>, composable with
+    * [[jaccardSorted]]. Any two docs sharing >= w + k - 1 consecutive
+    * bytes share at least one fingerprint; no match under k bytes is
+    * detected. */
+  def winnow(text: Column, k: Int, w: Int): Column =
+    invoke("winnow", ArrayType(LongType, containsNull = false),
+      Seq(text, lit(k), lit(w)),
+      Seq(StringType, IntegerType, IntegerType))
+
   /** Single-pass stopword-profile language ID over a token array. */
   def langId(tokens: Column): Column =
     invoke("langId", StringType, Seq(tokens))
@@ -281,6 +292,7 @@ object Functional {
       ("isupper", "isUpper", T.BooleanType, Seq(str)),
       ("istitle", "isTitle", T.BooleanType, Seq(str)),
       ("fingerprint64", "fingerprint64", long, Seq(str)),
+      ("winnow", "winnow", longs, Seq(str, int, int)),
       ("lang_id", "langId", str,
         Seq(T.ArrayType(str, containsNull = false))),
       ("lang_id_text", "langIdText", str, Seq(str)),

@@ -89,6 +89,16 @@ object TextAnalysis {
   /** Stable 64-bit content fingerprint (FNV-1a kernel). */
   def fingerprint(text: Column): Column = Functional.fingerprint64(text)
 
+  /** Winnowing fingerprint set (rolling-hash k-grams, window-minimum
+    * selection — Schleimer et al., SIGMOD'03). Position-independent
+    * local fingerprints: docs sharing any run of >= w + k - 1 bytes
+    * share a fingerprint, so partial overlap is detectable where the
+    * whole-document [[fingerprint]] only catches exact copies. Expected
+    * density 2/(w+1) fingerprints per k-gram — at 100 TB the selected
+    * set (not the text) is what shuffles in a fingerprint-join dedup. */
+  def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
+    Functional.winnow(text, k, w)
+
   /** Word k-shingles of a document: sliding windows of `k` tokens joined
     * by a space — the dedup unit for MinHash/Jaccard. Pure HOF chain. */
   def shingles(text: Column, k: Int): Column = {

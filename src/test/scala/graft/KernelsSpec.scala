@@ -203,6 +203,64 @@ class KernelsSpec extends SparkSpec {
     assert(math.abs(jac - 1.0f / 3.0f) < 1e-6)
   }
 
+  // ---- winnowing fingerprints (Schleimer et al., SIGMOD'03 §4-5) ------
+
+  private def winnowSet(s: String, k: Int, w: Int): Seq[Long] = {
+    val a = Kernels.winnow(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+    (0 until a.numElements()).map(a.getLong)
+  }
+
+  test("winnow: shared run of w+k-1 bytes => shared fingerprint") {
+    val k = 8; val w = 16
+    for (seed <- 1 to 8) {
+      val rnd = new scala.util.Random(seed)
+      def junk(n: Int) = (0 until n)
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val shared = (0 until (w + k - 1))
+        .map(_ => ('A' + rnd.nextInt(26)).toChar).mkString
+      val a = junk(40) + shared + junk(40)
+      val b = junk(40) + shared + junk(40)
+      assert(winnowSet(a, k, w).intersect(winnowSet(b, k, w)).nonEmpty,
+        s"seed $seed: no shared fingerprint for a planted ${w + k - 1}-byte run")
+    }
+  }
+
+  test("winnow: disjoint alphabets share nothing; identical docs everything") {
+    val a = (0 until 50).map(i => s"tok${i}x").mkString(" ")
+    val b = (0 until 50).map(i => s"QQ${i}!").mkString("_")
+    assert(winnowSet(a, 8, 16).intersect(winnowSet(b, 8, 16)).isEmpty)
+    assert(winnowSet(a, 8, 16) === winnowSet(a, 8, 16))
+  }
+
+  test("winnow: output is sorted distinct; density within [ceil(W/w), m]") {
+    val k = 8; val w = 16
+    val rnd = new scala.util.Random(7)
+    val doc = (0 until 500).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val fp = winnowSet(doc, k, w)
+    assert(fp === fp.distinct.sorted)
+    val m = doc.length - k + 1 // k-gram count
+    val windows = m - w + 1
+    // one selection serves at most w windows => >= ceil(windows/w) picks
+    assert(fp.size >= (windows + w - 1) / w && fp.size <= m,
+      s"density ${fp.size} outside [${(windows + w - 1) / w}, $m]")
+  }
+
+  test("winnow: edge lengths") {
+    assert(winnowSet("abc", 8, 16).isEmpty) // shorter than one k-gram
+    assert(winnowSet("abcdefgh", 8, 16).size === 1) // exactly one k-gram
+    // fewer k-grams than a window: min over all of them, one fingerprint
+    assert(winnowSet("abcdefghij", 8, 16).size === 1)
+  }
+
+  test("winnow is SQL-callable after registerAll") {
+    Functional.registerAll(spark)
+    val got = spark.sql(
+      "SELECT size(winnow('the quick brown fox jumps over it', 4, 4)) AS n")
+      .head().getInt(0)
+    assert(got >= 1)
+  }
+
   test("cosine kernel") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
       .toDF("a", "b", "c")
