@@ -430,6 +430,13 @@ final case class TFrame(df: DataFrame) {
   def rolling(window: Int, order: Seq[String], by: Seq[String] = Nil,
       minPeriods: Int = 1)(aggs: (String, String)*): TFrame = {
     require(window >= 1 && minPeriods >= 1, "window/minPeriods >= 1")
+    // same sharp edge as the running aggregates: warn at plan time so
+    // an unpartitioned (single-partition) rolling can't reach a large
+    // run silently; pass `by` to distribute
+    if (by.isEmpty)
+      TFrame.log.warn(
+        "TFrame.rolling without `by`: global single-partition window " +
+          "(driver-scale only). Pass a partition key to distribute.")
     val base = if (by.isEmpty) Window.orderBy(order.map(df(_).asc): _*)
       else Window.partitionBy(by.map(df(_)): _*)
         .orderBy(order.map(df(_).asc): _*)
@@ -526,18 +533,48 @@ final case class TFrame(df: DataFrame) {
     r.getLong(0) == r.getLong(1) && (r.getLong(2) - r.getLong(0)) <= 1
   }
 
-  /** Monotonic over an explicit order (lag-window comparison). */
+  /** Monotonic over an explicit order. Scale-safe: adjacent-pair
+    * comparison without a global window. */
   def isMonotonicIncreasing(c: String, order: Seq[String]): Boolean =
     monotonic(c, order, increasing = true)
   def isMonotonicDecreasing(c: String, order: Seq[String]): Boolean =
     monotonic(c, order, increasing = false)
 
+  /** A violation is an adjacent pair (in `order`) moving the wrong way;
+    * pairs involving nulls are ignored (SQL comparison semantics, same
+    * as a lag-window check). Rather than one global single-partition
+    * sort, the frame is RANGE-partitioned on the order keys — partition
+    * i then holds only keys below partition i+1 — so adjacency is
+    * either inside a partition (checked by a per-partition-id lag
+    * window, all partitions in parallel) or across one boundary
+    * (checked by comparing each partition's first value against the
+    * previous partition's last — one row per partition, bounded by
+    * spark.sql.shuffle.partitions, never by data). */
   private def monotonic(c: String, order: Seq[String],
       increasing: Boolean): Boolean = {
-    val w = Window.orderBy(order.map(df(_).asc): _*)
-    val prev = lag(df(c), 1).over(w)
-    val bad = if (increasing) df(c) < prev else df(c) > prev
-    df.withColumn("__bad", bad).filter(col("__bad")).isEmpty
+    require(order.nonEmpty, "monotonic needs an explicit order")
+    val cols = (order :+ c).distinct
+    val parted = df.select(cols.map(df(_)): _*)
+      .repartitionByRange(order.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+    val oKey = struct(order.map(col): _*)
+    val wIn = Window.partitionBy(col("__pid"))
+      .orderBy(order.map(col(_).asc): _*)
+    val prev = lag(col(c), 1).over(wIn)
+    val badIn = if (increasing) col(c) < prev else col(c) > prev
+    val perPart = parted
+      .withColumn("__bad", coalesce(badIn, lit(false)))
+      .groupBy(col("__pid"))
+      .agg(functions.max(col("__bad")).as("__anyBad"),
+        functions.min_by(col(c), oKey).as("__first"),
+        functions.max_by(col(c), oKey).as("__last"))
+    // one row per partition: this window is bounded by construction
+    val prevLast = lag(col("__last"), 1).over(Window.orderBy(col("__pid")))
+    val badB = if (increasing) col("__first") < prevLast
+      else col("__first") > prevLast
+    perPart
+      .withColumn("__viol", col("__anyBad") || coalesce(badB, lit(false)))
+      .filter(col("__viol")).isEmpty
   }
 
   // ---- set ops (§2.7 extension: free in Spark) ------------------------
@@ -610,6 +647,10 @@ final case class TFrame(df: DataFrame) {
     def max(c: Column) = org.apache.spark.sql.functions.max(c)
     def median(c: Column) = org.apache.spark.sql.functions.median(c)
     def mode(c: Column) = org.apache.spark.sql.functions.mode(c)
+    def min_by(c: Column, ord: Column) =
+      org.apache.spark.sql.functions.min_by(c, ord)
+    def max_by(c: Column, ord: Column) =
+      org.apache.spark.sql.functions.max_by(c, ord)
   }
 }
 

@@ -151,6 +151,28 @@ class TFrameSpec extends SparkSpec {
     assert(!abc.isMonotonicIncreasing("b", order = Seq("a")))
   }
 
+  test("isMonotonic: violation sweep covers every partition boundary") {
+    // the distributed check splits adjacencies into within-partition
+    // pairs and cross-boundary pairs; sweeping a single adjacent swap
+    // across EVERY position exercises both paths, wherever the range
+    // partitioner happens to cut (4 shuffle partitions in specs)
+    val n = 32
+    val ks = (0 until n).map(_.toLong)
+    val clean = TFrame(spark, Seq("k" -> ks, "v" -> ks))
+    assert(clean.isMonotonicIncreasing("v", order = Seq("k")))
+    assert(!clean.isMonotonicDecreasing("v", order = Seq("k")))
+    for (pos <- 0 until n - 1) {
+      val v = ks.updated(pos, ks(pos + 1)).updated(pos + 1, ks(pos))
+      val f = TFrame(spark, Seq("k" -> ks, "v" -> v))
+      assert(!f.isMonotonicIncreasing("v", order = Seq("k")),
+        s"descending pair at adjacency $pos not detected")
+    }
+    // nulls are ignored, as in SQL comparison semantics
+    val withNull = TFrame(spark, Seq(
+      "k" -> Seq(1L, 2L, 3L), "v" -> Seq[Any](1L, null, 2L)))
+    assert(withNull.isMonotonicIncreasing("v", order = Seq("k")))
+  }
+
   test("intersect/except set ops") {
     val other = abc.where(abc("a") < 3)
     assert(abc.intersect(other).length === 3L)
