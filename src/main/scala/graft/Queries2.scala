@@ -334,6 +334,38 @@ object Queries2 {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** Winnowing fingerprint-join partial-overlap candidates (MOSS
+    * pattern, Dedup.winnowOverlap). Self-checking on two ANALYTIC
+    * guarantees, no probability involved: (1) identical docs have
+    * identical winnow sets, so every identical-text pair long enough to
+    * select >= minShared fingerprints (len >= 100 bytes => m = 77
+    * k-grams, 62 windows, >= 4 window picks at k=24/w=16) must be a
+    * candidate — identical pairs are found with a fingerprint64
+    * self-join, the q33 exact-dedup unit; (2) the planted doc sharing
+    * only a long PREFIX with its two twins must pair with both — the
+    * partial-overlap case no whole-doc hash can see. k=24 (~4 words)
+    * per the operator's selectivity note. */
+  def q78WinnowOverlap(s: SparkSession, dir: String): DataFrame = {
+    val corpus = t(s, dir, "documents").select($"doc_id", $"text")
+      .unionByName(plantedDocs(s))
+    val cand = Dedup.winnowOverlap(corpus, "text", "doc_id",
+      k = 24, w = 16, minShared = 2)
+    val fp = corpus.where(length($"text") >= 100)
+      .select(Functional.fingerprint64($"text").as("fp"), $"doc_id")
+    val identical = fp.select($"fp", $"doc_id".as("id_a"))
+      .join(fp.select($"fp", $"doc_id".as("id_b")), Seq("fp"))
+      .where($"id_a" < $"id_b").select($"id_a", $"id_b").distinct()
+    val prefixPairs = s.range(1)
+      .select(lit(plantBase).as("id_a"), lit(plantBase + 2).as("id_b"))
+      .unionByName(s.range(1)
+        .select(lit(plantBase + 1).as("id_a"), lit(plantBase + 2).as("id_b")))
+    val exact = identical.unionByName(prefixPairs).distinct()
+    cand.where($"id_a" < plantBase && $"id_b" < plantBase)
+      .select($"id_a", $"id_b", $"shared_fps", $"dropped_candidates")
+      .crossJoin(broadcast(containmentCheck(exact, cand, "q78", 3)))
+      .orderBy($"id_a", $"id_b")
+  }
+
   // ---- similarity search ----------------------------------------------
 
   /** Brute-force cosine top-k for 5 probe vectors; oracle re-derives the
@@ -754,6 +786,7 @@ object Queries2 {
     "q41_simhash" -> (q41Simhash _),
     "q42_ngram_jaccard" -> (q42NgramJaccard _),
     "q43_embed_dedup" -> (q43EmbedDedup _),
+    "q78_winnow_overlap" -> (q78WinnowOverlap _),
     "q50_knn_brute" -> (q50KnnBrute _),
     "q51_knn_lsh" -> (q51KnnLsh _),
     "q60_bucketize" -> (q60Bucketize _),

@@ -166,6 +166,45 @@ object Dedup {
       .drop("set_a", "set_b")
   }
 
+  /** Winnowing partial-overlap candidates (the MOSS pattern over
+    * [[graft.functions.Kernels#winnow]]): docs sharing any byte run of
+    * length >= w + k - 1 share a selected fingerprint BY CONSTRUCTION —
+    * an analytic guarantee, not probabilistic banding — so a plain
+    * fingerprint-join surfaces partial overlap (shared boilerplate,
+    * quoted passages, identical docs) that whole-document hashing and
+    * token-set similarity can miss. Shuffled payload is (fingerprint,
+    * id): the winnow set is ~2/(w+1) of the k-grams, never the text.
+    * `minShared` drops weak single-collision pairs; `maxBucket` caps
+    * viral fingerprints (boilerplate shared by thousands of docs) with
+    * the same dropped_candidates accounting as the LSH variants.
+    *
+    * Pick `k` for the phrase length that MEANS overlap: on natural
+    * text, k=8 (~1.5 words) pairs everything through chance word
+    * sequences; k=24 (~4 words) isolates genuinely shared passages
+    * (measured on the synthetic docs table: 54k pairs vs 28 at n=500,
+    * converging to the exact near-dup set). */
+  def winnowOverlap(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 24,
+      w: Int = 16,
+      minShared: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(Functional.winnow(col(textCol), k, w)).as("fp"))
+    val wB = Window.partitionBy("fp").orderBy("id")
+    val ranked = fps.withColumn("__rn", row_number().over(wB))
+    val capped = ranked.where(col("__rn") <= maxBucket)
+    val l = capped.select(col("fp"), col("id").as("id_a"))
+    val r = capped.select(col("fp"), col("id").as("id_b"))
+    val pairs = l.join(r, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    withDropCount(pairs, ranked, maxBucket)
+  }
+
   /** Embedding near-dup pairs: hyperplane-LSH bucket, within-bucket
     * cosine ≥ threshold. */
   def embeddingCosine(

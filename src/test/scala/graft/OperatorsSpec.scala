@@ -52,6 +52,27 @@ class OperatorsSpec extends SparkSpec {
     assert(pairs.get((1L, 3L)).exists(_ <= 16))
   }
 
+  test("winnowOverlap pairs docs by shared fingerprints, incl. partial overlap") {
+    val fox = "the quick brown fox jumps over the lazy dog again and again"
+    val part = Seq(
+      (1L, fox), (2L, fox), // identical
+      (3L, fox + " with an entirely new continuation appended at the end"),
+      (4L, "completely different content about spark query engines here"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlap(part, "text", "doc_id",
+        k = 8, w = 16, minShared = 1)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("shared_fps")).toMap
+    // identical docs share their whole (equal) fingerprint sets
+    assert(pairs.contains((1L, 2L)))
+    // doc 3 shares only a PREFIX with 1/2 — partial overlap must pair
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(pairs((1L, 3L)) >= 1 && pairs((1L, 3L)) <= pairs((1L, 2L)))
+    // disjoint content never pairs
+    assert(!pairs.keys.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
   test("ngramJaccard verifies candidates exactly") {
     val cands = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val got = Dedup.ngramJaccard(cands, docs, "text", "doc_id", n = 3)
