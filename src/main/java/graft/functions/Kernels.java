@@ -936,6 +936,199 @@ public final class Kernels {
     return new GenericArrayData(out);
   }
 
+  // ---------------------------------------------------------------------
+  // Repetition signals (Gopher, Rae et al. 2021 — "Scaling Language
+  // Models", Table A1 repetition filters; same family as the public
+  // C4/RefinedWeb heuristics). One fused pass per document.
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition signals as a fixed 13-slot array&lt;double&gt;:
+   *
+   * <pre>
+   *  0 dup_line_frac        lines occurring beyond first / lines
+   *  1 dup_line_char_frac   bytes of those repeats / bytes of all lines
+   *  2 dup_para_frac        same over blank-line-separated paragraphs
+   *  3 dup_para_char_frac
+   *  4..6  top_ngram_char_frac   n = 2, 3, 4
+   *  7..12 dup_ngram_char_frac   n = 5 .. 10
+   * </pre>
+   *
+   * Definitions (documented choices, fixed by the q79 pinned fixture):
+   * lines split on '\n', paragraphs on runs of 2+ '\n'; empty segments
+   * are skipped; segment identity is its 64-bit FNV fingerprint (hash
+   * collisions treated as equality — negligible per-document). Words
+   * split on ASCII whitespace runs; "characters" are UTF-8 bytes (exact
+   * for ASCII, proportional otherwise — a per-document RATIO, so the
+   * bias cancels). top_ngram_char_frac(n) = max over n-grams occurring
+   * &gt;= 2 times of count * (sum of word byte-lens) / total word bytes
+   * (a singleton n-gram is not repetition → 0; ties resolved by the max
+   * product, which IS the quantity). dup_ngram_char_frac(n) = bytes of
+   * word positions covered by any n-gram occurring &gt;= 2 times / total
+   * word bytes — coverage, so overlapping repeats are not double
+   * counted (the DataTrove/NeMo-Curator public formulation).
+   *
+   * O(total bytes + words * 9) per document, zero string
+   * materialization: word identity is the FNV hash of its bytes,
+   * n-gram identity an order-sensitive hash128to64 chain. */
+  public static ArrayData repetitionSignals(UTF8String text) {
+    byte[] b = text.getBytes();
+    double[] out = new double[13];
+    segmentDupStats(b, false, out, 0);
+    segmentDupStats(b, true, out, 2);
+
+    // tokenize: word hashes + byte lengths (no strings)
+    int nw = 0;
+    long[] wh = new long[16];
+    int[] wl = new int[16];
+    int i = 0;
+    int n = b.length;
+    while (i < n) {
+      while (i < n && isAsciiSpace(b[i])) i++;
+      if (i >= n) break;
+      int s = i;
+      long h = 0xcbf29ce484222325L;
+      while (i < n && !isAsciiSpace(b[i])) {
+        h ^= (b[i] & 0xffL);
+        h *= 0x100000001b3L;
+        i++;
+      }
+      if (nw == wh.length) {
+        wh = java.util.Arrays.copyOf(wh, nw * 2);
+        wl = java.util.Arrays.copyOf(wl, nw * 2);
+      }
+      wh[nw] = h;
+      wl[nw] = i - s;
+      nw++;
+    }
+    long totalWordBytes = 0;
+    for (int w = 0; w < nw; w++) totalWordBytes += wl[w];
+    if (totalWordBytes == 0) return new GenericArrayData(out);
+
+    for (int g = 2; g <= 4; g++) {
+      out[2 + g] = topNgramCharFrac(wh, wl, nw, g, totalWordBytes);
+    }
+    for (int g = 5; g <= 10; g++) {
+      out[2 + g] = dupNgramCharFrac(wh, wl, nw, g, totalWordBytes);
+    }
+    return new GenericArrayData(out);
+  }
+
+  private static boolean isAsciiSpace(byte c) {
+    return c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+        || c == 0x0b;
+  }
+
+  /** Duplicate-segment fraction and char fraction over lines
+   * (para=false, split on '\n') or paragraphs (para=true, split on runs
+   * of 2+ '\n'); writes the two fractions at out[at], out[at+1]. */
+  private static void segmentDupStats(byte[] b, boolean para, double[] out,
+      int at) {
+    java.util.HashMap<Long, Integer> seen = new java.util.HashMap<>();
+    long nSeg = 0, dupSeg = 0, totBytes = 0, dupBytes = 0;
+    int i = 0;
+    int n = b.length;
+    while (i < n) {
+      int s = i;
+      int end = s;
+      if (para) {
+        // a paragraph ends at a run of 2+ '\n' (or EOF); single
+        // newlines stay inside the paragraph
+        while (end < n) {
+          if (b[end] == '\n') {
+            int r = end;
+            while (r < n && b[r] == '\n') r++;
+            if (r - end >= 2) break;
+            end = r;
+          } else {
+            end++;
+          }
+        }
+      } else {
+        while (end < n && b[end] != '\n') end++;
+      }
+      int len = end - s;
+      if (len > 0) {
+        long h = 0xcbf29ce484222325L;
+        for (int j = s; j < s + len; j++) {
+          h ^= (b[j] & 0xffL);
+          h *= 0x100000001b3L;
+        }
+        nSeg++;
+        totBytes += len;
+        int cnt = seen.merge(h, 1, Integer::sum);
+        if (cnt > 1) {
+          dupSeg++;
+          dupBytes += len;
+        }
+      }
+      i = end;
+      if (para) {
+        while (i < n && b[i] == '\n') i++;
+      } else {
+        i = end + 1;
+      }
+    }
+    out[at] = nSeg == 0 ? 0.0 : (double) dupSeg / nSeg;
+    out[at + 1] = totBytes == 0 ? 0.0 : (double) dupBytes / totBytes;
+  }
+
+  /** Hash of the n-gram starting at w (order-sensitive chain). */
+  private static long ngramHash(long[] wh, int w, int g) {
+    long h = wh[w];
+    for (int j = 1; j < g; j++) h = hash128to64(h, wh[w + j]);
+    return h;
+  }
+
+  private static double topNgramCharFrac(long[] wh, int[] wl, int nw, int g,
+      long totalWordBytes) {
+    int m = nw - g + 1;
+    if (m < 2) return 0.0; // a repeat needs at least two n-grams
+    java.util.HashMap<Long, Integer> cnt = new java.util.HashMap<>(m * 2);
+    long[] hashes = new long[m];
+    for (int w = 0; w < m; w++) {
+      hashes[w] = ngramHash(wh, w, g);
+      cnt.merge(hashes[w], 1, Integer::sum);
+    }
+    long best = 0;
+    // max of count * byte-len over n-grams occurring >= 2 times; scan
+    // positions so the byte length of each candidate is at hand
+    for (int w = 0; w < m; w++) {
+      int c = cnt.get(hashes[w]);
+      if (c >= 2) {
+        long bytes = 0;
+        for (int j = 0; j < g; j++) bytes += wl[w + j];
+        long prod = (long) c * bytes;
+        if (prod > best) best = prod;
+      }
+    }
+    return (double) best / totalWordBytes;
+  }
+
+  private static double dupNgramCharFrac(long[] wh, int[] wl, int nw, int g,
+      long totalWordBytes) {
+    int m = nw - g + 1;
+    if (m < 2) return 0.0;
+    java.util.HashMap<Long, Integer> cnt = new java.util.HashMap<>(m * 2);
+    long[] hashes = new long[m];
+    for (int w = 0; w < m; w++) {
+      hashes[w] = ngramHash(wh, w, g);
+      cnt.merge(hashes[w], 1, Integer::sum);
+    }
+    // coverage: a word position counts once no matter how many
+    // duplicated n-grams span it
+    boolean[] covered = new boolean[nw];
+    for (int w = 0; w < m; w++) {
+      if (cnt.get(hashes[w]) >= 2) {
+        for (int j = 0; j < g; j++) covered[w + j] = true;
+      }
+    }
+    long bytes = 0;
+    for (int w = 0; w < nw; w++) {
+      if (covered[w]) bytes += wl[w];
+    }
+    return (double) bytes / totalWordBytes;
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits
    * of dot products with pseudo-random hyperplanes derived from seed. */
   public static long hyperplaneLsh(ArrayData v, int bits, long seed) {

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.frame.{TFrame, TGrouped}
 import graft.functions.Functional
+import graft.operators.TextAnalysis
 
 /** Round-6 queries: oracled gate entries for the TFrame surface that
   * was previously ScalaTest-only — rename/reorder/append, construction
@@ -219,13 +220,73 @@ object Queries5 {
       .orderBy($"doc_id")
   }
 
+  // ---- LLM-pipeline: repetition signals (Gopher) -----------------------
+
+  /** Gopher repetition signals (Rae et al. 2021, Table A1 family) at
+    * the gate. Self-checking in the q61/q36 pinned-fixture discipline:
+    * three hand-computed documents exercise every signal family —
+    * duplicated lines, blank-line-separated duplicate paragraphs, a
+    * dominant 2-gram, and an 11-word text whose repeated 5-gram covers
+    * 10/11 word bytes (with its 2/3/4-gram shadows) — plus the empty
+    * document (all-zero) edge. raise_error unless every one of the
+    * 4×13 kernel slots matches its hand-derived value within 1e-12.
+    * Output: per-document signals + the Gopher threshold verdict over
+    * `documents` — a single fused kernel scan, no shuffle, the
+    * 100 TB-relevant shape (signals are computed where the text lives;
+    * only doc_id + 13 doubles ever leave the scan). */
+  def q79Repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val third = 1.0 / 3
+    // slots: dupLine, dupLineChar, dupPara, dupParaChar, top2, top3,
+    // top4, dup5..dup10 — see Kernels.repetitionSignals
+    val fixture: Seq[(String, Seq[Double])] = Seq(
+      // lines "x y","x y","z w": 1 of 3 repeats, 3 of 9 bytes; one
+      // paragraph; words x y x y z w: top 2-gram "x y" ×2 → 4/6
+      ("x y\nx y\nz w",
+        Seq(third, third, 0, 0, 4.0 / 6, 0, 0, 0, 0, 0, 0, 0, 0)),
+      // same shape through the paragraph splitter ("\n\n"); the line
+      // splitter sees the same 3 non-empty lines
+      ("p q\n\np q\n\nr s",
+        Seq(third, third, third, third, 4.0 / 6, 0, 0, 0, 0, 0, 0, 0, 0)),
+      // 11 unit-length words; "a b c d e" repeats at 0 and 5: top2
+      // (any of ab/bc/cd/de ×2) → 4/11, top3 → 6/11, top4 → 8/11,
+      // dup5 covers word positions 0-9 → 10/11; no 6..10-gram repeats
+      ("a b c d e a b c d e f",
+        Seq(0, 0, 0, 0, 4.0 / 11, 6.0 / 11, 8.0 / 11, 10.0 / 11,
+          0, 0, 0, 0, 0)),
+      ("", Seq.fill(13)(0.0)))
+    val bad = fixture.toDF("ftext", "expected")
+      .select(Functional.repetitionSignals($"ftext").as("got"), $"expected")
+      .select(aggregate(
+        zip_with($"got", $"expected",
+          (g, e) => when(abs(g - e) > 1e-12, 1).otherwise(0)),
+        lit(0), (acc, x) => acc + x).as("nbad"))
+      .agg(sum($"nbad").as("nbad"))
+    val ok = bad.select(when($"nbad" === 0, lit(true))
+      .otherwise(raise_error(concat(
+        lit("q79: repetition fixture mismatch ("),
+        $"nbad".cast(StringType), lit(" slots)")))).as("rep_ok"))
+    t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.repetitionSignals($"text").as("r"),
+        TextAnalysis.gopherRepetitionOk($"text").as("gopher_ok"))
+      .select($"doc_id",
+        round($"r.dup_line_frac", 4).as("dup_line_frac"),
+        round($"r.top_2gram_char_frac", 4).as("top_2gram_char_frac"),
+        round($"r.dup_5gram_char_frac", 4).as("dup_5gram_char_frac"),
+        round($"r.dup_10gram_char_frac", 4).as("dup_10gram_char_frac"),
+        $"gopher_ok")
+      .crossJoin(broadcast(ok))
+      .orderBy($"doc_id")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_tframe_surface" -> (q72TframeSurface _),
     "q73_describe_forms" -> (q73DescribeForms _),
     "q74_grouped_col_rand" -> (q74GroupedColRand _),
     "q75_iter_groups" -> (q75IterGroups _),
     "q76_collect_export" -> (q76CollectExport _),
-    "q77_winnow" -> (q77Winnow _)
+    "q77_winnow" -> (q77Winnow _),
+    "q79_repetition" -> (q79Repetition _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -205,6 +205,14 @@ object Functional {
 
   def normF(a: Column): Column = invoke("normF", DoubleType, Seq(a))
 
+  /** Per-document repetition signals (Gopher, Rae et al. 2021, Table A1
+    * family) as a fixed 13-slot array<double> — see
+    * Kernels.repetitionSignals for slot layout and the exact
+    * definitions. One fused byte pass + one word pass per n. */
+  def repetitionSignals(text: Column): Column =
+    invoke("repetitionSignals", ArrayType(DoubleType, containsNull = false),
+      Seq(text), Seq(StringType))
+
   /** Single-scan ASCII letter ratio (quality scoring fast path). */
   def asciiAlphaRatio(text: Column): Column =
     invoke("asciiAlphaRatio", DoubleType, Seq(text), Seq(StringType))
@@ -304,6 +312,7 @@ object Functional {
       ("jaccard_sorted", "jaccardSorted", T.DoubleType, Seq(longs, longs)),
       ("cosine_f", "cosineF", T.DoubleType, Seq(floats, floats)),
       ("hyperplane_lsh", "hyperplaneLsh", long, Seq(floats, int, long)),
+      ("repetition_signals", "repetitionSignals", doubles, Seq(str)),
       ("round_ref", "roundRef", T.DoubleType, Seq(T.DoubleType, int)))
     entries.foreach { case (sqlName, method, dt, params) =>
       Shim.registerKernel(spark, sqlName, K, method, dt, params)

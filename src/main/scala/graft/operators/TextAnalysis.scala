@@ -86,6 +86,41 @@ object TextAnalysis {
     (lenOk * 0.25 + tokLenOk * 0.25 + alphaOk * 0.25 + stopOk * 0.25)
   }
 
+  // ---- repetition signals (Gopher, Rae et al. 2021) --------------------
+
+  /** Slot names of the 13 repetition signals, in kernel array order. */
+  val repetitionSignalNames: Seq[String] = Seq(
+    "dup_line_frac", "dup_line_char_frac",
+    "dup_para_frac", "dup_para_char_frac",
+    "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+    "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+    "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+
+  /** Per-document repetition signals as a named struct (one fused kernel
+    * pass; the struct is a zero-cost view over the returned array). */
+  def repetitionSignals(text: Column): Column = {
+    val a = Functional.repetitionSignals(text)
+    struct(repetitionSignalNames.zipWithIndex.map { case (n, i) =>
+      element_at(a, i + 1).as(n)
+    }: _*)
+  }
+
+  /** Gopher's published repetition thresholds (Rae et al. 2021, Table
+    * A1), in kernel slot order: a document is repetition-clean when
+    * every signal is <= its threshold. */
+  val gopherRepetitionThresholds: Seq[Double] = Seq(
+    0.30, 0.20, 0.30, 0.20, // dup line/para (frac, char-frac)
+    0.20, 0.18, 0.16, // top 2/3/4-gram
+    0.15, 0.14, 0.13, 0.12, 0.11, 0.10) // dup 5..10-gram
+
+  /** True when the document passes every Gopher repetition filter. */
+  def gopherRepetitionOk(text: Column): Column = {
+    val a = Functional.repetitionSignals(text)
+    gopherRepetitionThresholds.zipWithIndex
+      .map { case (t, i) => element_at(a, i + 1) <= t }
+      .reduce(_ && _)
+  }
+
   /** Stable 64-bit content fingerprint (FNV-1a kernel). */
   def fingerprint(text: Column): Column = Functional.fingerprint64(text)
 
