@@ -1101,7 +1101,10 @@ public final class Kernels {
         if (prod > best) best = prod;
       }
     }
-    return (double) best / totalWordBytes;
+    // count * bytes overcounts when occurrences of the top n-gram
+    // overlap (e.g. a doc that is one word repeated); the quantity is
+    // a fraction of the document, so saturate at 1
+    return Math.min(1.0, (double) best / totalWordBytes);
   }
 
   private static double dupNgramCharFrac(long[] wh, int[] wl, int nw, int g,

@@ -235,7 +235,6 @@ object Queries5 {
     * 100 TB-relevant shape (signals are computed where the text lives;
     * only doc_id + 13 doubles ever leave the scan). */
   def q79Repetition(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val third = 1.0 / 3
     // slots: dupLine, dupLineChar, dupPara, dupParaChar, top2, top3,
     // top4, dup5..dup10 — see Kernels.repetitionSignals
@@ -255,7 +254,7 @@ object Queries5 {
         Seq(0, 0, 0, 0, 4.0 / 11, 6.0 / 11, 8.0 / 11, 10.0 / 11,
           0, 0, 0, 0, 0)),
       ("", Seq.fill(13)(0.0)))
-    val bad = fixture.toDF("ftext", "expected")
+    val bad = s.createDataFrame(fixture).toDF("ftext", "expected")
       .select(Functional.repetitionSignals($"ftext").as("got"), $"expected")
       .select(aggregate(
         zip_with($"got", $"expected",
