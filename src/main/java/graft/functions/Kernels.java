@@ -1132,6 +1132,17 @@ public final class Kernels {
     return (double) bytes / totalWordBytes;
   }
 
+  /** Deterministic multiply-shift sample bucket (Dietzfelbinger et al.
+   * 1997): top 13 bits of `(key + seed) * golden64`. Java's wrap-around
+   * multiply IS the mod-2^64 reduction; the TOP bits are taken because
+   * the low bits of a mod-2^64 linear map are periodic. Range
+   * [0, 8192). Used by deterministic sampling / train-val-test splits
+   * (Sampling.scala) — reproducible for a given key across runs,
+   * partitionings, and engines. */
+  public static int sampleBucket(long key, long seed) {
+    return (int) (((key + seed) * 0x9E3779B97F4A7C15L) >>> 51);
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits
    * of dot products with pseudo-random hyperplanes derived from seed. */
   public static long hyperplaneLsh(ArrayData v, int bits, long seed) {

@@ -150,6 +150,14 @@ object Functional {
       Seq(text, lit(k), lit(w)),
       Seq(StringType, IntegerType, IntegerType))
 
+  /** Deterministic multiply-shift sample bucket in [0, 8192) — the
+    * hash behind [[graft.operators.Sampling]]. Java kernel because
+    * wrap-around multiply is the point (ANSI-mode Column arithmetic
+    * would raise on the intended overflow). */
+  def sampleBucket(key: Column, seed: Long): Column =
+    invoke("sampleBucket", IntegerType,
+      Seq(key.cast(LongType), lit(seed)), Seq(LongType, LongType))
+
   /** Single-pass stopword-profile language ID over a token array. */
   def langId(tokens: Column): Column =
     invoke("langId", StringType, Seq(tokens))
@@ -313,6 +321,7 @@ object Functional {
       ("cosine_f", "cosineF", T.DoubleType, Seq(floats, floats)),
       ("hyperplane_lsh", "hyperplaneLsh", long, Seq(floats, int, long)),
       ("repetition_signals", "repetitionSignals", doubles, Seq(str)),
+      ("sample_bucket", "sampleBucket", int, Seq(long, long)),
       ("round_ref", "roundRef", T.DoubleType, Seq(T.DoubleType, int)))
     entries.foreach { case (sqlName, method, dt, params) =>
       Shim.registerKernel(spark, sqlName, K, method, dt, params)
