@@ -1132,15 +1132,27 @@ public final class Kernels {
     return (double) bytes / totalWordBytes;
   }
 
-  /** Deterministic multiply-shift sample bucket (Dietzfelbinger et al.
-   * 1997): top 13 bits of `(key + seed) * golden64`. Java's wrap-around
-   * multiply IS the mod-2^64 reduction; the TOP bits are taken because
-   * the low bits of a mod-2^64 linear map are periodic. Range
-   * [0, 8192). Used by deterministic sampling / train-val-test splits
-   * (Sampling.scala) — reproducible for a given key across runs,
-   * partitionings, and engines. */
+  /** Deterministic sample bucket in [0, 8192): top 13 bits of the
+   * splitmix64 finalizer (Steele, Lea &amp; Flood, "Fast splittable
+   * pseudorandom number generators", OOPSLA 2014 — public constants)
+   * applied to `key + seed * golden64`. The xor-shift-multiply rounds
+   * are the point: a bare multiply-shift is LINEAR in (key, seed), so
+   * changing the seed would only rotate the bucket space — two samples
+   * under different seeds would be near-identical or near-disjoint,
+   * and keys colliding in a bucket would collide under every seed.
+   * After the nonlinear finalizer, distinct seeds yield statistically
+   * independent bucket assignments. Java's wrap-around arithmetic IS
+   * the mod-2^64 reduction. Used by deterministic sampling /
+   * train-val-test splits (Sampling.scala) — reproducible for a given
+   * (key, seed) across runs, partitionings, and engines with exact
+   * 64-bit arithmetic; the DuckDB oracle replays it bit-for-bit in
+   * HUGEINT/UBIGINT (Queries5.bucketCtes). */
   public static int sampleBucket(long key, long seed) {
-    return (int) (((key + seed) * 0x9E3779B97F4A7C15L) >>> 51);
+    long z = key + seed * 0x9E3779B97F4A7C15L;
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
+    z ^= (z >>> 31);
+    return (int) (z >>> 51);
   }
 
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits

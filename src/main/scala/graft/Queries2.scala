@@ -282,6 +282,11 @@ object Queries2 {
   def q41Simhash(s: SparkSession, dir: String): DataFrame = {
     val corpus = t(s, dir, "documents").select($"doc_id", $"text")
       .unionByName(plantedDocs(s))
+    // maxHamming = 8 deliberately over-generates vs the <= 3 the
+    // self-check guarantees: the pigeonhole argument (4 chunks) is
+    // airtight only to distance 3, and the extra margin keeps recall
+    // headroom for near-misses. Do NOT "optimize" the 8 down to 3 —
+    // that would silently narrow the candidate set the check rides on.
     val cand = Dedup.simHash(corpus, "text", "doc_id", maxHamming = 8)
     val fix = corpus.where($"doc_id" < 200 || $"doc_id" >= plantBase)
       .select($"doc_id",
@@ -699,10 +704,11 @@ object Queries2 {
           .as("p99_price"))
         .select($"l_returnflag", $"approx_parts", $"p50_price",
           $"p99_price",
-          // schema parity only — in bench mode the bound-check does NOT
-          // run; this column is NOT a verified result here. The gate
-          // (Verify, selfcheck=true) is the path that proves the bound.
-          lit(true).as("sketch_ok"))
+          // the caveat is IN the schema: in bench mode the bound-check
+          // does not run, and the column name says so — a consumer
+          // cannot mistake this for the verified sketch_ok the gate
+          // (Verify, selfcheck=true) emits.
+          lit(true).as("sketch_unchecked"))
         .orderBy($"l_returnflag")
     else sketches
       .agg(

@@ -6,7 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.frame.{TFrame, TGrouped}
 import graft.functions.Functional
-import graft.operators.TextAnalysis
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Round-6 queries: oracled gate entries for the TFrame surface that
   * was previously ScalaTest-only — rename/reorder/append, construction
@@ -278,6 +278,142 @@ object Queries5 {
       .orderBy($"doc_id")
   }
 
+  // ---- deterministic sampling / splits (operators/Sampling.scala) ------
+
+  /** DuckDB CTE chain replaying Kernels.sampleBucket bit-for-bit in
+    * exact integer SQL: the two wrapped 64-bit multiplies run in
+    * HUGEINT via 32-bit limb decomposition (`a*c mod 2^64 = (a*c_lo +
+    * ((a*c_hi) mod 2^32)*2^32) mod 2^64` — every intermediate < 2^97,
+    * inside HUGEINT range), the xor/shift finalizer steps in UBIGINT.
+    * Emits CTEs `<tag>0..<tag>3` and `<tag>b(k, bucket)`. Assumes a
+    * non-negative integral key (true for every table key here);
+    * negative keys would need an extra mod-normalization because
+    * DuckDB's % takes the dividend's sign. */
+  private def bucketCtes(tag: String, seed: Long, src: String,
+      keyExpr: String): String = {
+    val m = BigInt(1) << 64
+    def u(x: Long): BigInt = BigInt(x) & (m - 1)
+    val seedc = (u(seed) * u(Sampling.Multiplier)).mod(m)
+    val c1 = u(0xBF58476D1CE4E5B9L)
+    val c2 = u(0x94D049BB133111EBL)
+    def mul(a: String, c: BigInt): String = {
+      val lo = c & 0xFFFFFFFFL
+      val hi = c >> 32
+      s"(($a * $lo + (($a * $hi) % 4294967296) * 4294967296) % $m)"
+    }
+    def xs(a: String, n: Int): String =
+      s"CAST(xor(CAST($a AS UBIGINT), CAST($a AS UBIGINT) >> $n) AS HUGEINT)"
+    val last = mul("z", c2)
+    s"""${tag}0 AS (SELECT $keyExpr AS k,
+       |  (CAST($keyExpr AS HUGEINT) + $seedc) % $m AS z FROM $src),
+       |${tag}1 AS (SELECT k, ${xs("z", 30)} AS z FROM ${tag}0),
+       |${tag}2 AS (SELECT k, ${mul("z", c1)} AS z FROM ${tag}1),
+       |${tag}3 AS (SELECT k, ${xs("z", 27)} AS z FROM ${tag}2),
+       |${tag}b AS (SELECT k, CAST(xor(CAST($last AS UBIGINT),
+       |  CAST($last AS UBIGINT) >> 31) >> 51 AS INTEGER) AS bucket
+       |  FROM ${tag}3)""".stripMargin
+  }
+
+  private val q83Weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
+  /** Deterministic sampling / split gate: splitLabel assigns every
+    * order to train/val/test (0.8/0.1/0.1, seed 7) and bernoulli keeps
+    * a deterministic 10% (seed 42); per split the query emits row
+    * counts and key-sum checksums for both the full table and the
+    * sampled subset. The oracle replays the splitmix64 bucket
+    * bit-for-bit in DuckDB ([[bucketCtes]]) — a green row proves the
+    * hash, the threshold floors, AND the when-chain range assignment
+    * are engine-portable exactly as Sampling.scala promises. */
+  def q83Sample(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val split = Sampling.splitLabel($"o_orderkey", q83Weights, 7L)
+    val all = orders.select($"o_orderkey", split.as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n"), sum($"o_orderkey").as("key_sum"))
+    val smp = Sampling.bernoulli(orders, $"o_orderkey", 0.1, 42L)
+      .select($"o_orderkey", split.as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("sampled_n"),
+        sum($"o_orderkey").as("sampled_key_sum"))
+    all.join(smp, Seq("split"), "left").orderBy($"split")
+  }
+
+  // thresholds: floor(0.8*8192)=6553, floor(0.9*8192)=7372,
+  // floor(0.1*8192)=819 — Sampling.threshold's floor semantics, spelled
+  // out as literals so the oracle is independent of the Scala code.
+  val q83Sql: String =
+    s"""WITH ${bucketCtes("sp", 7L, "orders", "o_orderkey")},
+       |${bucketCtes("bn", 42L, "orders", "o_orderkey")},
+       |lab AS (
+       |  SELECT spb.k AS k,
+       |    CASE WHEN spb.bucket < 6553 THEN 'train'
+       |         WHEN spb.bucket < 7372 THEN 'val' ELSE 'test' END AS split,
+       |    bnb.bucket < 819 AS in_sample
+       |  FROM spb JOIN bnb ON spb.k = bnb.k)
+       |SELECT split, COUNT(*) AS n, CAST(SUM(k) AS BIGINT) AS key_sum,
+       |  CAST(SUM(CASE WHEN in_sample THEN 1 END) AS BIGINT) AS sampled_n,
+       |  CAST(SUM(CASE WHEN in_sample THEN k END) AS BIGINT)
+       |    AS sampled_key_sum
+       |FROM lab GROUP BY split ORDER BY split""".stripMargin
+
+  // ---- end-to-end training-data pipeline -------------------------------
+
+  private val q84Weights = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** End-to-end pipeline gate, the shape a real corpus run takes
+    * (reference analog: test/integration/test_criteo.py, a
+    * scan→transform→split flow): scan documents → quality filter
+    * (the q30/q32-oracled token-count and alpha-ratio kernels) → exact
+    * dedup keep-first (q33's operator) → deterministic train/val/test
+    * split (q83's operator, seed 99) → per-split doc counts, token
+    * sums, and id checksums. Every stage is SQL-expressible, so the
+    * WHOLE pipeline is oracled — this catches cross-operator interface
+    * drift (filter-then-dedup ordering, dedup keep-first tie-breaks
+    * feeding the split hash) that per-operator gates cannot. */
+  def q84Pipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents")
+      .select($"doc_id", $"text",
+        TextAnalysis.tokenCount($"text").cast(LongType).as("n_tokens"),
+        Functional.asciiAlphaRatio($"text").as("alpha_ratio"))
+    val kept = scored.where($"alpha_ratio" >= 0.5 && $"n_tokens" >= 5)
+    val deduped = Dedup.exact(kept, "text", "doc_id")
+    deduped
+      .select($"doc_id", $"n_tokens",
+        Sampling.splitLabel($"doc_id", q84Weights, 99L).as("split"))
+      .groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("token_sum"),
+        sum($"doc_id").as("id_sum"))
+      .orderBy($"split")
+  }
+
+  // thresholds: floor(0.9*8192)=7372, floor(0.95*8192)=7782. Dedup via
+  // PARTITION BY text (Dedup.exact's fingerprint64 is collision-free at
+  // this cardinality and keeps min id — same keep-first row).
+  val q84Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, text,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+       |      AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE)
+       |      AS alpha_ratio
+       |  FROM documents),
+       |kept AS (
+       |  SELECT * FROM scored WHERE alpha_ratio >= 0.5 AND n_tokens >= 5),
+       |dedup AS (
+       |  SELECT doc_id, n_tokens FROM (
+       |    SELECT doc_id, n_tokens, ROW_NUMBER() OVER (
+       |      PARTITION BY text ORDER BY doc_id) AS rn FROM kept)
+       |  WHERE rn = 1),
+       |${bucketCtes("pp", 99L, "dedup", "doc_id")}
+       |SELECT CASE WHEN b.bucket < 7372 THEN 'train'
+       |            WHEN b.bucket < 7782 THEN 'val' ELSE 'test' END AS split,
+       |  COUNT(*) AS n_docs, CAST(SUM(d.n_tokens) AS BIGINT) AS token_sum,
+       |  CAST(SUM(d.doc_id) AS BIGINT) AS id_sum
+       |FROM dedup d JOIN ppb b ON d.doc_id = b.k
+       |GROUP BY 1 ORDER BY split""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q72_tframe_surface" -> (q72TframeSurface _),
     "q73_describe_forms" -> (q73DescribeForms _),
@@ -285,7 +421,9 @@ object Queries5 {
     "q75_iter_groups" -> (q75IterGroups _),
     "q76_collect_export" -> (q76CollectExport _),
     "q77_winnow" -> (q77Winnow _),
-    "q79_repetition" -> (q79Repetition _)
+    "q79_repetition" -> (q79Repetition _),
+    "q83_sample" -> (q83Sample _),
+    "q84_pipeline" -> (q84Pipeline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,6 +431,8 @@ object Queries5 {
     "q73_describe_forms" -> q73Sql,
     "q74_grouped_col_rand" -> q74Sql,
     "q75_iter_groups" -> q75Sql,
-    "q76_collect_export" -> q76Sql
+    "q76_collect_export" -> q76Sql,
+    "q83_sample" -> q83Sql,
+    "q84_pipeline" -> q84Sql
   )
 }

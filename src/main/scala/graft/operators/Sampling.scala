@@ -10,22 +10,29 @@ import graft.functions.Functional
   * A 100 TB corpus is sampled by a pure function of a stable key, never
   * by `rand()`: the sample must be reproducible across runs, engines,
   * and partitionings (re-running the pipeline after adding a column
-  * must select the SAME documents). The assignment is a multiply-shift
-  * hash (Dietzfelbinger et al., "A reliable randomized algorithm for
-  * the closest-pair problem", J. Algorithms 1997): bucket(key) = top
-  * [[BucketBits]] bits of `(key + seed) * A` mod 2^64 with A odd —
-  * the high bits are well-mixed even for sequential keys (the low bits
-  * of a mod-2^64 LCG are periodic, which is why the shift takes the
-  * TOP bits). The arithmetic is plain 64-bit wrap-around multiply +
-  * unsigned shift, so any engine with 64-bit integers (or 128-bit
-  * exact arithmetic reduced mod 2^64) computes the identical bucket —
-  * the DuckDB oracle reproduces it with HUGEINT.
+  * must select the SAME documents). The assignment is the top
+  * [[BucketBits]] bits of the splitmix64 finalizer (Steele, Lea &
+  * Flood, OOPSLA 2014) applied to `key + seed * golden64`
+  * (Kernels.sampleBucket). The nonlinear xor-shift-multiply rounds
+  * make distinct seeds statistically independent — with a bare
+  * multiply-shift, a seed change is a pure rotation of the bucket
+  * space, so two samples under different seeds would be near-identical
+  * or near-disjoint. The arithmetic is plain 64-bit wrap-around
+  * multiply/xor/shift, so any engine with 64-bit integers (or exact
+  * wide arithmetic reduced mod 2^64) computes the identical bucket —
+  * the q83 DuckDB oracle replays it with HUGEINT/UBIGINT.
+  *
+  * Null policy: a null key hashes to a null bucket, so null-key rows
+  * are NEVER selected by [[bernoulli]]/[[stratified]] (a null
+  * comparison is never true) and get a NULL label from [[splitLabel]].
+  * Sample keys must be non-null for proportional semantics; filter or
+  * coalesce first if nulls are meaningful.
   *
   * Scale shape: a sample/split is a stateless per-row filter/project on
   * the scan — no shuffle, no state, fully codegen'd, survives any
   * repartitioning. Reference analog: torcharrow exposes only
-  * `functional.rand` (velox_functional_.py) — reproducible sampling is
-  * part of the pipeline surface this engine adds on top.
+  * `functional.rand` (velox_rt/functional.py:47-63) — reproducible
+  * sampling is part of the pipeline surface this engine adds on top.
   */
 object Sampling {
 
@@ -35,25 +42,31 @@ object Sampling {
   val BucketBits = 13
   val Buckets: Int = 1 << BucketBits
 
-  /** Fixed odd multiplier: the 64-bit golden ratio 0x9E3779B97F4A7C15
-    * (as used by splitmix64's increment; public constant). */
+  /** Seed-mixing multiplier: the 64-bit golden ratio 0x9E3779B97F4A7C15
+    * (splitmix64's increment; public constant). */
   val Multiplier: Long = 0x9E3779B97F4A7C15L
 
-  /** Deterministic bucket in [0, Buckets) for an integral key. The
-    * wrap-around multiply lives in a Java kernel (Kernels.sampleBucket,
-    * codegen'd via StaticInvoke): under ANSI mode, Column arithmetic
-    * would raise on the intended mod-2^64 overflow. */
+  /** Deterministic bucket in [0, Buckets) for an integral key; null key
+    * → null bucket. The wrap-around arithmetic lives in a Java kernel
+    * (Kernels.sampleBucket, codegen'd via StaticInvoke): under ANSI
+    * mode, Column arithmetic would raise on the intended mod-2^64
+    * overflow. */
   def bucket(key: Column, seed: Long): Column =
     Functional.sampleBucket(key, seed)
 
   /** Threshold for a fraction: buckets `< threshold(f)` are selected,
-    * so the realized fraction is `floor(f * Buckets) / Buckets`. */
+    * so the realized fraction is `floor(f * Buckets) / Buckets` — any
+    * fraction below 1/Buckets (≈ 0.012%) floors to threshold 0 and
+    * selects ZERO rows. Callers needing finer granularity should widen
+    * [[BucketBits]] (and the q83 oracle) rather than scale fractions. */
   def threshold(fraction: Double): Int = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
     math.floor(fraction * Buckets).toInt
   }
 
-  /** Keep a deterministic `fraction` of rows, keyed by `key`. */
+  /** Keep a deterministic `fraction` of rows, keyed by `key`. Null-key
+    * rows are never kept (see the null policy above); fractions below
+    * 1/Buckets select zero rows (see [[threshold]]). */
   def bernoulli(df: DataFrame, key: Column, fraction: Double,
       seed: Long): DataFrame =
     df.where(bucket(key, seed) < lit(threshold(fraction)))
@@ -61,7 +74,8 @@ object Sampling {
   /** Stratified deterministic sample: per-stratum fractions, with
     * `default` for strata absent from the map. The fraction lookup is
     * a literal when-chain (codegen'd, no join) — strata cardinality is
-    * assumed small (it is a label column, not a key column). */
+    * assumed small (it is a label column, not a key column). Null-key
+    * rows are never kept. */
   def stratified(df: DataFrame, strata: Column, key: Column,
       fractions: Map[String, Double], default: Double,
       seed: Long): DataFrame = {
@@ -73,22 +87,31 @@ object Sampling {
   }
 
   /** Deterministic train/val/test-style split label: `weights` are
-    * (label, weight) pairs; each key lands in exactly one label, with
-    * proportions `weight / sum(weights)`. Exhaustive and disjoint by
-    * construction (half-open bucket ranges covering [0, Buckets)). */
+    * (label, weight) pairs; each non-null key lands in exactly one
+    * label, with proportions `weight / sum(weights)`; a null key gets
+    * a NULL label (never silently the last label). Exhaustive and
+    * disjoint over non-null keys by construction (half-open bucket
+    * ranges covering [0, Buckets)); every normalized weight share must
+    * be >= 1/Buckets so no slice floors to an empty bucket range. */
   def splitLabel(key: Column, weights: Seq[(String, Double)],
       seed: Long): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be positive")
     val total = weights.map(_._2).sum
+    weights.foreach { case (label, w) =>
+      require(w / total >= 1.0 / Buckets,
+        s"weight share for '$label' (${w / total}) is below 1/$Buckets " +
+          "and would select zero rows")
+    }
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) =>
       acc + w / total
     }.tail.map(threshold)
     val b = bucket(key, seed)
     // last range is open-ended so rounding never drops a row
-    weights.init.zip(cuts.init).reverse.foldLeft(
+    val chain = weights.init.zip(cuts.init).reverse.foldLeft(
       lit(weights.last._1)) { case (acc, ((label, _), cut)) =>
       when(b < lit(cut), lit(label)).otherwise(acc)
     }
+    when(b.isNull, lit(null: String)).otherwise(chain)
   }
 }

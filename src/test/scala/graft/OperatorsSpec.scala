@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.BooleanType
 
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
@@ -257,12 +258,15 @@ class OperatorsSpec extends SparkSpec {
     try {
       spark.conf.set("graft.sketch.selfcheck", "false")
       val bench = Queries2.q19ApproxSketch(spark, dir)
+      // bench mode renames the flag to sketch_unchecked: the bound
+      // check does not run there, and the name must say so
       assert(bench.schema.map(f => (f.name, f.dataType)) ===
-        checked.schema.map(f => (f.name, f.dataType)))
+        checked.schema.map(f => (f.name, f.dataType))
+          .init :+ ("sketch_unchecked", BooleanType))
       val plan = bench.queryExecution.optimizedPlan.toString
       assert(!plan.contains("count(distinct"))
       assert(!plan.toLowerCase.contains("percentile(")) // approx only
-      assert(bench.collect().forall(_.getAs[Boolean]("sketch_ok")))
+      assert(bench.collect().forall(_.getAs[Boolean]("sketch_unchecked")))
     } finally spark.conf.set("graft.sketch.selfcheck", "true")
   }
 }

@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Kernels
+import graft.operators.Sampling
+
+/** Deterministic sampling / splits (operators/Sampling.scala; gate
+  * q83/q84). Pins the splitmix64 bucket kernel bit-for-bit, proves the
+  * statistical contracts the ADVICE round demanded (seed independence),
+  * and the split exhaustive/disjoint/null properties. Discipline analog
+  * in the reference: test_sigrid_hash.py:48-66 pins its hash the same
+  * way. */
+class SamplingSpec extends SparkSpec {
+
+  private def keys(n: Int) = {
+    import spark.implicits._
+    (0L until n.toLong).toDF("k")
+  }
+
+  test("sampleBucket pins (splitmix64 of key + seed*golden64)") {
+    // values cross-computed with exact big-integer arithmetic reduced
+    // mod 2^64 (the same arithmetic the q83 DuckDB oracle replays)
+    assert(Kernels.sampleBucket(0L, 0L) === 0) // splitmix64(0) == 0
+    assert(Kernels.sampleBucket(1L, 0L) === 2770)
+    assert(Kernels.sampleBucket(12345L, 42L) === 4343)
+    assert(Kernels.sampleBucket(999999999L, 7L) === 762)
+    assert(Kernels.sampleBucket(-5L, 3L) === 7229) // wrap-around key
+    (0 until 1000).foreach { i =>
+      val b = Kernels.sampleBucket(i.toLong * 7919L, 11L)
+      assert(b >= 0 && b < Sampling.Buckets)
+    }
+  }
+
+  test("buckets are stable across partitionings and engines-of-one") {
+    val df = keys(5000)
+    val a = df.select(col("k"), Sampling.bucket(col("k"), 42L).as("b"))
+    val b = df.repartition(13, col("k"))
+      .select(col("k"), Sampling.bucket(col("k"), 42L).as("b"))
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+  }
+
+  test("distinct seeds give statistically independent samples") {
+    // the round-9 ADVICE finding: under the old linear multiply-shift,
+    // two 10% samples with different seeds overlapped 0 rows vs ~1%
+    // expected. With the splitmix64 finalizer the overlap must sit in
+    // a comfortable binomial band around n*0.01 (sd ≈ 31 at n=100k).
+    val n = 100000
+    val df = keys(n)
+    def sample(seed: Long) =
+      Sampling.bernoulli(df, col("k"), 0.1, seed).select("k")
+    val s1 = sample(42L)
+    val s2 = sample(4242L)
+    val overlap = s1.join(s2, "k").count()
+    assert(overlap > 600 && overlap < 1400,
+      s"overlap $overlap outside [600, 1400] ≈ n/100 ± 13 sd")
+    // and each sample is ~10% (floor(0.1*8192)/8192 of n ± noise)
+    Seq(s1.count(), s2.count()).foreach { c =>
+      assert(c > n / 10 - 1500 && c < n / 10 + 1500, s"sample size $c")
+    }
+  }
+
+  test("bernoulli edge fractions: 0 selects nothing, 1 selects all") {
+    val df = keys(1000)
+    assert(Sampling.bernoulli(df, col("k"), 0.0, 7L).count() === 0)
+    assert(Sampling.bernoulli(df, col("k"), 1.0, 7L).count() === 1000)
+    // sub-granularity fraction floors to zero rows — documented edge
+    assert(Sampling.bernoulli(df, col("k"), 0.5 / Sampling.Buckets, 7L)
+      .count() === 0)
+  }
+
+  test("splitLabel is exhaustive, disjoint, and proportional") {
+    val n = 20000
+    val weights = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val labeled = keys(n)
+      .select(col("k"), Sampling.splitLabel(col("k"), weights, 7L).as("s"))
+    // exhaustive: every non-null key gets exactly one non-null label
+    assert(labeled.where(col("s").isNull).count() === 0)
+    val counts = labeled.groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum === n.toLong)
+    // proportional within a generous band (binomial sd ~ 42 for val)
+    assert(math.abs(counts("train") - 16000L) < 500, counts.toString)
+    assert(math.abs(counts("val") - 2000L) < 300, counts.toString)
+    assert(math.abs(counts("test") - 2000L) < 300, counts.toString)
+  }
+
+  test("splitLabel and bernoulli agree on the same (key, seed) buckets") {
+    // a 10% bernoulli (seed s) is exactly the keys whose bucket < 819;
+    // splitting 0.1/0.9 with the same seed puts exactly those keys in
+    // the first label — the two APIs are views of one assignment
+    val df = keys(10000)
+    val first = keys(10000)
+      .select(col("k"),
+        Sampling.splitLabel(col("k"), Seq("in" -> 0.1, "out" -> 0.9), 5L)
+          .as("s"))
+      .where(col("s") === "in").select("k")
+    val bern = Sampling.bernoulli(df, col("k"), 0.1, 5L).select("k")
+    assert(first.except(bern).count() === 0 &&
+      bern.except(first).count() === 0)
+  }
+
+  test("null keys: never sampled, NULL split label") {
+    import spark.implicits._
+    val df = Seq(Some(1L), Some(2L), None, Some(3L)).toDF("k")
+    assert(Sampling.bernoulli(df, col("k"), 1.0, 7L).count() === 3)
+    val lbl = df.select(Sampling.splitLabel(col("k"),
+      Seq("a" -> 0.5, "b" -> 0.5), 7L).as("s"))
+    assert(lbl.where(col("s").isNull).count() === 1)
+    assert(lbl.where(col("s").isNotNull).count() === 3)
+  }
+
+  test("splitLabel rejects sub-granularity weight shares") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.splitLabel(col("k"),
+        Seq("big" -> 1.0, "tiny" -> 0.00001), 7L)
+    }
+    assert(e.getMessage.contains("zero rows"))
+  }
+
+  test("stratified applies per-stratum fractions deterministically") {
+    import spark.implicits._
+    val df = (0L until 10000L).map(k => (k, if (k % 2 == 0) "A" else "B"))
+      .toDF("k", "g")
+    val out = Sampling.stratified(df, col("g"), col("k"),
+      Map("A" -> 0.5), default = 0.0, seed = 9L)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byG.contains("B")) // default 0 drops the other stratum
+    assert(math.abs(byG("A") - 2500L) < 300, byG.toString)
+    // re-running selects the identical rows
+    val again = Sampling.stratified(df, col("g"), col("k"),
+      Map("A" -> 0.5), default = 0.0, seed = 9L)
+    assert(out.except(again).count() === 0)
+  }
+}
