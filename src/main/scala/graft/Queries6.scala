@@ -1,0 +1,206 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Functional
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-10 queries: the LLM-pipeline operators a 100 TB training-data
+  * run needs beyond pair generation — benchmark decontamination,
+  * dup-group resolution (connected components), PII scrubbing, and
+  * TF-IDF term scoring. Naming/oracle/float conventions as in
+  * [[Queries]]; every gate here is fully DuckDB-oracled.
+  */
+object Queries6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- benchmark decontamination ---------------------------------------
+
+  /** Eval-overlap decontamination (GPT-3 Appendix C / Gopher pattern):
+    * documents with doc_id % 20 == 0 stand in for the benchmark suite;
+    * every other document sharing a word n-gram with them is flagged
+    * with its distinct-contaminating-gram count. n = 3 here because the
+    * synthetic corpus draws from a ~30-word vocabulary (production runs
+    * use 8-13); the plan shape — distinct benchmark grams BROADCAST,
+    * corpus probed map-side, no corpus shuffle — is the 100 TB design
+    * and is independent of n. The oracle recomputes grams as raw
+    * strings; Spark joins on xxhash64 of the gram (collision odds
+    * ~1e-12 at these cardinalities). */
+  def q85Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val evalSet = docs.where($"doc_id" % 20 === 0)
+    val train = docs.where($"doc_id" % 20 =!= 0)
+    Dedup.decontaminate(train, evalSet, "text", "doc_id", n = 3)
+      .orderBy($"doc_id")
+  }
+
+  val q85Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      |  FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+      |SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
+      |FROM grams g JOIN ev ON g.g = ev.g
+      |WHERE g.doc_id % 20 != 0
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
+  // ---- dup-group resolution (connected components) ---------------------
+
+  /** Near-dup pipeline completion: candidate pairs (the q44-oracled
+    * exact-Jaccard set over the bounded doc_id < 200 subset) resolved
+    * into duplicate GROUPS via min-label connected components — the
+    * step that turns pairwise similarity into one-keeper-per-group at
+    * corpus scale. component = min reachable id = the deterministic
+    * keep-id. The DuckDB oracle computes the same components by
+    * recursive transitive closure; both sides emit only ids that
+    * appear in at least one pair. */
+  def q88DupGroups(s: SparkSession, dir: String): DataFrame = {
+    val sh = sort_array(array_distinct(transform(
+      sequence(lit(1), length($"text") - 2),
+      i => xxhash64($"text".substr(i, lit(3))))))
+    val d = t(s, dir, "documents")
+      .where($"doc_id" < 200 && length($"text") >= 3)
+      .select($"doc_id", sh.as("sh"))
+    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val pairs = a.join(broadcast(b), $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        Functional.jaccardSorted($"sh_a", $"sh_b").as("j"))
+      .where($"j" >= 0.60)
+      .select($"id_a", $"id_b")
+    Dedup.connectedComponents(pairs)
+      .select($"id", $"component")
+      .orderBy($"id")
+  }
+
+  val q88Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS sh
+      |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM d a, d b WHERE a.doc_id < b.doc_id),
+      |e AS (SELECT id_a, id_b FROM p
+      |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.60),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM e
+      |  UNION SELECT id_b, id_a FROM e),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id AS src, id AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)
+      |SELECT src AS id, MIN(dst) AS component
+      |FROM reach GROUP BY src ORDER BY id""".stripMargin
+
+  // ---- PII scrubbing ---------------------------------------------------
+
+  /** PII redaction gate: the synthetic corpus carries no PII, so both
+    * engines deterministically plant the same email/phone/IPv4 spans
+    * (derived from doc_id; docs with doc_id % 3 == 0 stay clean, a
+    * second email lands on doc_id % 5 == 0) and then redact. The green
+    * hash row proves pattern semantics, replace-all behavior, and
+    * pass ordering are engine-portable. Single codegen'd scan — the
+    * 100 TB shape for scrubbing. */
+  def q86PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val planted = when($"doc_id" % 3 =!= 0, concat(
+        lit("contact user"), $"doc_id".cast(StringType),
+        lit("@mail.example.com or +1-"),
+        lpad(($"doc_id" % 1000).cast(StringType), 3, "0"), lit("-"),
+        lpad(($"doc_id" % 10000).cast(StringType), 4, "0"),
+        lit(" from 10.0."), ($"doc_id" % 256).cast(StringType),
+        lit(".77 "))).otherwise(lit(""))
+    val extra = when($"doc_id" % 5 === 0,
+      lit(" also admin@example.org")).otherwise(lit(""))
+    val ptext = concat(planted, $"text", extra)
+    t(s, dir, "documents")
+      .select($"doc_id", ptext.as("ptext"))
+      .select($"doc_id",
+        TextAnalysis.piiRedact($"ptext").as("redacted"),
+        TextAnalysis.piiCounts($"ptext").as("c"))
+      .select($"doc_id", $"redacted",
+        $"c.n_email".as("n_email"), $"c.n_phone".as("n_phone"),
+        $"c.n_ipv4".as("n_ipv4"))
+      .orderBy($"doc_id")
+  }
+
+  val q86Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 != 0 THEN
+      |      'contact user' || CAST(doc_id AS VARCHAR) ||
+      |      '@mail.example.com or +1-' ||
+      |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+      |      ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.77 '
+      |    ELSE '' END || text ||
+      |    CASE WHEN doc_id % 5 = 0 THEN ' also admin@example.org'
+      |    ELSE '' END AS ptext
+      |  FROM documents)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(ptext,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '\b([0-9]{1,3}\.)([0-9]{1,3}\.)([0-9]{1,3})\.[0-9]{1,3}\b',
+      |    '<IPV4>', 'g') AS redacted,
+      |  len(regexp_extract_all(ptext,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+      |  len(regexp_extract_all(ptext,
+      |    '\+1-[0-9]{3}-[0-9]{4}')) AS n_phone,
+      |  len(regexp_extract_all(ptext,
+      |    '\b([0-9]{1,3}\.)([0-9]{1,3}\.)([0-9]{1,3})\.[0-9]{1,3}\b'))
+      |    AS n_ipv4
+      |FROM planted ORDER BY doc_id""".stripMargin
+
+  // ---- TF-IDF ----------------------------------------------------------
+
+  /** TF-IDF top-3 terms per document (raw tf × ln(N/df), ties broken by
+    * term) — the frequency-analysis building block for vocab pruning
+    * and keyword extraction. Both engines compute the score as the
+    * same double expression over identical integer (tf, df, N), so the
+    * rounded values hash-match exactly. */
+  def q87Tfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfIdfTopTerms(t(s, dir, "documents"), "text", "doc_id", 3)
+      .select($"doc_id", $"term", round($"score", 4).as("score"), $"rk")
+      .orderBy($"doc_id", $"rk")
+
+  val q87Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |ranked AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY tf.tf * ln(CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE))
+      |        DESC, tf.term) AS rk
+      |  FROM tf JOIN df USING (term) CROSS JOIN n)
+      |SELECT doc_id, term, ROUND(score, 4) AS score, rk
+      |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_decontaminate" -> (q85Decontaminate _),
+    "q86_pii_redact" -> (q86PiiRedact _),
+    "q87_tfidf" -> (q87Tfidf _),
+    "q88_dup_groups" -> (q88DupGroups _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q85_decontaminate" -> q85Sql,
+    "q86_pii_redact" -> q86Sql,
+    "q87_tfidf" -> q87Sql,
+    "q88_dup_groups" -> q88Sql
+  )
+}

@@ -205,6 +205,87 @@ object Dedup {
     withDropCount(pairs, ranked, maxBucket)
   }
 
+  /** Benchmark decontamination (the GPT-3 Appendix C / Gopher
+    * eval-overlap pattern): flag every training document sharing at
+    * least one word n-gram with the evaluation set. Returns
+    * (idCol, n_hits) where n_hits counts the DISTINCT contaminating
+    * n-grams, so downstream policy can drop outright or threshold.
+    *
+    * Scale shape: benchmark suites are MBs while the corpus is TBs, so
+    * the eval n-gram set is distinct-reduced and BROADCAST — the corpus
+    * side is a single scan + map-side hash probe + one aggregation on
+    * (id, gram-hash); the corpus text never shuffles. Grams are
+    * compared as xxhash64 of the joined shingle (collision odds ~1e-12
+    * at benchmark-set cardinalities). Real pipelines use n of 8-13;
+    * docs shorter than n contribute their full token run as one gram
+    * (TextAnalysis.shingles semantics). */
+  def decontaminate(
+      train: DataFrame,
+      evalSet: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 13): DataFrame = {
+    def grams(df: DataFrame, out: String): DataFrame =
+      df.select(col(idCol).as("__did"),
+          explode(TextAnalysis.shingles(col(textCol), n)).as("__g"))
+        .select(col("__did"), xxhash64(col("__g")).as(out))
+    val evGrams = grams(evalSet, "__eg").select("__eg").distinct()
+    grams(train, "__tg")
+      .join(broadcast(evGrams), col("__tg") === col("__eg"))
+      .groupBy(col("__did").as(idCol))
+      .agg(count_distinct(col("__tg")).as("n_hits"))
+  }
+
+  /** Duplicate-group resolution: connected components over a candidate
+    * pair set (columns id_a, id_b — the output shape of every pair
+    * generator above). Returns (id, component) where component is the
+    * minimum id reachable from `id` — so `component` doubles as the
+    * deterministic keep-id, completing the near-dup pipeline:
+    * pairs → groups → keep one doc per group.
+    *
+    * Algorithm: min-label propagation to fixpoint — each iteration is
+    * one shuffle join (labels to neighbors) + one min-aggregation,
+    * converging in O(graph diameter) rounds. Dedup graphs are
+    * near-cliques plus short chains, so 2-4 rounds in practice; the
+    * alternating large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) drops
+    * that to O(log d) and is the upgrade path if 100 TB candidate
+    * graphs ever show long chains. The driver-side loop is control
+    * flow only (same pattern as GraphX Pragel); per-iteration
+    * `localCheckpoint` truncates the growing lineage, and the
+    * convergence test is a bounded count aggregate, never a collect.
+    * `maxIter` is a hard stop against pathological chains; hitting it
+    * raises rather than silently emitting partial components. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(pairs.select(col("id_b").as("a"), col("id_a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val viaNeighbor = edges
+        .join(labels, edges("b") === labels("id"))
+        .select(edges("a").as("id"), col("component"))
+      val updated = labels.unionByName(viaNeighbor)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint()
+      changed = updated.join(labels.withColumnRenamed("component", "__old"),
+          "id")
+        .where(col("component") =!= col("__old")).count()
+      labels = updated
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
+    labels
+  }
+
   /** Embedding near-dup pairs: hyperplane-LSH bucket, within-bucket
     * cosine ≥ threshold. */
   def embeddingCosine(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -133,6 +134,62 @@ object TextAnalysis {
     * set (not the text) is what shuffles in a fingerprint-join dedup. */
   def winnowFingerprints(text: Column, k: Int = 8, w: Int = 16): Column =
     Functional.winnow(text, k, w)
+
+  // ---- TF-IDF ---------------------------------------------------------
+
+  /** Top-`k` TF-IDF terms per document: score = tf × ln(N / df) with
+    * raw term counts, deterministic tie-break (score desc, term asc).
+    * Returns (idCol, term, score, rk).
+    *
+    * Scale shape: the term-frequency aggregation shuffles (id, term)
+    * pairs once; the document-frequency table is VOCABULARY-sized
+    * (millions of rows against billions of docs) so it and the 1-row
+    * corpus count broadcast back — the per-doc ranking window then
+    * re-shuffles only (id, term, score). The corpus text never moves
+    * twice. */
+  def tfIdfTopTerms(
+      df: DataFrame, textCol: String, idCol: String, k: Int): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // tf is already distinct on (id, term): df = plain count per term
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count_distinct(col(idCol)).as("n"))
+    val w = Window.partitionBy(idCol).orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * log(col("n").cast(DoubleType) / col("df").cast(DoubleType)))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("term"), col("score"), col("rk"))
+  }
+
+  // ---- PII scrubbing --------------------------------------------------
+
+  /** Shared-dialect PII patterns (valid in both Java regex and RE2 —
+    * no lookaround, no backreferences — so the DuckDB oracle can run
+    * the identical pattern). Deliberately simple recall-oriented
+    * shapes: email, NANP-style +1 phone, dotted-quad IPv4. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("phone", "\\+1-[0-9]{3}-[0-9]{4}"),
+    ("ipv4", "\\b([0-9]{1,3}\\.)([0-9]{1,3}\\.)([0-9]{1,3})\\.[0-9]{1,3}\\b"))
+
+  /** Redact every PII match with `<EMAIL>`/`<PHONE>`/`<IPV4>` tokens.
+    * A chain of codegen'd regexp_replace passes — single scan, no
+    * shuffle, linear in the text. Email runs first so its dotted
+    * domain can never be half-eaten by the IPv4 pass. */
+  def piiRedact(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, re)) =>
+      regexp_replace(c, re, s"<${name.toUpperCase}>")
+    }
+
+  /** Per-kind PII match counts as a struct (n_email, n_phone, n_ipv4). */
+  def piiCounts(text: Column): Column =
+    struct(piiPatterns.map { case (name, re) =>
+      size(regexp_extract_all(text, lit(re), lit(0))).as(s"n_$name")
+    }: _*)
 
   /** Word k-shingles of a document: sliding windows of `k` tokens joined
     * by a space — the dedup unit for MinHash/Jaccard. Pure HOF chain. */

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Round-10 pipeline operators: decontamination, connected-components
+  * dup-group resolution, PII scrubbing, TF-IDF. */
+class TextPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- decontamination -------------------------------------------------
+
+  private lazy val trainDocs = Seq(
+    (1L, "alpha beta gamma delta epsilon"), // shares "alpha beta gamma"
+    (2L, "zeta eta theta iota kappa"), // clean
+    (3L, "one two three alpha beta gamma delta x"), // two shared grams
+    (4L, "totally unrelated words here now")) // clean
+    .toDF("doc_id", "text")
+  private lazy val evalDocs = Seq(
+    (100L, "alpha beta gamma delta qq")) // grams incl. "beta gamma delta"
+    .toDF("doc_id", "text")
+
+  test("decontaminate flags docs sharing word n-grams with the eval set") {
+    val hits = Dedup.decontaminate(trainDocs, evalDocs, "text", "doc_id", 3)
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hits")))
+    // doc 1: "alpha beta gamma", "beta gamma delta" (not "gamma delta
+    // epsilon" — eval has "gamma delta qq"); doc 3: the same two
+    assert(hits === Seq((1L, 2L), (3L, 2L)))
+  }
+
+  test("decontaminate returns nothing when the eval set is disjoint") {
+    val ev = Seq((9L, "completely fresh benchmark text")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(trainDocs, ev, "text", "doc_id", 3).count() === 0)
+  }
+
+  // ---- connected components --------------------------------------------
+
+  test("connectedComponents labels chains, cliques and isolated pairs") {
+    // chain 1-2-3 (diameter 2), clique 10-11-12, pair 20-21
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (21L, 20L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().toSeq
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component")))
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("connectedComponents handles a long chain within maxIter") {
+    // path 0-1-2-...-9: diameter 9 needs several propagation rounds
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs, maxIter = 20)
+      .agg(count(lit(1)), countDistinct(col("component")),
+        min(col("component"))).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((10L, 1L, 0L)))
+  }
+
+  test("connectedComponents raises rather than emit partial components") {
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, maxIter = 2).collect()
+    }
+  }
+
+  // ---- PII -------------------------------------------------------------
+
+  test("piiRedact replaces all emails, phones and IPv4s") {
+    val df = Seq(
+      "mail a.user+tag@sub.example.com and b@x.io now",
+      "call +1-555-0142 or +1-800-9999 end",
+      "host 10.0.3.77 and 192.168.255.1 up",
+      "no pii at all here").toDF("t")
+      .select(TextAnalysis.piiRedact(col("t")).as("r"))
+    assert(col0(df) === Seq(
+      "mail <EMAIL> and <EMAIL> now",
+      "call <PHONE> or <PHONE> end",
+      "host <IPV4> and <IPV4> up",
+      "no pii at all here"))
+  }
+
+  test("piiCounts counts per kind; email pass precedes ipv4") {
+    val r = Seq("a@b.co 1.2.3.4 +1-000-1111 c@d.org")
+      .toDF("t").select(TextAnalysis.piiCounts(col("t")).as("c"))
+      .select("c.n_email", "c.n_phone", "c.n_ipv4").head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) === ((2, 1, 1)))
+    // a dotted-quad inside an email domain must not be half-eaten by
+    // the IPv4 pass (email runs first and swallows the whole address)
+    val red = col0(Seq("x j.doe@10.0.0.1.example.com y").toDF("t")
+      .select(TextAnalysis.piiRedact(col("t"))))
+    assert(red === Seq("x <EMAIL> y"))
+  }
+
+  // ---- TF-IDF ----------------------------------------------------------
+
+  test("tfIdfTopTerms scores rare terms above common ones, ties by term") {
+    val docs = Seq(
+      (1L, "common rare1 common common"),
+      (2L, "common rare2 rare2"),
+      (3L, "common onlyhere")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfIdfTopTerms(docs, "text", "doc_id", 2)
+      .orderBy("doc_id", "rk").collect().toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Int]("rk")))
+    // "common" appears in all 3 docs -> idf ln(1) = 0, never top
+    assert(got === Seq((1L, "rare1", 1), (1L, "common", 2),
+      (2L, "rare2", 1), (2L, "common", 2),
+      (3L, "onlyhere", 1), (3L, "common", 2)))
+    val scores = TextAnalysis.tfIdfTopTerms(docs, "text", "doc_id", 2)
+      .where(col("term") === "rare2").select("score").head().getDouble(0)
+    assert(math.abs(scores - 2 * math.log(3.0)) < 1e-12)
+  }
+}
