@@ -569,6 +569,65 @@ public final class Kernels {
     return new GenericArrayData(sig);
   }
 
+  /** Word k-shingles as strings — the fused kernel behind
+   * TextAnalysis.shingles. Exact semantics of
+   * {@code transform(sequence(...), i -> array_join(slice(split(trim(
+   * text), "\\s+"), i, k), " "))}: 0x20 spaces trimmed at the ends,
+   * tokens split on ASCII-whitespace RUNS (Java regex \s class), a
+   * leading non-space whitespace run yields an empty first token and a
+   * trailing run an empty last token (split limit -1), windows of k
+   * tokens joined by single spaces, and fewer than k tokens yield ONE
+   * shingle of all tokens. One byte scan + one allocation per shingle
+   * versus the HOF chain's regex split and per-window slice +
+   * array_join — ~3-5x on the dedup/decontamination explode paths. */
+  public static ArrayData wordShingles(UTF8String text, int k) {
+    byte[] b = text.trim().getBytes();
+    int n = b.length;
+    // token segments [start, end) between whitespace runs
+    int[] starts = new int[16];
+    int[] ends = new int[16];
+    int m = 0;
+    int segStart = 0;
+    int i = 0;
+    while (i < n) {
+      if (isWs(b[i])) {
+        if (m == starts.length) {
+          starts = java.util.Arrays.copyOf(starts, m * 2);
+          ends = java.util.Arrays.copyOf(ends, m * 2);
+        }
+        starts[m] = segStart;
+        ends[m++] = i;
+        while (i < n && isWs(b[i])) i++;
+        segStart = i;
+      } else {
+        i++;
+      }
+    }
+    if (m == starts.length) {
+      starts = java.util.Arrays.copyOf(starts, m + 1);
+      ends = java.util.Arrays.copyOf(ends, m + 1);
+    }
+    starts[m] = segStart;
+    ends[m++] = n;
+    int count = m < k ? 1 : m - k + 1;
+    int win = Math.min(k, m);
+    UTF8String[] out = new UTF8String[count];
+    for (int s = 0; s < count; s++) {
+      int len = win - 1;
+      for (int j = 0; j < win; j++) len += ends[s + j] - starts[s + j];
+      byte[] buf = new byte[len];
+      int p = 0;
+      for (int j = 0; j < win; j++) {
+        if (j > 0) buf[p++] = ' ';
+        int sl = ends[s + j] - starts[s + j];
+        System.arraycopy(b, starts[s + j], buf, p, sl);
+        p += sl;
+      }
+      out[s] = UTF8String.fromBytes(buf);
+    }
+    return new GenericArrayData(out);
+  }
+
   /** Distinct hashed word-shingles of a text (sorted array<long>) — the
    * exact-Jaccard unit without materializing shingle strings. Same
    * tokenization/windowing as minHashText. */
@@ -1148,11 +1207,21 @@ public final class Kernels {
    * 64-bit arithmetic; the DuckDB oracle replays it bit-for-bit in
    * HUGEINT/UBIGINT (Queries5.bucketCtes). */
   public static int sampleBucket(long key, long seed) {
+    return (int) (sampleHash(key, seed) >>> 51);
+  }
+
+  /** Full 64-bit splitmix64 value behind {@link #sampleBucket} — the
+   * deterministic global shuffle key: ORDER BY sampleHash(key, seed)
+   * is a reproducible, engine-portable permutation of the corpus
+   * (training-data shuffling without rand()). Signed Java comparison
+   * order; cross-engine oracles must reduce to the same signed 64-bit
+   * value. */
+  public static long sampleHash(long key, long seed) {
     long z = key + seed * 0x9E3779B97F4A7C15L;
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L;
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL;
     z ^= (z >>> 31);
-    return (int) (z >>> 51);
+    return z;
   }
 
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits

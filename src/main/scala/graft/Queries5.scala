@@ -289,8 +289,8 @@ object Queries5 {
     * non-negative integral key (true for every table key here);
     * negative keys would need an extra mod-normalization because
     * DuckDB's % takes the dividend's sign. */
-  private def bucketCtes(tag: String, seed: Long, src: String,
-      keyExpr: String): String = {
+  private def mixCtes(tag: String, seed: Long, src: String,
+      keyExpr: String): (String, String) = {
     val m = BigInt(1) << 64
     def u(x: Long): BigInt = BigInt(x) & (m - 1)
     val seedc = (u(seed) * u(Sampling.Multiplier)).mod(m)
@@ -304,13 +304,40 @@ object Queries5 {
     def xs(a: String, n: Int): String =
       s"CAST(xor(CAST($a AS UBIGINT), CAST($a AS UBIGINT) >> $n) AS HUGEINT)"
     val last = mul("z", c2)
-    s"""${tag}0 AS (SELECT $keyExpr AS k,
-       |  (CAST($keyExpr AS HUGEINT) + $seedc) % $m AS z FROM $src),
-       |${tag}1 AS (SELECT k, ${xs("z", 30)} AS z FROM ${tag}0),
-       |${tag}2 AS (SELECT k, ${mul("z", c1)} AS z FROM ${tag}1),
-       |${tag}3 AS (SELECT k, ${xs("z", 27)} AS z FROM ${tag}2),
+    val stages =
+      s"""${tag}0 AS (SELECT $keyExpr AS k,
+         |  (CAST($keyExpr AS HUGEINT) + $seedc) % $m AS z FROM $src),
+         |${tag}1 AS (SELECT k, ${xs("z", 30)} AS z FROM ${tag}0),
+         |${tag}2 AS (SELECT k, ${mul("z", c1)} AS z FROM ${tag}1),
+         |${tag}3 AS (SELECT k, ${xs("z", 27)} AS z FROM ${tag}2)""".stripMargin
+    (stages, last)
+  }
+
+  private[graft] def bucketCtes(tag: String, seed: Long, src: String,
+      keyExpr: String): String = {
+    val (stages, last) = mixCtes(tag, seed, src, keyExpr)
+    s"""$stages,
        |${tag}b AS (SELECT k, CAST(xor(CAST($last AS UBIGINT),
        |  CAST($last AS UBIGINT) >> 31) >> 51 AS INTEGER) AS bucket
+       |  FROM ${tag}3)""".stripMargin
+  }
+
+  /** Like [[bucketCtes]] but emitting the FULL finalized 64-bit value
+    * as a SIGNED BIGINT in `<tag>h(k, h)` — the exact value
+    * Kernels.sampleHash returns, so cross-engine ORDER BY agrees. */
+  private[graft] def hashCtes(tag: String, seed: Long, src: String,
+      keyExpr: String): String = {
+    val (stages, last) = mixCtes(tag, seed, src, keyExpr)
+    val half = BigInt(1) << 63
+    val full = BigInt(1) << 64
+    s"""$stages,
+       |${tag}h AS (SELECT k, CAST(CASE
+       |  WHEN CAST(xor(CAST($last AS UBIGINT), CAST($last AS UBIGINT)
+       |    >> 31) AS HUGEINT) >= $half
+       |  THEN CAST(xor(CAST($last AS UBIGINT), CAST($last AS UBIGINT)
+       |    >> 31) AS HUGEINT) - $full
+       |  ELSE CAST(xor(CAST($last AS UBIGINT), CAST($last AS UBIGINT)
+       |    >> 31) AS HUGEINT) END AS BIGINT) AS h
        |  FROM ${tag}3)""".stripMargin
   }
 

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Functional
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
 
 /** Round-10 queries: the LLM-pipeline operators a 100 TB training-data
   * run needs beyond pair generation — benchmark decontamination,
@@ -190,17 +190,75 @@ object Queries6 {
       |SELECT doc_id, term, ROUND(score, 4) AS score, rk
       |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ---- bigram-LM perplexity (CCNet-style quality filter) ---------------
+
+  /** Per-document perplexity under an add-alpha bigram LM estimated
+    * from the corpus itself — the self-contained equivalent of the
+    * CCNet/C4 KenLM quality filter. Fully oracled: per-bigram
+    * log-probs go through DECIMAL(25,12) before the per-doc mean so
+    * both engines sum exactly (double summation would be
+    * partition-order-sensitive), and q87 already proved ln() is
+    * bit-identical across engines. */
+  def q89Perplexity(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramPerplexity(t(s, dir, "documents"), "text", "doc_id")
+      .select($"doc_id", $"n_bigrams", round($"ppl", 4).as("ppl"))
+      .orderBy($"doc_id")
+
+  val q89Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |uni AS (SELECT doc_id, UNNEST(w) AS term FROM tok),
+      |c1 AS (SELECT term, COUNT(*) AS c1 FROM uni GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT term) AS v FROM uni),
+      |big AS (
+      |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g, w[i] AS w1
+      |  FROM tok, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+      |c2 AS (SELECT g, COUNT(*) AS c2 FROM big GROUP BY 1),
+      |lp AS (
+      |  SELECT b.doc_id,
+      |    CAST(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v)) AS DECIMAL(25,12))
+      |      AS lp
+      |  FROM big b JOIN c2 USING (g) JOIN c1 ON b.w1 = c1.term
+      |  CROSS JOIN v)
+      |SELECT doc_id, COUNT(*) AS n_bigrams,
+      |  ROUND(exp(-(CAST(SUM(lp) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))), 4)
+      |    AS ppl
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- deterministic global shuffle ------------------------------------
+
+  /** Deterministic corpus shuffle: the 100 lowest rows of the
+    * splitmix64 permutation (Sampling.shuffled, seed 17), with the
+    * shuffle key exposed. A green row proves the full 64-bit hash —
+    * not just the q83-oracled top-13-bits bucket — and the signed
+    * ORDER BY agree across engines, i.e. both engines materialize the
+    * identical training order. */
+  def q90ShuffleOrder(s: SparkSession, dir: String): DataFrame =
+    Sampling.shuffled(t(s, dir, "documents").select($"doc_id"),
+        $"doc_id", 17L)
+      .limit(100)
+      .select($"doc_id", Sampling.shuffleKey($"doc_id", 17L).as("h"))
+
+  val q90Sql: String =
+    s"""WITH ${Queries5.hashCtes("sh", 17L, "documents", "doc_id")}
+       |SELECT k AS doc_id, h FROM shh ORDER BY h, k LIMIT 100""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
     "q87_tfidf" -> (q87Tfidf _),
-    "q88_dup_groups" -> (q88DupGroups _)
+    "q88_dup_groups" -> (q88DupGroups _),
+    "q89_perplexity" -> (q89Perplexity _),
+    "q90_shuffle_order" -> (q90ShuffleOrder _)
   )
 
   val oracles: Map[String, String] = Map(
     "q85_decontaminate" -> q85Sql,
     "q86_pii_redact" -> q86Sql,
     "q87_tfidf" -> q87Sql,
-    "q88_dup_groups" -> q88Sql
+    "q88_dup_groups" -> q88Sql,
+    "q89_perplexity" -> q89Sql,
+    "q90_shuffle_order" -> q90Sql
   )
 }

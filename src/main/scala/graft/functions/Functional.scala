@@ -158,6 +158,12 @@ object Functional {
     invoke("sampleBucket", IntegerType,
       Seq(key.cast(LongType), lit(seed)), Seq(LongType, LongType))
 
+  /** Full 64-bit splitmix64 value behind [[sampleBucket]] — the
+    * deterministic global-shuffle sort key (signed comparison order). */
+  def sampleHash(key: Column, seed: Long): Column =
+    invoke("sampleHash", LongType,
+      Seq(key.cast(LongType), lit(seed)), Seq(LongType, LongType))
+
   /** Single-pass stopword-profile language ID over a token array. */
   def langId(tokens: Column): Column =
     invoke("langId", StringType, Seq(tokens))
@@ -184,6 +190,12 @@ object Functional {
   def shingleSet(text: Column, shingleSize: Int): Column =
     invoke("shingleSet", ArrayType(LongType, containsNull = false),
       Seq(text, lit(shingleSize)), Seq(StringType, IntegerType))
+
+  /** Word k-shingles as strings, fused (the kernel behind
+    * [[graft.operators.TextAnalysis.shingles]]). */
+  def wordShingles(text: Column, k: Int): Column =
+    invoke("wordShingles", ArrayType(StringType, containsNull = false),
+      Seq(text, lit(k)), Seq(StringType, IntegerType))
 
   /** MinHash signature match ratio (estimated Jaccard), fused. */
   def sigMatchRatio(a: Column, b: Column): Column =
@@ -322,6 +334,9 @@ object Functional {
       ("hyperplane_lsh", "hyperplaneLsh", long, Seq(floats, int, long)),
       ("repetition_signals", "repetitionSignals", doubles, Seq(str)),
       ("sample_bucket", "sampleBucket", int, Seq(long, long)),
+      ("sample_hash", "sampleHash", long, Seq(long, long)),
+      ("word_shingles", "wordShingles",
+        T.ArrayType(str, containsNull = false), Seq(str, int)),
       ("round_ref", "roundRef", T.DoubleType, Seq(T.DoubleType, int)))
     entries.foreach { case (sqlName, method, dt, params) =>
       Shim.registerKernel(spark, sqlName, K, method, dt, params)

@@ -86,6 +86,24 @@ object Sampling {
     df.where(bucket(key, seed) < thr)
   }
 
+  /** Deterministic global-shuffle key: the full 64-bit splitmix64
+    * value behind [[bucket]] (signed comparison order). ORDER BY this
+    * column is a reproducible, engine-portable permutation of the
+    * corpus — the training-data shuffle, without `rand()`: re-running
+    * the pipeline yields the identical order, and two seeds give
+    * statistically independent permutations. */
+  def shuffleKey(key: Column, seed: Long): Column =
+    Functional.sampleHash(key, seed)
+
+  /** Deterministically shuffled frame: global sort by
+    * ([[shuffleKey]], key) — the key tiebreak makes the permutation
+    * total even under (astronomically unlikely) hash collisions. At
+    * scale this is Spark's range-partitioned sort: one sampling pass
+    * to pick range bounds, one shuffle — the standard way to lay out
+    * a training corpus in shuffled order. */
+  def shuffled(df: DataFrame, key: Column, seed: Long): DataFrame =
+    df.orderBy(shuffleKey(key, seed), key)
+
   /** Deterministic train/val/test-style split label: `weights` are
     * (label, weight) pairs; each non-null key lands in exactly one
     * label, with proportions `weight / sum(weights)`; a null key gets

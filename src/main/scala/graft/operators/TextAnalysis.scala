@@ -165,6 +165,49 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("score"), col("rk"))
   }
 
+  // ---- n-gram LM perplexity (CCNet-style quality filter) --------------
+
+  /** Per-document bigram-LM perplexity — the CCNet/C4 quality-filter
+    * pattern (Wenzek et al. 2020 score with a KenLM model; this is the
+    * self-contained equivalent: an add-alpha bigram model estimated
+    * from the corpus itself, or from whatever reference `df` is
+    * passed). Returns (idCol, n_bigrams, ppl) for documents with >= 2
+    * tokens, where ppl = exp(-mean log P(w2|w1)) and
+    * P(w2|w1) = (c(w1 w2) + alpha) / (c(w1) + alpha·|V|).
+    *
+    * Determinism: the per-bigram log-probs are cast to DECIMAL(25,12)
+    * before the per-doc sum, so the mean is independent of partition
+    * order (double summation would be association-sensitive); the
+    * DuckDB oracle replays the identical expression chain.
+    *
+    * Scale shape: the bigram/unigram count tables are
+    * vocabulary-sized, broadcast back onto a single corpus scan; at
+    * web scale you prune the LM (count floors) or switch the c2 probe
+    * to a shuffle join on the bigram key — the corpus side stays one
+    * scan either way. */
+  def bigramPerplexity(
+      df: DataFrame, textCol: String, idCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    val uni = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val c1 = uni.groupBy("term").agg(count(lit(1)).as("c1"))
+    val v = uni.agg(count_distinct(col("term")).as("v"))
+    val big = df
+      .where(size(tokens(col(textCol))) >= 2)
+      .select(col(idCol), explode(shingles(col(textCol), 2)).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val c2 = big.groupBy("g").agg(count(lit(1)).as("c2"))
+    big.join(broadcast(c2), "g")
+      .join(broadcast(c1), col("w1") === col("term"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((col("c2") + alpha) / (col("c1") + lit(alpha) * col("v")))
+          .cast(DecimalType(25, 12)))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        exp(-(sum(col("lp")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType))).as("ppl"))
+  }
+
   // ---- PII scrubbing --------------------------------------------------
 
   /** Shared-dialect PII patterns (valid in both Java regex and RE2 —
@@ -191,13 +234,13 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(re), lit(0))).as(s"n_$name")
     }: _*)
 
-  /** Word k-shingles of a document: sliding windows of `k` tokens joined
-    * by a space — the dedup unit for MinHash/Jaccard. Pure HOF chain. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    val n = size(toks)
-    when(n < k, array(array_join(toks, " ")))
-      .otherwise(transform(sequence(lit(0), n - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")))
-  }
+  /** Word k-shingles of a document: sliding windows of `k` tokens
+    * joined by a space — the dedup unit for MinHash/Jaccard and the
+    * n-gram unit for decontamination/perplexity. Fused single-pass
+    * kernel (Kernels.wordShingles); semantics identical to the HOF
+    * chain `transform(sequence(0, n-k), i -> array_join(slice(toks,
+    * i+1, k), " "))` with the `n < k` whole-text fallback
+    * (ShinglesParitySpec pins the equivalence, edge cases included). */
+  def shingles(text: Column, k: Int): Column =
+    Functional.wordShingles(text, k)
 }

@@ -119,6 +119,28 @@ class SamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("zero rows"))
   }
 
+  test("shuffleKey is the full hash behind bucket; shuffled is a " +
+      "deterministic permutation and seeds are independent") {
+    import spark.implicits._
+    val df = (0L until 2000L).toDF("k")
+    // consistency: bucket == top 13 bits of the unsigned hash
+    val mism = df.select(Sampling.bucket(col("k"), 5L).as("b"),
+        Sampling.shuffleKey(col("k"), 5L).as("h"))
+      .where(col("b") =!= shiftrightunsigned(col("h"), 51).cast("int"))
+      .count()
+    assert(mism === 0)
+    // permutation: same rows, reproducible order
+    val o1 = col0(Sampling.shuffled(df, col("k"), 17L))
+    val o2 = col0(Sampling.shuffled(df, col("k"), 17L))
+    assert(o1 === o2)
+    assert(o1.toSet === (0L until 2000L).toSet)
+    // a different seed yields a genuinely different permutation
+    val o3 = col0(Sampling.shuffled(df, col("k"), 18L))
+    assert(o1 !== o3)
+    val agree = o1.zip(o3).count { case (a, b) => a == b }
+    assert(agree < 20, s"seeds 17/18 agree on $agree of 2000 positions")
+  }
+
   test("stratified applies per-stratum fractions deterministically") {
     import spark.implicits._
     val df = (0L until 10000L).map(k => (k, if (k % 2 == 0) "A" else "B"))

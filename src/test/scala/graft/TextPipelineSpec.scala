@@ -92,6 +92,29 @@ class TextPipelineSpec extends SparkSpec {
     assert(red === Seq("x <EMAIL> y"))
   }
 
+  // ---- bigram perplexity ----------------------------------------------
+
+  test("bigramPerplexity matches the hand-computed add-alpha model") {
+    // unigrams a:3 b:2 c:1, V=3; bigrams "a b":2, "a c":1, alpha=0.5
+    // P(b|a) = 2.5/4.5, P(c|a) = 1.5/4.5
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(docs, "text", "doc_id")
+      .orderBy("doc_id").collect().toSeq
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("ppl")))
+    assert(got.map(x => (x._1, x._2)) === Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+    // ppl of a single bigram = 1/P; decimal(25,12) rounding -> 1e-9 tol
+    assert(math.abs(got(0)._3 - 4.5 / 2.5) < 1e-9)
+    assert(math.abs(got(2)._3 - 4.5 / 1.5) < 1e-9)
+  }
+
+  test("bigramPerplexity skips sub-bigram docs") {
+    val docs = Seq((1L, "solo"), (2L, "two words")).toDF("doc_id", "text")
+    assert(col0(TextAnalysis.bigramPerplexity(docs, "text", "doc_id")
+      .select("doc_id")) === Seq(2L))
+  }
+
   // ---- TF-IDF ----------------------------------------------------------
 
   test("tfIdfTopTerms scores rare terms above common ones, ties by term") {
