@@ -196,7 +196,7 @@ object Queries2 {
   // from the emitted rows. Mirrors the reference's pinned-output
   // discipline (test/transformation/test_sigrid_hash.py:48-66).
 
-  private val plantBase = 1000000000L
+  private[graft] val plantBase = 1000000000L
 
   /** P0 == P1 verbatim (Jaccard 1.0, SimHash Hamming 0); P2 appends one
     * trailing token to P0 (word-3-shingle Jaccard 78/79 ≈ 0.987). */
@@ -211,7 +211,7 @@ object Queries2 {
   /** Two twin pairs of identical 64-dim vectors (cosine exactly 1.0,
     * identical hyperplane bucket by construction); cross-pair cosine is
     * far from 1 (alternating signs). */
-  private def plantedVecs(s: SparkSession): DataFrame = {
+  private[graft] def plantedVecs(s: SparkSession): DataFrame = {
     import s.implicits._
     val v1 = (0 until 64).map(i => ((i % 7) + 1) / 10.0f)
     val v2 = (0 until 64).map(i =>
@@ -225,7 +225,7 @@ object Queries2 {
     * `exact` has at least `minExpected` pairs and every one appears in
     * `cands`; raises otherwise. Both inputs are bounded (fixture
     * all-pairs / candidate keys). */
-  private def containmentCheck(exact: DataFrame, cands: DataFrame,
+  private[graft] def containmentCheck(exact: DataFrame, cands: DataFrame,
       what: String, minExpected: Int): DataFrame = {
     val stats = exact
       .join(cands.select($"id_a", $"id_b"), Seq("id_a", "id_b"), "left_semi")

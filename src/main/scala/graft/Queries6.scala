@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Functional
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Sampling, TextAnalysis}
 
 /** Round-10 queries: the LLM-pipeline operators a 100 TB training-data
   * run needs beyond pair generation — benchmark decontamination,
@@ -244,13 +244,73 @@ object Queries6 {
     s"""WITH ${Queries5.hashCtes("sh", 17L, "documents", "doc_id")}
        |SELECT k AS doc_id, h FROM shh ORDER BY h, k LIMIT 100""".stripMargin
 
+  // ---- semantic dedup (k-means + within-cluster cosine) ----------------
+
+  /** SemDeDup (Abbas et al. 2023): full-data spherical k-means over the
+    * embeddings (Clustering.fit — distributed Lloyd, decimal-exact
+    * centroid sums), then exact-cosine pairs within each cluster cell.
+    * Self-checking on three analytic guarantees, no oracle possible
+    * (k-means is not SQL-expressible):
+    * 1. Lloyd monotonicity — the spherical objective must be
+    *    non-decreasing across iterations, asserted INSIDE
+    *    Clustering.fit (a decrease throws, so this gate being green
+    *    proves 4 iterations of assign+update behaved);
+    * 2. planted-twin containment — bit-identical vectors get identical
+    *    cell assignments BY CONSTRUCTION (assignment is a deterministic
+    *    function of the vector), so both planted twin pairs (exact
+    *    cosine 1.0) must be candidates — the analytic recall floor the
+    *    hyperplane-LSH variant (q43) only gets probabilistically;
+    * 3. coverage — every corpus row lands in exactly one cell in
+    *    [0, nCells), checked with a count + range aggregate.
+    * Determinism: decimal-mediated sums make the fitted centroids (and
+    * so the emitted pair set) identical across runs and
+    * repartitionings — same discipline as q89's DECIMAL log-prob mean.
+    */
+  def q91SemDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select($"vec_id", $"embedding")
+      .unionByName(Queries2.plantedVecs(s))
+    val nCells = 10
+    val cents = Clustering.fit(
+      corpus, "embedding", "vec_id", nCells, iters = 4)
+    val dim = cents.length / nCells
+    val sig = corpus.select($"vec_id".as("id"), $"embedding".as("v"),
+      Clustering.assignment($"embedding", cents, dim)
+        .as("bucket"))
+    val cand = Dedup.cosinePairsWithin(sig, threshold = 0.35,
+      maxBucket = 2000)
+
+    val twins = s.range(1)
+      .select(lit(Queries2.plantBase).as("id_a"),
+        lit(Queries2.plantBase + 1).as("id_b"))
+      .unionByName(s.range(1)
+        .select(lit(Queries2.plantBase + 2).as("id_a"),
+          lit(Queries2.plantBase + 3).as("id_b")))
+    val coverage = sig.agg(count(lit(1)).as("__n"),
+        min($"bucket").as("__lo"), max($"bucket").as("__hi"))
+      .crossJoin(corpus.agg(count(lit(1)).as("__total")))
+      .select(when($"__n" === $"__total" && $"__lo" >= 0 &&
+          $"__hi" < nCells, lit(true))
+        .otherwise(raise_error(lit(
+          "q91: k-means assignment not total / cell out of range")))
+        .as("coverage_ok"))
+
+    cand.where($"id_a" < Queries2.plantBase && $"id_b" < Queries2.plantBase)
+      .select($"id_a", $"id_b", round($"cosine", 4).as("cosine"),
+        $"dropped_candidates")
+      .crossJoin(broadcast(Queries2.containmentCheck(twins, cand, "q91", 2)))
+      .crossJoin(broadcast(coverage))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
     "q87_tfidf" -> (q87Tfidf _),
     "q88_dup_groups" -> (q88DupGroups _),
     "q89_perplexity" -> (q89Perplexity _),
-    "q90_shuffle_order" -> (q90ShuffleOrder _)
+    "q90_shuffle_order" -> (q90ShuffleOrder _),
+    "q91_semdedup" -> (q91SemDedup _)
   )
 
   val oracles: Map[String, String] = Map(

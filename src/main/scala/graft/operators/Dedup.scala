@@ -286,17 +286,14 @@ object Dedup {
     labels
   }
 
-  /** Embedding near-dup pairs: hyperplane-LSH bucket, within-bucket
-    * cosine ≥ threshold. */
-  def embeddingCosine(
-      df: DataFrame,
-      vecCol: String,
-      idCol: String,
-      threshold: Double = 0.95,
-      bits: Int = 12,
-      maxBucket: Int = 2000): DataFrame = {
-    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Functional.hyperplaneLsh(col(vecCol), bits).as("bucket"))
+  /** Within-bucket cosine pairs (a<b, exact cosine ≥ threshold) with
+    * the standard cap + dropped_candidates accounting — the shared tail
+    * of [[embeddingCosine]] and [[semantic]], public so callers that
+    * already hold a bucketed signature frame (id, v, bucket) — e.g. a
+    * reused [[Clustering]] assignment — can generate pairs without
+    * refitting. */
+  def cosinePairsWithin(
+      sig: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
     val wB = Window.partitionBy("bucket").orderBy("id")
     val ranked = sig.withColumn("__rn", row_number().over(wB))
     val capped = ranked.where(col("__rn") <= maxBucket)
@@ -309,5 +306,51 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
     withDropCount(pairs, ranked, maxBucket)
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucket, within-bucket
+    * cosine ≥ threshold. */
+  def embeddingCosine(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      threshold: Double = 0.95,
+      bits: Int = 12,
+      maxBucket: Int = 2000): DataFrame = {
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Functional.hyperplaneLsh(col(vecCol), bits).as("bucket"))
+    cosinePairsWithin(sig, threshold, maxBucket)
+  }
+
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): k-means-cluster the
+    * embeddings ([[Clustering]], full-data spherical Lloyd), then find
+    * cosine-similar pairs WITHIN each cluster. Versus [[embeddingCosine]]
+    * (random hyperplane buckets), the buckets here adapt to the data
+    * density — semantically near docs land in the same cell with far
+    * fewer buckets — and the cluster assignment is itself a reusable
+    * pipeline artifact (mixture balancing, per-cluster sampling, the
+    * IVF layout key at rest). Identical vectors always share a cell
+    * (assignment is a deterministic function of the vector), so exact
+    * duplicates can never be split across buckets — the same analytic
+    * recall floor the LSH variants only get probabilistically.
+    *
+    * Scale: `nCells` Lloyd iterations are scans (see [[Clustering]]);
+    * the quadratic step is confined to cells with the usual
+    * `maxBucket` cap + `dropped_candidates` accounting. A production
+    * SemDeDup sizes nCells so cells fit comfortably under the cap
+    * (paper uses ~100k cells for LAION-scale). */
+  def semantic(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int = 16,
+      threshold: Double = 0.95,
+      iters: Int = 5,
+      maxBucket: Int = 2000): DataFrame = {
+    val cents = Clustering.fit(df, vecCol, idCol, nCells, iters)
+    val dim = cents.length / nCells
+    val sig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Clustering.assignment(col(vecCol), cents, dim).as("bucket"))
+    cosinePairsWithin(sig, threshold, maxBucket)
   }
 }
