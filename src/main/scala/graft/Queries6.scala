@@ -303,6 +303,94 @@ object Queries6 {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---- bucketed co-located join ----------------------------------------
+
+  /** Bucketed-layout co-located join: orders and lineitem are written
+    * once as bucketed parquet tables on their join key (the write-time
+    * shuffle), then joined WITHOUT any exchange — the gate walks the
+    * physical plan and raises if a single ShuffleExchange appears under
+    * the join, so `colocated_ok` is a verified plan property, not an
+    * assumption. This is the at-rest layout story for 100 TB: the
+    * dominant join key becomes a physical property paid once, and every
+    * downstream join/agg on it is shuffle-free. Result values are fully
+    * DuckDB-oracled (bucketing must not change semantics — same rows,
+    * same sums). */
+  def q92BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+    val l = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice")
+    graft.sources.Bucketed.writeTable(s, o, "graft_bkt_orders",
+      "o_orderkey", 8)
+    graft.sources.Bucketed.writeTable(s, l, "graft_bkt_lineitem",
+      "l_orderkey", 8)
+    // merge hint: on small inputs Spark would otherwise broadcast (no
+    // shuffle either, but proves nothing about the layout) — the gate
+    // asserts the SHUFFLE-join path specifically needs no exchange
+    val j = s.table("graft_bkt_orders").hint("merge")
+      .join(s.table("graft_bkt_lineitem"),
+        $"o_orderkey" === $"l_orderkey")
+    graft.sources.Bucketed.requireColocated(j, "q92")
+    j.groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("qty_sum"),
+        sum($"l_extendedprice".cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("price_sum"))
+      .withColumn("colocated_ok", lit(true)) // requireColocated RAN above
+      .orderBy($"o_orderstatus")
+  }
+
+  val q92Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty_sum,
+      |CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+      |  AS price_sum,
+      |true AS colocated_ok
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---- stratified deterministic sampling -------------------------------
+
+  /** Per-stratum deterministic sampling (Sampling.stratified): the
+    * source-mixing primitive — downsample one slice of a corpus hard,
+    * keep another nearly whole, reproducibly (e.g. 5% of crawl, 50% of
+    * curated). Strata here are o_orderstatus (F 5%, O 20%, default
+    * 50%); keyed by o_orderkey, seed 21. Fully oracled: DuckDB replays
+    * the splitmix64 bucket with HUGEINT arithmetic and the same
+    * literal floor thresholds, so a green row proves the per-stratum
+    * when-chain thresholds are engine-portable exactly like q83 proved
+    * bernoulli/splitLabel. */
+  def q93Stratified(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+    val smp = Sampling.stratified(orders, $"o_orderstatus", $"o_orderkey",
+      Map("F" -> 0.05, "O" -> 0.20), default = 0.50, seed = 21L)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("sampled_n"),
+        sum($"o_orderkey").as("sampled_key_sum"))
+    orders.groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .join(smp, Seq("o_orderstatus"), "left")
+      .orderBy($"o_orderstatus")
+  }
+
+  // thresholds: floor(0.05*8192)=409, floor(0.20*8192)=1638,
+  // floor(0.50*8192)=4096 — spelled out as literals so the oracle is
+  // independent of the Scala code (q83 discipline).
+  val q93Sql: String =
+    s"""WITH ${Queries5.bucketCtes("st", 21L, "orders", "o_orderkey")},
+       |j AS (
+       |  SELECT o.o_orderstatus, o.o_orderkey, stb.bucket
+       |  FROM orders o JOIN stb ON o.o_orderkey = stb.k),
+       |lab AS (
+       |  SELECT o_orderstatus, o_orderkey,
+       |    bucket < (CASE o_orderstatus WHEN 'F' THEN 409
+       |      WHEN 'O' THEN 1638 ELSE 4096 END) AS in_sample
+       |  FROM j)
+       |SELECT o_orderstatus, COUNT(*) AS n,
+       |  CAST(SUM(CASE WHEN in_sample THEN 1 END) AS BIGINT) AS sampled_n,
+       |  CAST(SUM(CASE WHEN in_sample THEN o_orderkey END) AS BIGINT)
+       |    AS sampled_key_sum
+       |FROM lab GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -310,7 +398,9 @@ object Queries6 {
     "q88_dup_groups" -> (q88DupGroups _),
     "q89_perplexity" -> (q89Perplexity _),
     "q90_shuffle_order" -> (q90ShuffleOrder _),
-    "q91_semdedup" -> (q91SemDedup _)
+    "q91_semdedup" -> (q91SemDedup _),
+    "q92_bucketed_join" -> (q92BucketedJoin _),
+    "q93_stratified" -> (q93Stratified _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -319,6 +409,8 @@ object Queries6 {
     "q87_tfidf" -> q87Sql,
     "q88_dup_groups" -> q88Sql,
     "q89_perplexity" -> q89Sql,
-    "q90_shuffle_order" -> q90Sql
+    "q90_shuffle_order" -> q90Sql,
+    "q92_bucketed_join" -> q92Sql,
+    "q93_stratified" -> q93Sql
   )
 }
