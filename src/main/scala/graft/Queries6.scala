@@ -391,6 +391,69 @@ object Queries6 {
        |    AS sampled_key_sum
        |FROM lab GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  // ---- quality-aware keeper resolution ---------------------------------
+
+  /** Dup-group resolution with a quality policy (Dedup.resolveKeepBest):
+    * q88's exact-Jaccard pair graph resolved to components, keeping the
+    * highest-token-count member per group (ties → lowest id) — the
+    * policy step a real corpus applies (keep the longest copy), versus
+    * q88's structural min-id. Fully oracled: DuckDB recomputes the
+    * components by transitive closure and the keeper by a window
+    * argmax with the identical tie-break. */
+  def q94KeepBest(s: SparkSession, dir: String): DataFrame = {
+    val sh = sort_array(array_distinct(transform(
+      sequence(lit(1), length($"text") - 2),
+      i => xxhash64($"text".substr(i, lit(3))))))
+    val d = t(s, dir, "documents")
+      .where($"doc_id" < 200 && length($"text") >= 3)
+      .select($"doc_id", $"text", sh.as("sh"))
+    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+    val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+    val pairs = a.join(broadcast(b), $"id_a" < $"id_b")
+      .select($"id_a", $"id_b",
+        Functional.jaccardSorted($"sh_a", $"sh_b").as("j"))
+      .where($"j" >= 0.60)
+      .select($"id_a", $"id_b")
+    val scores = d.select($"doc_id".as("id"),
+      TextAnalysis.tokenCount($"text").cast(LongType).as("score"))
+    Dedup.resolveKeepBest(pairs, scores)
+      .select($"id", $"component", $"keep_id")
+      .orderBy($"id")
+  }
+
+  val q94Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT doc_id, text, list_distinct(list_transform(
+      |    range(1, length(text) - 1),
+      |    i -> substr(text, CAST(i AS INT), 3))) AS sh
+      |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
+      |    len(a.sh) AS na, len(b.sh) AS nb
+      |  FROM d a, d b WHERE a.doc_id < b.doc_id),
+      |e AS (SELECT id_a, id_b FROM p
+      |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.60),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM e
+      |  UNION SELECT id_b, id_a FROM e),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (
+      |  SELECT id AS src, id AS dst FROM nodes
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
+      |comp AS (SELECT src AS id, MIN(dst) AS component
+      |  FROM reach GROUP BY src),
+      |sc AS (SELECT doc_id AS id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |    AS score FROM d),
+      |k AS (
+      |  SELECT DISTINCT component,
+      |    FIRST_VALUE(c.id) OVER (PARTITION BY component
+      |      ORDER BY sc.score DESC, c.id ASC) AS keep_id
+      |  FROM comp c JOIN sc ON c.id = sc.id)
+      |SELECT c.id, c.component, k.keep_id
+      |FROM comp c JOIN k USING (component) ORDER BY c.id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -400,7 +463,8 @@ object Queries6 {
     "q90_shuffle_order" -> (q90ShuffleOrder _),
     "q91_semdedup" -> (q91SemDedup _),
     "q92_bucketed_join" -> (q92BucketedJoin _),
-    "q93_stratified" -> (q93Stratified _)
+    "q93_stratified" -> (q93Stratified _),
+    "q94_keep_best" -> (q94KeepBest _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -411,6 +475,7 @@ object Queries6 {
     "q89_perplexity" -> q89Sql,
     "q90_shuffle_order" -> q90Sql,
     "q92_bucketed_join" -> q92Sql,
-    "q93_stratified" -> q93Sql
+    "q93_stratified" -> q93Sql,
+    "q94_keep_best" -> q94Sql
   )
 }

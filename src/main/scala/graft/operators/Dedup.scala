@@ -308,6 +308,31 @@ object Dedup {
     withDropCount(pairs, ranked, maxBucket)
   }
 
+  /** Keep-one-per-group resolution with a QUALITY policy: resolve
+    * `pairs` into connected components ([[connectedComponents]]), then
+    * keep the highest-`score` member of each group (ties → lowest id).
+    * `scores` must carry (id, score). Returns (id, component, keep_id)
+    * for every id in the pair graph; ids outside any pair are
+    * implicitly their own keeper. The min-id default of
+    * [[connectedComponents]] is the right tie-break but the wrong
+    * POLICY for a training corpus — given a boilerplate cluster you
+    * keep the longest / highest-quality copy, not the one with the
+    * smallest id.
+    *
+    * Scale: one extra join + one aggregation over the component frame
+    * (pair-graph-sized, not corpus-sized). The keeper argmax is a
+    * single `min(struct(-score, id))` aggregate — map-side partial,
+    * no per-group sort. */
+  def resolveKeepBest(pairs: DataFrame, scores: DataFrame): DataFrame = {
+    val comp = connectedComponents(pairs)
+    val keepers = comp.join(scores, "id")
+      .groupBy("component")
+      .agg(min(struct((col("score") * -1).as("s"), col("id").as("i")))
+        .as("__k"))
+      .select(col("component"), col("__k.i").as("keep_id"))
+    comp.join(keepers, "component").select("id", "component", "keep_id")
+  }
+
   /** Embedding near-dup pairs: hyperplane-LSH bucket, within-bucket
     * cosine ≥ threshold. */
   def embeddingCosine(

@@ -64,6 +64,19 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("resolveKeepBest keeps the highest score, ties to lowest id") {
+    // two groups: {1,2,3} scores 5,9,9 -> keeper 2 (tie 2 vs 3);
+    // {10,11} scores 1,4 -> keeper 11
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0),
+      (11L, 4.0)).toDF("id", "score")
+    val got = Dedup.resolveKeepBest(pairs, scores)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (10L, 10L, 11L), (11L, 10L, 11L)))
+  }
+
   // ---- PII -------------------------------------------------------------
 
   test("piiRedact replaces all emails, phones and IPv4s") {
