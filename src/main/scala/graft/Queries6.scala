@@ -454,6 +454,53 @@ object Queries6 {
       |SELECT c.id, c.component, k.keep_id
       |FROM comp c JOIN k USING (component) ORDER BY c.id""".stripMargin
 
+  // ---- DSIR importance weighting ---------------------------------------
+
+  /** DSIR data selection (Xie et al., NeurIPS 2023): hashed-n-gram
+    * importance weights of every corpus doc against a small TARGET
+    * domain. The target here is a 3-doc fixture over a vocabulary the
+    * synthetic corpus never uses, plus two planted in-domain docs in
+    * the corpus. Self-checking separation guarantee: the target vocab's
+    * feature buckets get their probability mass ONLY from the target
+    * fit, so every planted in-domain doc must out-score every ordinary
+    * corpus doc (min planted > max corpus, raise_error otherwise) —
+    * not SQL-oracle-able because the bucket fold uses Spark's xxhash64.
+    * Scale shape: fit = two bounded count scans (the table is
+    * nBuckets doubles, broadcast as a literal); scoring = one
+    * codegen'd scan, O(1) lookup per gram; nothing shuffles. */
+  def q95Dsir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val vocab = Seq("qqalpha", "qqbeta", "qqgamma", "qqdelta", "qqepsilon")
+    val target = Seq(
+      "qqalpha qqbeta qqgamma qqdelta qqepsilon qqalpha qqbeta",
+      "qqgamma qqdelta qqalpha qqepsilon qqbeta qqgamma",
+      "qqdelta qqepsilon qqgamma qqalpha qqbeta qqdelta")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val planted = Seq(
+      (Queries2.plantBase, vocab.mkString(" ")),
+      (Queries2.plantBase + 1, (vocab.reverse ++ vocab.take(2)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val corpus = t(s, dir, "documents").select($"doc_id", $"text")
+      .unionByName(planted)
+    val nB = 4096
+    val table = TextAnalysis.dsirLogRatios(target, corpus, "text", nB)
+    val scored = corpus.select($"doc_id",
+      TextAnalysis.dsirScore($"text", table, nB).as("score"))
+    val sep = scored.agg(
+        min(when($"doc_id" >= Queries2.plantBase, $"score")).as("__minP"),
+        max(when($"doc_id" < Queries2.plantBase, $"score")).as("__maxC"))
+      .select(when($"__minP" > $"__maxC", lit(true))
+        .otherwise(raise_error(concat(
+          lit("q95: DSIR separation failed (min planted "),
+          $"__minP".cast(StringType), lit(" <= max corpus "),
+          $"__maxC".cast(StringType), lit(")")))).as("separation_ok"))
+    scored.where($"doc_id" < 100)
+      .select($"doc_id", round($"score", 6).as("score"))
+      .crossJoin(broadcast(sep))
+      .orderBy($"doc_id")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -464,7 +511,8 @@ object Queries6 {
     "q91_semdedup" -> (q91SemDedup _),
     "q92_bucketed_join" -> (q92BucketedJoin _),
     "q93_stratified" -> (q93Stratified _),
-    "q94_keep_best" -> (q94KeepBest _)
+    "q94_keep_best" -> (q94KeepBest _),
+    "q95_dsir" -> (q95Dsir _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -243,4 +243,60 @@ object TextAnalysis {
     * (ShinglesParitySpec pins the equivalence, edge cases included). */
   def shingles(text: Column, k: Int): Column =
     Functional.wordShingles(text, k)
+
+  // ---- DSIR importance weighting (Xie et al., NeurIPS 2023) -----------
+
+  /** Hashed n-gram feature buckets of a document: every unigram and
+    * bigram, xxhash64-folded into [0, nBuckets) — the DSIR feature
+    * space. Row-local, no shuffle. */
+  def dsirBuckets(text: Column, nBuckets: Int): Column =
+    transform(concat(shingles(text, 1), shingles(text, 2)),
+      g => pmod(xxhash64(g), lit(nBuckets.toLong)).cast(IntegerType))
+
+  /** Fit the DSIR log-importance table: per-bucket
+    * log p_target(k) − log p_raw(k) with add-`alpha` smoothing.
+    *
+    * Scale shape: each corpus is ONE scan + a map-side-partial count
+    * aggregation on the bucket id — the collect is bounded at
+    * `nBuckets` rows (the feature table is KBs; DSIR's point is that a
+    * hashed generative model of the target domain is tiny). The result
+    * ships to executors as a literal, so scoring is a single
+    * codegen'd scan with an O(1) table lookup per gram — the raw
+    * corpus text never shuffles. Driver arithmetic is exact integer
+    * counts + IEEE log, so the table is deterministic. */
+  def dsirLogRatios(
+      target: DataFrame,
+      raw: DataFrame,
+      textCol: String,
+      nBuckets: Int = 4096,
+      alpha: Double = 1.0): Array[Double] = {
+    require(nBuckets > 0 && alpha > 0, s"nBuckets=$nBuckets alpha=$alpha")
+    def counts(df: DataFrame): (Array[Long], Long) = {
+      val rows = df
+        .select(explode(dsirBuckets(col(textCol), nBuckets)).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("n"))
+        .collect()
+      val arr = new Array[Long](nBuckets)
+      rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      (arr, arr.sum)
+    }
+    val (t, tTot) = counts(target)
+    val (r, rTot) = counts(raw)
+    Array.tabulate(nBuckets)(k =>
+      math.log((t(k) + alpha) / (tTot + alpha * nBuckets)) -
+        math.log((r(k) + alpha) / (rTot + alpha * nBuckets)))
+  }
+
+  /** Per-document DSIR importance log-weight: the sum of fitted bucket
+    * log-ratios over the document's grams. exp(score) is the
+    * importance-resampling weight; in practice rank or threshold the
+    * log directly, or feed it to [[Sampling]] for the resample step.
+    * Row-local (gram order is the document's own), fully codegen'd. */
+  def dsirScore(text: Column, logRatios: Array[Double],
+      nBuckets: Int): Column = {
+    require(logRatios.length == nBuckets,
+      s"table has ${logRatios.length} entries, expected $nBuckets")
+    aggregate(dsirBuckets(text, nBuckets), lit(0.0),
+      (acc, b) => acc + element_at(lit(logRatios), b + 1))
+  }
 }
