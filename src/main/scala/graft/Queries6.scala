@@ -501,6 +501,61 @@ object Queries6 {
       .orderBy($"doc_id")
   }
 
+  // ---- SemDeDup end-to-end pipeline ------------------------------------
+
+  /** The embedding-dedup product shape, end to end: k-means cluster →
+    * within-cluster cosine pairs (threshold 0.95 — only near-identical
+    * vectors; the corpus's max pairwise cosine is ~0.6, measured at all
+    * three SFs, so the margin is wide) → resolveKeepBest with the
+    * vector norm as the quality score → surviving corpus. The q84
+    * analog for the embedding side: catches cross-operator drift
+    * (cluster assignment feeding pair generation feeding component
+    * resolution) that the per-operator gates q91/q94 cannot.
+    * Self-checks, raise_error on violation:
+    * 1. twin survival — EXACTLY one member of each planted
+    *    identical-vector pair survives (both dropped or both kept
+    *    means resolution or pair generation broke);
+    * 2. conservation — kept + dropped = total corpus;
+    * 3. every dropped id appears in the pair graph (nothing outside a
+    *    dup group may be removed). */
+  def q96SemPipeline(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
+      .unionByName(Queries2.plantedVecs(s))
+    val pairs = Dedup.semantic(emb, "embedding", "vec_id",
+      nCells = 10, threshold = 0.95, iters = 4)
+      .select($"id_a", $"id_b")
+    val scores = emb.select($"vec_id".as("id"),
+      Functional.normF($"embedding").as("score"))
+    val resolved = Dedup.resolveKeepBest(pairs, scores)
+    val dropped = resolved.where($"id" =!= $"keep_id")
+      .select($"id".as("vec_id"))
+    val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
+
+    val pb = Queries2.plantBase
+    val stats = kept.agg(count(lit(1)).as("n_kept"),
+        sum(when($"vec_id" === pb || $"vec_id" === pb + 1, 1)
+          .otherwise(0)).as("twin1_kept"),
+        sum(when($"vec_id" === pb + 2 || $"vec_id" === pb + 3, 1)
+          .otherwise(0)).as("twin2_kept"))
+      .crossJoin(emb.agg(count(lit(1)).as("n_total")))
+      .crossJoin(dropped.agg(count(lit(1)).as("n_dropped")))
+      .crossJoin(broadcast(dropped.join(
+          pairs.select($"id_a".as("vec_id"))
+            .unionByName(pairs.select($"id_b".as("vec_id"))).distinct(),
+          Seq("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("__orphans"))))
+    stats.select($"n_total", $"n_kept", $"n_dropped",
+      when($"twin1_kept" === 1 && $"twin2_kept" === 1 &&
+          $"n_kept" + $"n_dropped" === $"n_total" && $"__orphans" === 0,
+        lit(true))
+        .otherwise(raise_error(concat(
+          lit("q96: pipeline invariant failed (twin1="),
+          $"twin1_kept".cast(StringType),
+          lit(" twin2="), $"twin2_kept".cast(StringType),
+          lit(" orphans="), $"__orphans".cast(StringType), lit(")"))))
+        .as("pipeline_ok"))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -512,7 +567,8 @@ object Queries6 {
     "q92_bucketed_join" -> (q92BucketedJoin _),
     "q93_stratified" -> (q93Stratified _),
     "q94_keep_best" -> (q94KeepBest _),
-    "q95_dsir" -> (q95Dsir _)
+    "q95_dsir" -> (q95Dsir _),
+    "q96_sem_pipeline" -> (q96SemPipeline _)
   )
 
   val oracles: Map[String, String] = Map(
