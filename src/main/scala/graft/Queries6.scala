@@ -1,11 +1,12 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Functional
-import graft.operators.{Clustering, Dedup, Sampling, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Packing, Sampling, TextAnalysis}
 
 /** Round-10 queries: the LLM-pipeline operators a 100 TB training-data
   * run needs beyond pair generation — benchmark decontamination,
@@ -556,6 +557,71 @@ object Queries6 {
         .as("pipeline_ok"))
   }
 
+  // ---- sequence packing ------------------------------------------------
+
+  /** Sequence packing for pre-training (Packing.packGreedy): the
+    * corpus in deterministic shuffled order (q90's splitmix64 key),
+    * range-partitioned into a FIXED 8 partitions and sorted within
+    * each, packed into <=256-token sequences. The fixed partition
+    * count + total order make the entire (doc -> seq, pos) assignment
+    * reproducible regardless of session parallelism, so the per-seq
+    * rows are stable gate output. Self-checks, raise_error on
+    * violation:
+    * 1. budget — no multi-doc sequence exceeds 256 tokens, and every
+    *    oversize sequence is a singleton (a long doc alone);
+    * 2. conservation — packed token total equals the corpus token
+    *    total, and every doc appears exactly once;
+    * 3. efficiency — mean fill of non-final, non-oversize sequences
+    *    is at least 50% of the budget (greedy in-order floor; measured
+    *    ~0.9 on this corpus).
+    * Emits one row per sequence (seq_id, n_docs, seq_tokens). */
+  def q97Packing(s: SparkSession, dir: String): DataFrame = {
+    val maxTok = 256
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").cast(LongType)
+        .as("n_tokens"))
+    val ordered = docs
+      .withColumn("__k", Sampling.shuffleKey($"doc_id", 31L))
+      .repartitionByRange(8, $"__k", $"doc_id")
+      .sortWithinPartitions($"__k", $"doc_id")
+    val packed = Packing.packGreedy(ordered, "doc_id", "n_tokens", maxTok)
+    val seqs = packed.groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+
+    val budgetOk = seqs
+      .agg(sum(when($"seq_tokens" > maxTok && $"n_docs" > 1, 1)
+        .otherwise(0)).as("__over"))
+      .select(when($"__over" === 0, lit(true)).otherwise(raise_error(
+        lit("q97: multi-doc sequence exceeds the token budget")))
+        .as("budget_ok"))
+    val conserveOk = packed
+      .agg(sum($"n_tokens").as("__pt"),
+        count_distinct($"doc_id").as("__pd"), count(lit(1)).as("__pr"))
+      .crossJoin(docs.agg(sum($"n_tokens").as("__dt"),
+        count(lit(1)).as("__dd")))
+      .select(when($"__pt" === $"__dt" && $"__pd" === $"__dd" &&
+          $"__pr" === $"__dd", lit(true))
+        .otherwise(raise_error(lit(
+          "q97: token/doc conservation failed"))).as("conserve_ok"))
+    // non-final sequences per partition: every one the greedy loop
+    // CLOSED because the next doc did not fit
+    val effOk = seqs
+      .where($"seq_tokens" <= maxTok)
+      .withColumn("__last", row_number().over(Window
+        .partitionBy(shiftright($"seq_id", 32))
+        .orderBy($"seq_id".desc)))
+      .where($"__last" > 1)
+      .agg(avg($"seq_tokens".cast(DoubleType) / maxTok).as("__fill"))
+      .select(when($"__fill" >= 0.5, lit(true)).otherwise(raise_error(
+        concat(lit("q97: packing efficiency "), $"__fill".cast(StringType),
+          lit(" below 0.5")))).as("efficiency_ok"))
+
+    seqs.crossJoin(broadcast(budgetOk))
+      .crossJoin(broadcast(conserveOk))
+      .crossJoin(broadcast(effOk))
+      .orderBy($"seq_id")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -568,7 +634,8 @@ object Queries6 {
     "q93_stratified" -> (q93Stratified _),
     "q94_keep_best" -> (q94KeepBest _),
     "q95_dsir" -> (q95Dsir _),
-    "q96_sem_pipeline" -> (q96SemPipeline _)
+    "q96_sem_pipeline" -> (q96SemPipeline _),
+    "q97_packing" -> (q97Packing _)
   )
 
   val oracles: Map[String, String] = Map(
