@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Functional
-import graft.operators.{Clustering, Dedup, Packing, Sampling, TextAnalysis}
+import graft.operators.{Clustering, Dedup, Packing, Salting, Sampling, TextAnalysis}
 
 /** Round-10 queries: the LLM-pipeline operators a 100 TB training-data
   * run needs beyond pair generation — benchmark decontamination,
@@ -622,6 +622,80 @@ object Queries6 {
       .orderBy($"seq_id")
   }
 
+  // ---- long-document chunking ------------------------------------------
+
+  /** Context-window chunking (TextAnalysis.chunk): every document split
+    * into ≤40-token chunks with 8 tokens of carried overlap (stride
+    * 32); the corpus spans 10-99 tokens so docs yield 1-3 chunks.
+    * Fully oracled — DuckDB recomputes the chunk boundaries, texts and
+    * lengths with list slicing over the same regex tokenization the
+    * q30 gate proved equivalent. Row-local explode, no shuffle. */
+  def q98Chunk(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select($"doc_id",
+        explode(TextAnalysis.chunk($"text", maxTokens = 40, overlap = 8))
+          .as("c"))
+      .select($"doc_id", $"c.chunk_idx".as("chunk_idx"),
+        $"c.chunk_text".as("chunk_text"), $"c.n_tokens".as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+
+  val q98Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
+      |par AS (
+      |  SELECT doc_id, w, len(w) AS n,
+      |    GREATEST(1, CAST(ceil((len(w) - 8) / 32.0) AS INT)) AS nc
+      |  FROM tok),
+      |ch AS (
+      |  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+      |    array_to_string(w[i*32 + 1 : i*32 + LEAST(40, n - i*32)], ' ')
+      |      AS chunk_text,
+      |    CAST(LEAST(40, n - i*32) AS BIGINT) AS n_tokens
+      |  FROM par, UNNEST(range(0, nc)) AS t(i))
+      |SELECT doc_id, chunk_idx, chunk_text, n_tokens
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---- salted skew join ------------------------------------------------
+
+  /** Salted join under manufactured skew (Salting.saltedJoin): a
+    * synthetic hot key absorbs every lineitem row with
+    * l_orderkey % 2 = 0 (~half the table — the boilerplate-bucket
+    * shape), the rest spread over 100 keys; the 101-key dimension is
+    * joined with 8 salts. Fully oracled: DuckDB runs the PLAIN join on
+    * the same synthetic key — a green hash row proves salting changed
+    * the distribution of work and nothing else. */
+  def q99SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val skewKey = when($"l_orderkey" % 2 === 0, 0L)
+      .otherwise($"l_partkey" % 100 + 1)
+    val big = t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        skewKey.as("k"))
+    val small = s.range(0, 101)
+      .select($"id".as("k"), ($"id" * 7 % 13).as("weight"))
+    Salting.saltedJoin(big, small, "k",
+      struct($"l_orderkey", $"l_linenumber"), nSalts = 8)
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("qty_sum"),
+        max($"weight").as("weight"))
+      .orderBy($"k")
+  }
+
+  val q99Sql: String =
+    """WITH big AS (
+      |  SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+      |    ELSE l_partkey % 100 + 1 END AS k, l_quantity
+      |  FROM lineitem),
+      |small AS (
+      |  SELECT range AS k, range * 7 % 13 AS weight FROM range(0, 101))
+      |SELECT k, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty_sum,
+      |  MAX(weight) AS weight
+      |FROM big JOIN small USING (k)
+      |GROUP BY k ORDER BY k""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -635,7 +709,9 @@ object Queries6 {
     "q94_keep_best" -> (q94KeepBest _),
     "q95_dsir" -> (q95Dsir _),
     "q96_sem_pipeline" -> (q96SemPipeline _),
-    "q97_packing" -> (q97Packing _)
+    "q97_packing" -> (q97Packing _),
+    "q98_chunk" -> (q98Chunk _),
+    "q99_salted_join" -> (q99SaltedJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -647,6 +723,8 @@ object Queries6 {
     "q90_shuffle_order" -> q90Sql,
     "q92_bucketed_join" -> q92Sql,
     "q93_stratified" -> q93Sql,
-    "q94_keep_best" -> q94Sql
+    "q94_keep_best" -> q94Sql,
+    "q98_chunk" -> q98Sql,
+    "q99_salted_join" -> q99Sql
   )
 }

@@ -244,6 +244,34 @@ object TextAnalysis {
   def shingles(text: Column, k: Int): Column =
     Functional.wordShingles(text, k)
 
+  // ---- long-document chunking -----------------------------------------
+
+  /** Split a document into chunks of at most `maxTokens` tokens with
+    * `overlap` tokens of context carried between consecutive chunks —
+    * the standard context-window preprocessing for long docs (chunk
+    * stride = maxTokens − overlap). Returns array<struct<chunk_idx,
+    * chunk_text, n_tokens>>; row-local (explode to one row per chunk),
+    * no shuffle, codegen-friendly HOF composition. A doc of at most
+    * `maxTokens` tokens yields exactly one whole-text chunk. */
+  def chunk(text: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"maxTokens=$maxTokens overlap=$overlap")
+    val stride = maxTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // chunk starts: 0, stride, 2*stride, ... while start < n (a single
+    // chunk when n <= maxTokens; last chunk may be shorter)
+    val nChunks = greatest(lit(1),
+      ceil((n - lit(overlap)).cast(DoubleType) / stride).cast(IntegerType))
+    transform(sequence(lit(0), nChunks - 1), i => {
+      val start = i * stride
+      val len = least(lit(maxTokens), n - start)
+      struct(i.as("chunk_idx"),
+        array_join(slice(toks, start + 1, len), " ").as("chunk_text"),
+        len.cast(LongType).as("n_tokens"))
+    })
+  }
+
   // ---- DSIR importance weighting (Xie et al., NeurIPS 2023) -----------
 
   /** Hashed n-gram feature buckets of a document: every unigram and
