@@ -341,6 +341,12 @@ object Queries3 {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** TTL-bounded streaming dedup (dropDuplicatesWithinWatermark) —
+    * bounded state under an unbounded stream; same distinct result as
+    * q81 within the watermark, so the same batch oracle applies. */
+  def q100StreamDedupTtl(s: SparkSession, dir: String): DataFrame =
+    EventsStream.streamDedupTtl(s, dir)
+
   /** Stream-static join: events enriched with a broadcast customer
     * dimension under readStream; oracle = the batch join. */
   def q82StreamJoin(s: SparkSession, dir: String): DataFrame =
@@ -364,6 +370,7 @@ object Queries3 {
     "q44_jaccard_exact" -> (q44JaccardExact _),
     "q52_knn_ivf" -> (q52KnnIvf _),
     "q81_stream_dedup" -> (q81StreamDedup _),
+    "q100_stream_dedup_ttl" -> (q100StreamDedupTtl _),
     "q82_stream_join" -> (q82StreamJoin _)
   )
 
@@ -378,6 +385,7 @@ object Queries3 {
     "q35_bool_agg" -> q35Sql,
     "q44_jaccard_exact" -> q44Sql,
     "q81_stream_dedup" -> q81Sql,
+    "q100_stream_dedup_ttl" -> q81Sql,
     "q82_stream_join" -> q82Sql
   )
 }

@@ -88,6 +88,42 @@ object EventsStream {
     spark.table(name).orderBy("user_id", "event_type")
   }
 
+  /** TTL-bounded streaming dedup: `dropDuplicatesWithinWatermark` —
+    * the unbounded-stream variant of [[streamDedup]]. Plain
+    * dropDuplicates keeps one state entry per distinct key FOREVER
+    * (state grows with stream history — the thing that kills a
+    * 100 TB/day dedup); here a key's state is evicted once the
+    * watermark passes its event time plus the delay, so state is
+    * bounded by keys-per-watermark-window. The trade: duplicates
+    * separated by more than the delay can re-emit — the right contract
+    * for near-real-time dedup where repeats cluster in time. The ts
+    * column arrives as TIMESTAMP(NANOS) long (harness convention) and
+    * converts to a real timestamp for the watermark. In this
+    * single-file micro-batch every duplicate is within the watermark,
+    * so the result equals batch SELECT DISTINCT — the oracle. */
+  def streamDedupTtl(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val name = s"graft_dedupttl_${System.nanoTime()}"
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select(col("user_id"), col("event_type"),
+        timestamp_micros((col("ts") / 1000L).cast("long")).as("ets"))
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select(col("user_id"), col("event_type"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (broadcast — the stream side never shuffles for the
     * join), then aggregated per segment. The standard pattern for
