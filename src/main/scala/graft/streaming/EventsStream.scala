@@ -15,6 +15,19 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
+  /** Streaming reader for the events table, robust to both layouts:
+    * a single file at the small test SFs (the file source requires a
+    * directory, so stream the parent dir with a glob filter) and a
+    * directory of part-files at sf1.0+ (where the glob filter would
+    * match nothing — the round-10 fix; before it, every sf1.0
+    * streaming sample timed an EMPTY stream). */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = new java.io.File(s"$dir/events.parquet")
+    val base = spark.readStream.schema(eventsSchema)
+    if (path.isDirectory) base.parquet(path.getPath)
+    else base.option("pathGlobFilter", "events.parquet").parquet(dir)
+  }
+
   /** events.parquet schema as Spark reads it with nanosAsLong. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -37,10 +50,7 @@ object EventsStream {
     // empty batch; skipping it trims fixed per-query startup
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val name = s"graft_stream_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet") // source must be a dir
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
@@ -73,10 +83,7 @@ object EventsStream {
     // empty batch; skipping it trims fixed per-query startup
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val name = s"graft_dedup_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val q = stream.writeStream
@@ -106,10 +113,7 @@ object EventsStream {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val name = s"graft_dedupttl_${System.nanoTime()}"
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"),
         timestamp_micros((col("ts") / 1000L).cast("long")).as("ets"))
       .withWatermark("ets", "1 hour")
@@ -140,10 +144,7 @@ object EventsStream {
     val dim = functions.broadcast(
       spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_mktsegment")))
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(spark, dir)
       .join(dim, col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),

@@ -112,4 +112,49 @@ class PropertySpec extends SparkSpec {
         s"($lo, $hi)")
     }
   }
+
+  test("chunk reconstructs the document for any (n, max, overlap)") {
+    import org.apache.spark.sql.functions.{col, explode}
+    import graft.operators.TextAnalysis
+    val gen = Gen.zip(Gen.choose(1, 120), Gen.choose(2, 50))
+      .flatMap { case (n, m) => Gen.choose(0, m - 1).map(o => (n, m, o)) }
+    samples(gen, 60).foreach { case (n, m, o) =>
+      import spark.implicits._
+      val text = (1 to n).map(i => s"w$i").mkString(" ")
+      val chunks = Seq(text).toDF("text")
+        .select(explode(TextAnalysis.chunk(col("text"), m, o)).as("c"))
+        .select("c.chunk_idx", "c.chunk_text", "c.n_tokens")
+        .collect().sortBy(_.getInt(0))
+      // stitching chunks minus each successor's leading overlap
+      // reproduces the token stream exactly
+      val stride = m - o
+      val stitched = chunks.zipWithIndex.flatMap { case (r, i) =>
+        val toks = r.getString(1).split(" ").toSeq
+        if (i == 0) toks else toks.drop(toks.length.min(o))
+      }
+      assert(stitched === (1 to n).map(i => s"w$i"),
+        s"n=$n max=$m overlap=$o")
+      chunks.foreach(r => assert(r.getLong(2) <= m && r.getLong(2) > 0))
+    }
+  }
+
+  test("packing conserves docs/tokens within budget for random inputs") {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import graft.operators.Packing
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(1, 200), Gen.choose(5, 80))
+    samples(gen, 8).zipWithIndex.foreach { case ((rows, budget), i) =>
+      val data = (0 until rows)
+        .map(j => (j.toLong, ((j * 31 + i * 7) % 120 + 1).toLong))
+      val df = data.toDF("id", "n").repartition(3)
+      val packed = Packing.packGreedy(df, "id", "n", budget)
+      val seqs = packed.groupBy("seq_id")
+        .agg(sum("n_tokens").as("t"), count(lit(1)).as("d"))
+      assert(seqs.where(col("t") > budget && col("d") > 1).count() === 0,
+        s"rows=$rows budget=$budget")
+      val got = packed.agg(sum("n_tokens"), count(lit(1))).head
+      assert(got.getLong(0) === data.map(_._2).sum)
+      assert(got.getLong(1) === rows.toLong)
+    }
+  }
 }
