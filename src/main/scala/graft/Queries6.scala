@@ -696,6 +696,31 @@ object Queries6 {
       |FROM big JOIN small USING (k)
       |GROUP BY k ORDER BY k""".stripMargin
 
+  // ---- vocabulary building ---------------------------------------------
+
+  /** Corpus vocabulary (TextAnalysis.buildVocab): top-50 tokens by
+    * (count desc, term asc) with contiguous ids — the artifact that
+    * feeds lookup_indices/Vocab (q34 consumes a literal vocabulary;
+    * this is where a real pipeline gets one). Fully oracled: DuckDB
+    * recomputes counts and the rank with the identical tie-break. */
+  def q101BuildVocab(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.buildVocab(t(s, dir, "documents"), "text",
+        maxSize = 50, minFreq = 2)
+      .orderBy($"term_id")
+
+  val q101Sql: String =
+    """WITH c AS (
+      |  SELECT t.term, COUNT(*) AS count
+      |  FROM documents,
+      |    UNNEST(string_split_regex(trim(text), '\s+')) AS t(term)
+      |  GROUP BY t.term HAVING COUNT(*) >= 2),
+      |r AS (
+      |  SELECT term, count,
+      |    ROW_NUMBER() OVER (ORDER BY count DESC, term ASC) AS rk
+      |  FROM c)
+      |SELECT term, CAST(rk - 1 AS BIGINT) AS term_id, count
+      |FROM r WHERE rk <= 50 ORDER BY term_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -711,7 +736,8 @@ object Queries6 {
     "q96_sem_pipeline" -> (q96SemPipeline _),
     "q97_packing" -> (q97Packing _),
     "q98_chunk" -> (q98Chunk _),
-    "q99_salted_join" -> (q99SaltedJoin _)
+    "q99_salted_join" -> (q99SaltedJoin _),
+    "q101_build_vocab" -> (q101BuildVocab _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -725,6 +751,7 @@ object Queries6 {
     "q93_stratified" -> q93Sql,
     "q94_keep_best" -> q94Sql,
     "q98_chunk" -> q98Sql,
-    "q99_salted_join" -> q99Sql
+    "q99_salted_join" -> q99Sql,
+    "q101_build_vocab" -> q101Sql
   )
 }

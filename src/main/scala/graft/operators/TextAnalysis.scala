@@ -244,6 +244,40 @@ object TextAnalysis {
   def shingles(text: Column, k: Int): Column =
     Functional.wordShingles(text, k)
 
+  // ---- vocabulary building --------------------------------------------
+
+  /** Build a frequency vocabulary from a corpus: the `maxSize` most
+    * frequent tokens with count ≥ `minFreq`, assigned contiguous ids
+    * from `startId` in (count desc, term asc) order — deterministic,
+    * so the vocabulary is reproducible and engine-portable. Returns
+    * (term, term_id, count). The output feeds lookup_indices /
+    * [[graft.functions.Bpe.Vocab]]: build once over the corpus, ship
+    * the (tiny) vocab as a broadcast asset.
+    *
+    * Scale shape: one scan + one map-side-partial count aggregation on
+    * the term; the top-K step ranks the VOCABULARY (≤ distinct terms),
+    * not the corpus. For web-scale vocabularies the rank is a single
+    * shuffle of (term, count) pairs — still corpus-size-independent. */
+  def buildVocab(
+      df: DataFrame,
+      textCol: String,
+      maxSize: Int,
+      minFreq: Long = 1L,
+      startId: Int = 0): DataFrame = {
+    require(maxSize > 0 && minFreq >= 1, s"maxSize=$maxSize minFreq=$minFreq")
+    val counts = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("count"))
+      .where(col("count") >= minFreq)
+    val w = Window.orderBy(col("count").desc, col("term").asc)
+    counts
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= maxSize)
+      .select(col("term"),
+        (col("__rk") - 1 + startId).cast(LongType).as("term_id"),
+        col("count"))
+  }
+
   // ---- long-document chunking -----------------------------------------
 
   /** Split a document into chunks of at most `maxTokens` tokens with
