@@ -9,10 +9,15 @@ import graft.functions.Functional
 import graft.operators.{Clustering, Dedup, Packing, Salting, Sampling, TextAnalysis}
 
 /** Round-10 queries: the LLM-pipeline operators a 100 TB training-data
-  * run needs beyond pair generation — benchmark decontamination,
-  * dup-group resolution (connected components), PII scrubbing, and
-  * TF-IDF term scoring. Naming/oracle/float conventions as in
-  * [[Queries]]; every gate here is fully DuckDB-oracled.
+  * run needs beyond pair generation — decontamination, dup-group
+  * resolution and keeper policy, PII scrubbing, TF-IDF, perplexity,
+  * deterministic shuffle/stratification, k-means/SemDeDup, bucketed
+  * co-located joins, sequence packing, chunking, salted joins, DSIR,
+  * and vocabulary building. Naming/oracle/float conventions as in
+  * [[Queries]]. Gates are fully DuckDB-oracled wherever the semantics
+  * are SQL-expressible; the rest (q91 k-means, q95 DSIR hashing,
+  * q96 pipeline, q97 packing) are self-checking via in-query
+  * raise_error on analytic invariants.
   */
 object Queries6 {
 
