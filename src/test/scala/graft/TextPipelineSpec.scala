@@ -64,6 +64,16 @@ class TextPipelineSpec extends SparkSpec {
     }
   }
 
+  test("buildVocab ranks by count desc then term asc with minFreq") {
+    val docs = Seq("b b b a a c", "a b d", "e e").toDF("text")
+    val got = TextAnalysis.buildVocab(docs, "text", maxSize = 3,
+        minFreq = 2)
+      .orderBy("term_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // counts: b=4 a=3 e=2 (c,d below minFreq); top-3 in order
+    assert(got === Seq(("b", 0L, 4L), ("a", 1L, 3L), ("e", 2L, 2L)))
+  }
+
   test("resolveKeepBest keeps the highest score, ties to lowest id") {
     // two groups: {1,2,3} scores 5,9,9 -> keeper 2 (tie 2 vs 3);
     // {10,11} scores 1,4 -> keeper 11
