@@ -63,8 +63,25 @@ object Clustering {
       initSample: Int = 4096): Array[Double] = {
     require(nCells > 0 && iters >= 0, s"nCells=$nCells iters=$iters")
     require(initSample >= nCells, s"initSample $initSample < nCells $nCells")
+    // Lloyd reads the vectors iters+1 times (init sample + every
+    // iteration) — cache the projection once instead of re-scanning
+    // the source each pass: at 100 TB that is `iters` fewer full
+    // corpus scans (MEMORY_AND_DISK: spills rather than evicts, and
+    // the projected (id, vec) frame is far smaller than the source).
+    val vecs = df.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitCached(vecs, vecCol, idCol, nCells, iters, initSample)
+    finally vecs.unpersist(blocking = false)
+  }
+
+  private def fitCached(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      nCells: Int,
+      iters: Int,
+      initSample: Int): Array[Double] = {
     val sample = df
-      .select(col(idCol), col(vecCol))
       .orderBy(Functional.sampleHash(col(idCol), 9L), col(idCol))
       .limit(initSample)
       .collect()
