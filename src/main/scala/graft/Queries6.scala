@@ -726,6 +726,46 @@ object Queries6 {
       |SELECT term, CAST(rk - 1 AS BIGINT) AS term_id, count
       |FROM r WHERE rk <= 50 ORDER BY term_id""".stripMargin
 
+  // ---- text-format round trips (JSONL / CSV sinks+sources) ------------
+
+  /** JSONL round trip: the documents table written as JSON-lines (the
+    * standard training-corpus interchange format) and read back with
+    * an explicit schema, emitted row-for-row. The DuckDB oracle reads
+    * the ORIGINAL parquet — a green hash row proves every byte of
+    * every document survived JSON encoding/decoding (escapes, unicode)
+    * and nothing was dropped or duplicated. Write = one pass, read =
+    * splittable scan; JSONL at rest is the 100 TB corpus landing
+    * format this engine must ingest losslessly. */
+  def q102JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_formats/jsonl_docs"
+    t(s, dir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite").json(path)
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .json(path)
+      .orderBy($"doc_id")
+  }
+
+  val q102Sql: String =
+    "SELECT doc_id, text FROM documents ORDER BY doc_id"
+
+  /** CSV round trip, same contract as q102 for the CSV sink/source
+    * (quoting + escaping exercised by the free-text column). */
+  def q103CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_formats/csv_docs"
+    t(s, dir, "documents").select($"doc_id", $"text")
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
+    s.read.schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType))))
+      .option("header", "true").option("escape", "\"")
+      .csv(path)
+      .orderBy($"doc_id")
+  }
+
+  val q103Sql: String = q102Sql
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -742,7 +782,9 @@ object Queries6 {
     "q97_packing" -> (q97Packing _),
     "q98_chunk" -> (q98Chunk _),
     "q99_salted_join" -> (q99SaltedJoin _),
-    "q101_build_vocab" -> (q101BuildVocab _)
+    "q101_build_vocab" -> (q101BuildVocab _),
+    "q102_jsonl_roundtrip" -> (q102JsonlRoundtrip _),
+    "q103_csv_roundtrip" -> (q103CsvRoundtrip _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -757,6 +799,8 @@ object Queries6 {
     "q94_keep_best" -> q94Sql,
     "q98_chunk" -> q98Sql,
     "q99_salted_join" -> q99Sql,
-    "q101_build_vocab" -> q101Sql
+    "q101_build_vocab" -> q101Sql,
+    "q102_jsonl_roundtrip" -> q102Sql,
+    "q103_csv_roundtrip" -> q103Sql
   )
 }
