@@ -581,6 +581,11 @@ public final class Kernels {
    * versus the HOF chain's regex split and per-window slice +
    * array_join — ~3-5x on the dedup/decontamination explode paths. */
   public static ArrayData wordShingles(UTF8String text, int k) {
+    // SQL-reachable (word_shingles): guard before the window math,
+    // which would otherwise allocate a negative-length array for k < 1
+    if (k < 1)
+      throw new IllegalArgumentException(
+          "word_shingles: k must be >= 1, got " + k);
     byte[] b = text.trim().getBytes();
     int n = b.length;
     // token segments [start, end) between whitespace runs

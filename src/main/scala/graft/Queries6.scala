@@ -44,12 +44,21 @@ object Queries6 {
       .orderBy($"doc_id")
   }
 
+  // tokenization matches the Spark kernel exactly: regex \s+ over the
+  // trimmed text (NOT single-space split — double spaces/tabs would
+  // diverge), plus the whole-text gram for docs shorter than n tokens
+  // (TextAnalysis.shingles' n<k fallback)
   val q85Sql: String =
     """WITH tok AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents),
       |grams AS (
       |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
-      |  FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |  FROM tok, UNNEST(range(1, len(w) - 1)) AS t(i)
+      |  WHERE len(w) >= 3
+      |  UNION ALL
+      |  SELECT doc_id, array_to_string(w, ' ') AS g FROM tok
+      |  WHERE len(w) < 3),
       |ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
       |SELECT g.doc_id, COUNT(DISTINCT g.g) AS n_hits
       |FROM grams g JOIN ev ON g.g = ev.g
@@ -66,7 +75,11 @@ object Queries6 {
     * keep-id. The DuckDB oracle computes the same components by
     * recursive transitive closure; both sides emit only ids that
     * appear in at least one pair. */
-  def q88DupGroups(s: SparkSession, dir: String): DataFrame = {
+  /** q88/q94 shared fixture: exact char-3-gram Jaccard ≥ 0.60 pairs
+    * over the bounded doc_id < 200 subset — ONE definition, so the two
+    * resolution gates provably consume the identical pair graph (they
+    * are documented as the same graph resolved under two policies). */
+  private def jaccardPairFixture(s: SparkSession, dir: String): DataFrame = {
     val sh = sort_array(array_distinct(transform(
       sequence(lit(1), length($"text") - 2),
       i => xxhash64($"text".substr(i, lit(3))))))
@@ -75,19 +88,19 @@ object Queries6 {
       .select($"doc_id", sh.as("sh"))
     val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
     val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-    val pairs = a.join(broadcast(b), $"id_a" < $"id_b")
+    a.join(broadcast(b), $"id_a" < $"id_b")
       .select($"id_a", $"id_b",
         Functional.jaccardSorted($"sh_a", $"sh_b").as("j"))
       .where($"j" >= 0.60)
       .select($"id_a", $"id_b")
-    Dedup.connectedComponents(pairs)
-      .select($"id", $"component")
-      .orderBy($"id")
   }
 
-  val q88Sql: String =
-    """WITH RECURSIVE d AS (
-      |  SELECT doc_id, list_distinct(list_transform(
+  /** SQL half of [[jaccardPairFixture]] + transitive closure, shared
+    * by q88Sql/q94Sql: CTEs d/p/e/edges/nodes/reach (d keeps text for
+    * q94's scoring CTE). */
+  private val closureCtes: String =
+    """d AS (
+      |  SELECT doc_id, text, list_distinct(list_transform(
       |    range(1, length(text) - 1),
       |    i -> substr(text, CAST(i AS INT), 3))) AS sh
       |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
@@ -104,9 +117,17 @@ object Queries6 {
       |reach AS (
       |  SELECT id AS src, id AS dst FROM nodes
       |  UNION
-      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)
-      |SELECT src AS id, MIN(dst) AS component
-      |FROM reach GROUP BY src ORDER BY id""".stripMargin
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a)""".stripMargin
+
+  def q88DupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(jaccardPairFixture(s, dir))
+      .select($"id", $"component")
+      .orderBy($"id")
+
+  val q88Sql: String =
+    s"""WITH RECURSIVE $closureCtes
+       |SELECT src AS id, MIN(dst) AS component
+       |FROM reach GROUP BY src ORDER BY id""".stripMargin
 
   // ---- PII scrubbing ---------------------------------------------------
 
@@ -407,58 +428,29 @@ object Queries6 {
     * components by transitive closure and the keeper by a window
     * argmax with the identical tie-break. */
   def q94KeepBest(s: SparkSession, dir: String): DataFrame = {
-    val sh = sort_array(array_distinct(transform(
-      sequence(lit(1), length($"text") - 2),
-      i => xxhash64($"text".substr(i, lit(3))))))
-    val d = t(s, dir, "documents")
+    val scores = t(s, dir, "documents")
       .where($"doc_id" < 200 && length($"text") >= 3)
-      .select($"doc_id", $"text", sh.as("sh"))
-    val a = d.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
-    val b = d.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
-    val pairs = a.join(broadcast(b), $"id_a" < $"id_b")
-      .select($"id_a", $"id_b",
-        Functional.jaccardSorted($"sh_a", $"sh_b").as("j"))
-      .where($"j" >= 0.60)
-      .select($"id_a", $"id_b")
-    val scores = d.select($"doc_id".as("id"),
-      TextAnalysis.tokenCount($"text").cast(LongType).as("score"))
-    Dedup.resolveKeepBest(pairs, scores)
+      .select($"doc_id".as("id"),
+        TextAnalysis.tokenCount($"text").cast(LongType).as("score"))
+    Dedup.resolveKeepBest(jaccardPairFixture(s, dir), scores)
       .select($"id", $"component", $"keep_id")
       .orderBy($"id")
   }
 
   val q94Sql: String =
-    """WITH RECURSIVE d AS (
-      |  SELECT doc_id, text, list_distinct(list_transform(
-      |    range(1, length(text) - 1),
-      |    i -> substr(text, CAST(i AS INT), 3))) AS sh
-      |  FROM documents WHERE doc_id < 200 AND length(text) >= 3),
-      |p AS (
-      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |    len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS i,
-      |    len(a.sh) AS na, len(b.sh) AS nb
-      |  FROM d a, d b WHERE a.doc_id < b.doc_id),
-      |e AS (SELECT id_a, id_b FROM p
-      |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.60),
-      |edges AS (SELECT id_a AS a, id_b AS b FROM e
-      |  UNION SELECT id_b, id_a FROM e),
-      |nodes AS (SELECT DISTINCT a AS id FROM edges),
-      |reach AS (
-      |  SELECT id AS src, id AS dst FROM nodes
-      |  UNION
-      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.dst = e2.a),
-      |comp AS (SELECT src AS id, MIN(dst) AS component
-      |  FROM reach GROUP BY src),
-      |sc AS (SELECT doc_id AS id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
-      |    AS score FROM d),
-      |k AS (
-      |  SELECT DISTINCT component,
-      |    FIRST_VALUE(c.id) OVER (PARTITION BY component
-      |      ORDER BY sc.score DESC, c.id ASC) AS keep_id
-      |  FROM comp c JOIN sc ON c.id = sc.id)
-      |SELECT c.id, c.component, k.keep_id
-      |FROM comp c JOIN k USING (component) ORDER BY c.id""".stripMargin
+    s"""WITH RECURSIVE $closureCtes,
+       |comp AS (SELECT src AS id, MIN(dst) AS component
+       |  FROM reach GROUP BY src),
+       |sc AS (SELECT doc_id AS id,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |    AS score FROM d),
+       |k AS (
+       |  SELECT DISTINCT component,
+       |    FIRST_VALUE(c.id) OVER (PARTITION BY component
+       |      ORDER BY sc.score DESC, c.id ASC) AS keep_id
+       |  FROM comp c JOIN sc ON c.id = sc.id)
+       |SELECT c.id, c.component, k.keep_id
+       |FROM comp c JOIN k USING (component) ORDER BY c.id""".stripMargin
 
   // ---- DSIR importance weighting ---------------------------------------
 
@@ -527,14 +519,21 @@ object Queries6 {
   def q96SemPipeline(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
       .unionByName(Queries2.plantedVecs(s))
+    // localCheckpoint: the pair frame feeds the CC loop, the orphan
+    // check, and (via resolved) three stat branches — without it every
+    // branch re-runs the k-means assignment + within-cell self-join
     val pairs = Dedup.semantic(emb, "embedding", "vec_id",
       nCells = 10, threshold = 0.95, iters = 4)
       .select($"id_a", $"id_b")
+      .localCheckpoint()
     val scores = emb.select($"vec_id".as("id"),
       Functional.normF($"embedding").as("score"))
     val resolved = Dedup.resolveKeepBest(pairs, scores)
+    // checkpointed for the same reason as pairs: consumed by the kept
+    // anti-join, the n_dropped count, and the orphan check
     val dropped = resolved.where($"id" =!= $"keep_id")
       .select($"id".as("vec_id"))
+      .localCheckpoint()
     val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
 
     val pb = Queries2.plantBase
@@ -609,17 +608,22 @@ object Queries6 {
         .otherwise(raise_error(lit(
           "q97: token/doc conservation failed"))).as("conserve_ok"))
     // non-final sequences per partition: every one the greedy loop
-    // CLOSED because the next doc did not fit
+    // CLOSED because the next doc did not fit. Rank BEFORE dropping
+    // oversize singletons (else a partition ending in a long doc would
+    // mislabel its last real sequence as final); a NULL average (no
+    // qualifying sequence at tiny inputs) is a vacuous check, not a
+    // failure.
     val effOk = seqs
-      .where($"seq_tokens" <= maxTok)
       .withColumn("__last", row_number().over(Window
         .partitionBy(shiftright($"seq_id", 32))
         .orderBy($"seq_id".desc)))
-      .where($"__last" > 1)
+      .where($"__last" > 1 && $"seq_tokens" <= maxTok)
       .agg(avg($"seq_tokens".cast(DoubleType) / maxTok).as("__fill"))
-      .select(when($"__fill" >= 0.5, lit(true)).otherwise(raise_error(
-        concat(lit("q97: packing efficiency "), $"__fill".cast(StringType),
-          lit(" below 0.5")))).as("efficiency_ok"))
+      .select(when($"__fill".isNull || $"__fill" >= 0.5, lit(true))
+        .otherwise(raise_error(
+          concat(lit("q97: packing efficiency "),
+            $"__fill".cast(StringType),
+            lit(" below 0.5")))).as("efficiency_ok"))
 
     seqs.crossJoin(broadcast(budgetOk))
       .crossJoin(broadcast(conserveOk))
@@ -749,17 +753,23 @@ object Queries6 {
   val q102Sql: String =
     "SELECT doc_id, text FROM documents ORDER BY doc_id"
 
-  /** CSV round trip, same contract as q102 for the CSV sink/source
-    * (quoting + escaping exercised by the free-text column). */
+  /** CSV round trip, same contract as q102 for the CSV sink/source.
+    * The options are part of the contract: `escape "` for RFC-4180
+    * quote doubling, `multiLine` so embedded newlines survive the
+    * read, and a sentinel nullValue on BOTH sides so empty strings
+    * round-trip as empty strings instead of Spark's default
+    * empty→NULL collapse. */
   def q103CsvRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val path = "/tmp/graft_formats/csv_docs"
     t(s, dir, "documents").select($"doc_id", $"text")
       .write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
+      .option("nullValue", "\\N")
       .csv(path)
     s.read.schema(StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType))))
       .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true").option("nullValue", "\\N")
       .csv(path)
       .orderBy($"doc_id")
   }

@@ -63,6 +63,17 @@ object Clustering {
       initSample: Int = 4096): Array[Double] = {
     require(nCells > 0 && iters >= 0, s"nCells=$nCells iters=$iters")
     require(initSample >= nCells, s"initSample $initSample < nCells $nCells")
+    // float-only contract, checked up front: the init collect
+    // (getSeq[Float]) and the nearestCell kernel (getFloat) both read
+    // array<float> — an array<double> column would fail deep inside a
+    // task with a ClassCastException instead of this clear error
+    df.schema(vecCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => ()
+      case other => throw new IllegalArgumentException(
+        s"Clustering.fit: column '$vecCol' must be array<float>, " +
+          s"got $other (cast double embeddings to float first)")
+    }
     // Lloyd reads the vectors iters+1 times (init sample + every
     // iteration) — cache the projection once instead of re-scanning
     // the source each pass: at 100 TB that is `iters` fewer full

@@ -114,8 +114,11 @@ object EventsStream {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val name = s"graft_dedupttl_${System.nanoTime()}"
     val stream = eventsStream(spark, dir)
+      // integer div: (ts / 1000L) would round-trip the ~1.5e18 nano
+      // value through a double (ulp 256 ns) and can truncate to a
+      // microsecond off the exact ts div 1000 the other readers use
       .select(col("user_id"), col("event_type"),
-        timestamp_micros((col("ts") / 1000L).cast("long")).as("ets"))
+        timestamp_micros(expr("ts div 1000")).as("ets"))
       .withWatermark("ets", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
