@@ -20,8 +20,16 @@ object RunOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { short =>
-      val name = SparkEntry.queries.keys.find(_.startsWith(short))
-        .getOrElse(sys.error(s"no query matching '$short'"))
+      // exact name wins; otherwise a prefix must be unambiguous (the
+      // Map is unordered — "first match" would be hash-order roulette)
+      val matches = SparkEntry.queries.keys.filter(_.startsWith(short))
+        .toSeq.sorted
+      val name =
+        if (matches.contains(short)) short
+        else if (matches.isEmpty) sys.error(s"no query matching '$short'")
+        else if (matches.length > 1) sys.error(
+          s"ambiguous prefix '$short': ${matches.mkString(", ")}")
+        else matches.head
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       val rows = df.count()

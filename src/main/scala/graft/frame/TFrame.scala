@@ -585,12 +585,20 @@ final case class TFrame(df: DataFrame) {
   /** Ordered sequential left-fold → scalar (icolumn.py:729-770). The
     * reference's reduce is a non-parallel fold by construction; rows are
     * collected in `order` and folded on the driver — use only on
-    * small/aggregated data; prefer groupby-agg for anything large. */
-  def reduceCol[B](c: String, order: Seq[String])(zero: B)(
-      op: (B, Any) => B): B =
-    df.select((order.map(df(_)) :+ df(c)): _*)
+    * small/aggregated data; prefer groupby-agg for anything large.
+    * Same maxRows fail-fast guard as [[collectRows]]: the fetch is
+    * limit(maxRows+1), so an unbounded column fails without being
+    * pulled to the driver. */
+  def reduceCol[B](c: String, order: Seq[String], maxRows: Int = 100000)(
+      zero: B)(op: (B, Any) => B): B = {
+    val rows = df.select((order.map(df(_)) :+ df(c)): _*)
       .orderBy(order.map(df(_).asc): _*)
-      .collect().foldLeft(zero)((acc, r) => op(acc, r.get(order.length)))
+      .limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"reduceCol: input exceeds maxRows=$maxRows; " +
+        "aggregate or filter before folding, or raise maxRows")
+    rows.foldLeft(zero)((acc, r) => op(acc, r.get(order.length)))
+  }
 
   // ---- groupby (§2.4) -------------------------------------------------
 

@@ -147,9 +147,23 @@ object namespaces {
         .otherwise(floor(c.cast(DoubleType) / other.cast(DoubleType))
           .cast(LongType))
 
-    /** `%` with the sign of the divisor (Python), via pmod adjustment. */
+    /** `%` with the sign of the divisor (Python), via pmod adjustment;
+      * `% 0` raises ZeroDivisionError like the reference's integer mod
+      * (numerical_column_cpu.py:420-434), exactly as [[floordivInt]]
+      * does. Float columns wanting the reference's `nan` instead use
+      * [[floormodFloat]]. */
     def floormod(other: Column): Column =
-      ((c % other) + other) % other
+      when(other === 0, raise_error(lit("ZeroDivisionError: integer " +
+        "division or modulo by zero")))
+        .otherwise(((c % other) + other) % other)
+
+    /** float `%`: divisor sign, x % 0 → NaN rather than raising — the
+      * reference's float branch (numerical_column_cpu.py:425-427). */
+    def floormodFloat(other: Column): Column = {
+      val a = c.cast(DoubleType)
+      when(other === 0.0, lit(Double.NaN))
+        .otherwise(((a % other) + other) % other)
+    }
 
     /** `**`: int ^ int stays int (torcharrow_pow_int,
       * numeric_functions.h:103-138). */

@@ -137,6 +137,13 @@ object Clustering {
       val seen = new Array[Boolean](nCells)
       stats.foreach { r =>
         val c = r.getInt(0)
+        // non-ANSI mode turns a DECIMAL(25,12) overflow into a NULL sum
+        // — name the cause instead of NPE-ing on getDouble
+        if (r.isNullAt(2))
+          throw new IllegalStateException(
+            s"Clustering.fit: centroid sum overflowed DECIMAL(25,12) " +
+              s"for cell $c dim ${r.getInt(1)} — embeddings must be " +
+              "unit-scale floats (normalize or rescale upstream)")
         sums(c)(r.getInt(1)) = r.getDouble(2)
         seen(c) = true
       }

@@ -311,9 +311,12 @@ object Dedup {
   /** Keep-one-per-group resolution with a QUALITY policy: resolve
     * `pairs` into connected components ([[connectedComponents]]), then
     * keep the highest-`score` member of each group (ties → lowest id).
-    * `scores` must carry (id, score). Returns (id, component, keep_id)
-    * for every id in the pair graph; ids outside any pair are
-    * implicitly their own keeper. The min-id default of
+    * `scores` carries (id, score); ids missing from it are never
+    * keepers unless their WHOLE component is unscored, in which case
+    * the min-id member keeps (the [[connectedComponents]] default).
+    * Returns (id, component, keep_id) for every id in the pair graph;
+    * ids outside any pair are implicitly their own keeper. The min-id
+    * default of
     * [[connectedComponents]] is the right tie-break but the wrong
     * POLICY for a training corpus — given a boilerplate cluster you
     * keep the longest / highest-quality copy, not the one with the
@@ -325,11 +328,16 @@ object Dedup {
     * no per-group sort. */
   def resolveKeepBest(pairs: DataFrame, scores: DataFrame): DataFrame = {
     val comp = connectedComponents(pairs)
-    val keepers = comp.join(scores, "id")
+    // left join: unscored ids stay in the output (min skips their null
+    // struct); a fully-unscored component falls back to its min id —
+    // which IS the component label — via the coalesce.
+    val keepers = comp.join(scores, Seq("id"), "left")
       .groupBy("component")
-      .agg(min(struct((col("score") * -1).as("s"), col("id").as("i")))
+      .agg(min(when(col("score").isNotNull,
+          struct((col("score") * -1).as("s"), col("id").as("i"))))
         .as("__k"))
-      .select(col("component"), col("__k.i").as("keep_id"))
+      .select(col("component"),
+        coalesce(col("__k.i"), col("component")).as("keep_id"))
     comp.join(keepers, "component").select("id", "component", "keep_id")
   }
 

@@ -45,7 +45,17 @@ object Packing {
       StructField("seq_id", LongType, nullable = false),
       StructField("seq_pos", IntegerType, nullable = false),
       StructField("n_tokens", LongType, nullable = false)))
-    val in = df.select(col(idCol).cast(LongType), col(tokenCol).cast(LongType))
+    // Contract check up front (mirrors Clustering.fit): a null id or
+    // token count fails with a clear message instead of an NPE deep in
+    // a task. The raise_error rides the same projection — no extra pass.
+    val in = df.select(
+      when(col(idCol).isNull, raise_error(lit(
+        s"packGreedy: null $idCol — ids must be non-null")))
+        .otherwise(col(idCol).cast(LongType)).as(idCol),
+      when(col(tokenCol).isNull, raise_error(lit(
+        s"packGreedy: null $tokenCol — filter or fill null token " +
+          "counts upstream")))
+        .otherwise(col(tokenCol).cast(LongType)).as(tokenCol))
     in.mapPartitions { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
       var localSeq = -1L

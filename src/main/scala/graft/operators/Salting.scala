@@ -39,6 +39,10 @@ object Salting {
       saltBy: Column,
       nSalts: Int): DataFrame = {
     require(nSalts > 0, s"nSalts=$nSalts")
+    require(!big.columns.contains("__salt") &&
+      !small.columns.contains("__salt"),
+      "saltedJoin: inputs must not already carry a __salt column — " +
+        "it would be silently overwritten; rename it first")
     val bigS = big.withColumn("__salt",
       pmod(xxhash64(saltBy), lit(nSalts.toLong)).cast("int"))
     val smallS = small.withColumn("__salt",

@@ -78,6 +78,26 @@ class NamespacesSpec extends SparkSpec {
       Seq(2L, -2L, 1L))
   }
 
+  test("floormod int % 0 raises ZeroDivisionError " +
+      "(numerical_column_cpu.py:420-434)") {
+    val df = Seq((7L, 0L)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(col("a").arith.floormod(col("b"))).collect()
+    }
+    assert(e.getMessage.contains(
+      "ZeroDivisionError: integer division or modulo by zero"))
+  }
+
+  test("floormodFloat: divisor sign, % 0.0 -> NaN " +
+      "(numerical_column_cpu.py:425-427)") {
+    val df = Seq((-7.0, 3.0), (7.0, -3.0), (7.0, 0.0)).toDF("a", "b")
+    val got = col0(df.select(col("a").arith.floormodFloat(col("b"))))
+      .map(_.asInstanceOf[Double])
+    assert(got(0) === 2.0)
+    assert(got(1) === -2.0)
+    assert(got(2).isNaN)
+  }
+
   test("powInt stays integral (numeric_functions.h:103-138)") {
     val df = Seq((2L, 10L)).toDF("a", "b")
     assert(col0(df.select(col("a").arith.powInt(col("b")))) === Seq(1024L))

@@ -25,6 +25,15 @@ class PackingSpec extends SparkSpec {
       (6L, 4L, 0)))
   }
 
+  test("null id or token count fails fast with a clear contract error") {
+    val df = Seq[(java.lang.Long, java.lang.Long)]((0L, 4L), (1L, null))
+      .toDF("id", "n")
+    val e = intercept[Exception] {
+      Packing.packGreedy(df, "id", "n", 10).collect()
+    }
+    assert(e.getMessage.contains("packGreedy: null n"))
+  }
+
   test("conservation and budget hold across partitions") {
     val df = (0L until 1000L).map(i => (i, (i % 37) + 1)).toDF("id", "n")
       .repartition(7)

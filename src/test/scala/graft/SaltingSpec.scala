@@ -33,6 +33,15 @@ class SaltingSpec extends SparkSpec {
     assert(a.toSet === b.toSet)
   }
 
+  test("saltedJoin rejects inputs already carrying __salt") {
+    val big = Seq((1L, 2L)).toDF("k", "__salt")
+    val small = Seq((1L, "d")).toDF("k", "name")
+    val e = intercept[IllegalArgumentException] {
+      Salting.saltedJoin(big, small, "k", col("k"), 4)
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
   test("chunk covers every token with the declared stride and overlap") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ")
     val chunks = Seq(text).toDF("text")

@@ -184,6 +184,14 @@ class TFrameSpec extends SparkSpec {
       (acc, v) => acc * 10 + v.asInstanceOf[Long]) === 6543210L)
   }
 
+  test("reduceCol fails fast past maxRows instead of collecting") {
+    val e = intercept[IllegalArgumentException] {
+      abc.reduceCol("b", order = Seq("a"), maxRows = 3)(0L)(
+        (acc, v) => acc + v.asInstanceOf[Long])
+    }
+    assert(e.getMessage.contains("exceeds maxRows=3"))
+  }
+
   test("ifElse null-cond and fixed-size check (§2.8, §2.11)") {
     import graft.functions.Functional
     val df = TFrame(spark, Seq("c" -> Seq[Any](true, false, null),

@@ -87,6 +87,19 @@ class TextPipelineSpec extends SparkSpec {
       (10L, 10L, 11L), (11L, 10L, 11L)))
   }
 
+  test("resolveKeepBest: unscored ids stay in the output; a fully " +
+      "unscored component falls back to its min-id keeper") {
+    // {1,2,3}: 3 unscored, 2 has best score -> keeper 2, 3 still listed;
+    // {10,11}: nobody scored -> keeper = min id 10
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val scores = Seq((1L, 5.0), (2L, 9.0)).toDF("id", "score")
+    val got = Dedup.resolveKeepBest(pairs, scores)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 2L), (2L, 1L, 2L), (3L, 1L, 2L),
+      (10L, 10L, 10L), (11L, 10L, 10L)))
+  }
+
   // ---- PII -------------------------------------------------------------
 
   test("piiRedact replaces all emails, phones and IPv4s") {
