@@ -311,10 +311,13 @@ object Queries3 {
     * by construction) — and (b) recall@10 vs the exact brute-force
     * ranking, raise_error below the pinned floor. The floor is the
     * deterministic measured result on this synthetic corpus
-    * (0.66/0.66/0.56 at sf0.001/0.01/0.1): near-uniform vectors have
-    * no cluster structure for the coarse quantizer to exploit, so
-    * nProbe/nCells = 4/16 recall tracks the 25% scan fraction. See
-    * Queries2.annTwinCheck/annRecallCheck. */
+    * (0.52/0.52/0.56 at sf0.001/0.01/0.1 with the hash-ordered
+    * quantizer sample, round 11): near-uniform vectors have no cluster
+    * structure for the coarse quantizer to exploit, so nProbe/nCells =
+    * 4/16 recall tracks the 25% scan fraction. On data WITH cluster
+    * structure the sampling discipline is what separates working IVF
+    * from noise — SimilaritySpec pins 1.00-vs-0.53 hash-vs-first-N.
+    * See Queries2.annTwinCheck/annRecallCheck. */
   def q52KnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.where($"vec_id" < 5)

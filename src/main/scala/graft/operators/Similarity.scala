@@ -1,26 +1,171 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.Functional
+
+/** Bounded-size top-k buffer: a binary min-heap under the "goodness"
+  * order (cosine desc, id asc), so the root is always the WEAKEST kept
+  * element and a stronger candidate replaces it in O(log k). Arrays are
+  * fixed at k so the serialized partial is k-bounded regardless of how
+  * many rows a partition scored. */
+case class TopKBuf(
+    var size: Int, ids: Array[Long], scores: Array[Double]) {
+
+  /** true when (s1,id1) is strictly weaker than (s2,id2) under
+    * (cosine desc, id asc); NaN compares greatest (java.lang.Double
+    * total order — matches Spark's descending sort, which is what the
+    * WindowExec this replaces used). */
+  private def weaker(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c < 0 || (c == 0 && id1 > id2)
+  }
+
+  private def swap(i: Int, j: Int): Unit = {
+    val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+    val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0 && weaker(scores(i), ids(i), scores((i - 1) / 2),
+        ids((i - 1) / 2))) {
+      swap(i, (i - 1) / 2); i = (i - 1) / 2
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && weaker(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && weaker(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) done = true else { swap(i, m); i = m }
+    }
+  }
+
+  def insert(id: Long, score: Double): Unit =
+    if (size < ids.length) {
+      ids(size) = id; scores(size) = score; size += 1; siftUp(size - 1)
+    } else if (ids.length > 0 && weaker(scores(0), ids(0), score, id)) {
+      ids(0) = id; scores(0) = score; siftDown()
+    }
+}
+
+/** Partial-merging bounded top-k per group: the typed `Aggregator`
+  * replacement for `row_number().over(Window.partitionBy(probe))` —
+  * which shuffles and sorts EVERY scored row into |probes| partitions.
+  * As a TypedImperativeAggregate it combines map-side: each task
+  * reduces its partition to ≤k entries per probe, and only those
+  * k-bounded partials shuffle, so the tail is constant-size per probe
+  * no matter the corpus. Output is the top k as a sorted array
+  * (cosine desc, id asc — the exact WindowExec ordering, so ranks are
+  * bit-identical); null scores are skipped (desc sort placed them past
+  * any kept rank). */
+class TopKAggregator(k: Int)
+    extends Aggregator[(Long, java.lang.Double), TopKBuf,
+      Array[(Long, Double)]] {
+  require(k > 0, s"k=$k")
+
+  def zero: TopKBuf = TopKBuf(0, new Array[Long](k), new Array[Double](k))
+
+  def reduce(b: TopKBuf, in: (Long, java.lang.Double)): TopKBuf = {
+    if (in._2 != null) b.insert(in._1, in._2)
+    b
+  }
+
+  def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
+    var i = 0
+    while (i < b2.size) { b1.insert(b2.ids(i), b2.scores(i)); i += 1 }
+    b1
+  }
+
+  def finish(b: TopKBuf): Array[(Long, Double)] =
+    (0 until b.size).map(i => (b.ids(i), b.scores(i))).sortWith {
+      case ((id1, s1), (id2, s2)) =>
+        val c = java.lang.Double.compare(s2, s1) // desc
+        c < 0 || (c == 0 && id1 < id2)
+    }.toArray
+
+  def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
+  def outputEncoder: Encoder[Array[(Long, Double)]] =
+    ExpressionEncoder[Array[(Long, Double)]]()
+}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * Scale design: the probe set is assumed small (queries) and is
   * broadcast — the corpus is never shuffled for brute force; each
   * partition scores its rows against the broadcast probes and a
-  * partial top-k per probe survives to one final per-probe merge.
+  * k-bounded partial top-k per probe ([[TopKAggregator]]) survives to
+  * one final per-probe merge — the plan is ASSERTED to contain that
+  * bounded aggregate and no WindowExec ([[Similarity.requireBoundedTopK]]).
   * The LSH variant prunes the scan to matching buckets first and is
   * the 100 TB path (bucket column can be a partition/bucketing key of
   * the stored corpus, turning the probe into partition pruning).
   */
 object Similarity {
 
-  /** Brute-force cosine top-k: corpus × broadcast(probes), rank per
-    * probe. Exact baseline. */
+  /** Raises unless `df`'s physical plan computes top-k through the
+    * bounded partial-merging aggregate: at least one
+    * ObjectHashAggregate (the TypedImperativeAggregate host) and ZERO
+    * WindowExec — a window tail would re-shuffle every scored row into
+    * |probes| partitions, the straggler pattern this module exists to
+    * avoid. Same in-gate discipline as Bucketed.requireColocated. */
+  def requireBoundedTopK(df: DataFrame, what: String): Unit = {
+    def strip(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
+      case other => other +: other.children.flatMap(strip)
+    }
+    val ns = strip(df.queryExecution.executedPlan)
+    val windows = ns.count(_.isInstanceOf[WindowExec])
+    val objAggs = ns.count(_.isInstanceOf[ObjectHashAggregateExec])
+    if (windows != 0 || objAggs == 0)
+      throw new IllegalStateException(
+        s"$what: expected a bounded top-k aggregate (no WindowExec over " +
+          s"the scored set), found windows=$windows objAggs=$objAggs:\n" +
+          df.queryExecution.executedPlan.toString)
+  }
+
+  /** Shared tail of all three variants: fold `scored` (probe_id, id,
+    * cosine) down to k rows per probe with the partial-merging
+    * aggregator, then explode back to (probe_id, id, cosine, rank).
+    * Requires a long (or narrower integral) id — the heap buffer is
+    * primitive-typed on purpose: no boxing in the per-row hot path. */
+  private def topKPerProbe(scored: DataFrame, k: Int, what: String)
+      : DataFrame = {
+    val topk = udaf(new TopKAggregator(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.DOUBLE))
+    val out = scored
+      .groupBy("probe_id")
+      .agg(topk(col("id"), col("cosine")).as("__top"))
+      .select(col("probe_id"), posexplode(col("__top")))
+      .select(col("probe_id"), col("col._1").as("id"),
+        col("col._2").as("cosine"), (col("pos") + 1).as("rank"))
+    requireBoundedTopK(out, what)
+    out
+  }
+
+  private def asLongId(df: DataFrame, idCol: String, out: String): Column = {
+    val dt = df.schema(idCol).dataType
+    require(dt == LongType || dt == IntegerType || dt == ShortType ||
+      dt == ByteType,
+      s"Similarity: id column $idCol must be integral, got $dt")
+    col(idCol).cast(LongType).as(out)
+  }
+
+  /** Brute-force cosine top-k: corpus × broadcast(probes), bounded
+    * partial top-k per probe. Exact baseline. */
   def bruteForceTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -28,43 +173,37 @@ object Similarity {
       idCol: String,
       probeIdCol: String,
       k: Int = 10): DataFrame = {
-    val p = broadcast(probes.select(col(probeIdCol).as("probe_id"),
-      col(vecCol).as("probe_vec")))
-    val scored = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val p = broadcast(probes.select(
+      asLongId(probes, probeIdCol, "probe_id"), col(vecCol).as("probe_vec")))
+    val scored = corpus.select(asLongId(corpus, idCol, "id"),
+        col(vecCol).as("v"))
       .join(p, col("id") =!= col("probe_id")) // broadcast nested loop
       .select(col("probe_id"), col("id"),
         Functional.cosineSim(col("v"), col("probe_vec")).as("cosine"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerProbe(scored, k, "bruteForceTopK")
   }
 
-  /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
-    * assigns every corpus vector to a cell; probes scan only their
-    * `nProbe` nearest cells. The FAISS-style alternative scale path to
-    * hyperplane LSH: cells adapt to the data distribution, and the
-    * cell id is the natural partition/bucketing key for the stored
-    * corpus (probing = partition pruning).
-    *
-    * Training runs driver-side on a bounded deterministic sample
-    * (standard IVF practice — centroids are nCells×dim, tiny) and the
-    * result is shipped to executors as a literal; assignment is a
-    * single codegen'd kernel pass over the corpus.
-    */
-  def ivfTopK(
+  /** Coarse-quantizer training for [[ivfTopK]]: driver-side spherical
+    * Lloyd on a bounded sample (standard IVF practice — centroids are
+    * nCells×dim, tiny). The sample is HASH-ordered (sampleHash — the
+    * same discipline as Clustering.fit): a first-N-by-id sample of an
+    * id-ordered corpus is one corner of the distribution and trains a
+    * quantizer whose cells are noise for the rest, collapsing recall —
+    * pinned in SimilaritySpec. `hashOrdered=false` exists only to
+    * demonstrate that failure mode. */
+  private[graft] def trainCentroids(
       corpus: DataFrame,
-      probes: DataFrame,
       vecCol: String,
       idCol: String,
-      probeIdCol: String,
-      k: Int = 10,
-      nCells: Int = 16,
-      nProbe: Int = 4,
-      sampleSize: Int = 2048,
-      iters: Int = 5): DataFrame = {
-    // --- train: deterministic sample, Lloyd iterations, L2-normalize
+      nCells: Int,
+      sampleSize: Int,
+      iters: Int,
+      hashOrdered: Boolean = true): Array[Array[Double]] = {
+    val ordering =
+      if (hashOrdered) Seq(Functional.sampleHash(col(idCol), 9L), col(idCol))
+      else Seq(col(idCol))
     val sample = corpus.select(col(idCol), col(vecCol))
-      .orderBy(col(idCol)).limit(sampleSize)
+      .orderBy(ordering: _*).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.length >= nCells, "sample smaller than nCells")
     val dim = sample.head.length
@@ -90,13 +229,58 @@ object Similarity {
       centroids = Array.tabulate(nCells)(c =>
         if (counts(c) == 0) centroids(c) else normalize(sums(c)))
     }
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: a spherical k-means coarse quantizer
+    * assigns every corpus vector to a cell; probes scan only their
+    * `nProbe` nearest cells. The FAISS-style alternative scale path to
+    * hyperplane LSH: cells adapt to the data distribution, and the
+    * cell id is the natural partition/bucketing key for the stored
+    * corpus (probing = partition pruning).
+    *
+    * Training runs driver-side on a bounded hash-ordered sample
+    * ([[trainCentroids]]) and the result is shipped to executors as a
+    * literal; assignment is a single codegen'd kernel pass over the
+    * corpus. */
+  def ivfTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      probeIdCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      sampleSize: Int = 2048,
+      iters: Int = 5): DataFrame =
+    ivfTopKImpl(corpus, probes, vecCol, idCol, probeIdCol, k, nCells,
+      nProbe, sampleSize, iters, hashOrdered = true)
+
+  private[graft] def ivfTopKImpl(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      probeIdCol: String,
+      k: Int,
+      nCells: Int,
+      nProbe: Int,
+      sampleSize: Int,
+      iters: Int,
+      hashOrdered: Boolean): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, idCol, nCells,
+      sampleSize, iters, hashOrdered)
+    val dim = centroids.head.length
     val centLit = lit(centroids.flatten)
 
     // --- assign corpus cells (one kernel pass; at rest this column is
     // the partitioning key) and explode probes to their nProbe cells
-    val cb = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val cb = corpus.select(asLongId(corpus, idCol, "id"),
+      col(vecCol).as("v"),
       Functional.nearestCell(col(vecCol), centLit, dim).as("cell"))
-    val pb = broadcast(probes.select(col(probeIdCol).as("probe_id"),
+    val pb = broadcast(probes.select(
+        asLongId(probes, probeIdCol, "probe_id"),
         col(vecCol).as("probe_vec"),
         explode(Functional.nearestCells(col(vecCol), centLit, dim, nProbe))
           .as("cell")))
@@ -104,9 +288,7 @@ object Similarity {
       .where(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
         Functional.cosineSim(col("v"), col("probe_vec")).as("cosine"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerProbe(scored, k, "ivfTopK")
   }
 
   /** LSH-bucketed ANN: only corpus rows whose hyperplane bucket matches
@@ -119,10 +301,12 @@ object Similarity {
       probeIdCol: String,
       k: Int = 10,
       bits: Int = 8): DataFrame = {
-    val cb = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val cb = corpus.select(asLongId(corpus, idCol, "id"),
+      col(vecCol).as("v"),
       Functional.hyperplaneLsh(col(vecCol), bits).as("bucket"))
     // probe explodes to its own bucket + all 1-bit-flip neighbors
-    val pb = broadcast(probes.select(col(probeIdCol).as("probe_id"),
+    val pb = broadcast(probes.select(
+        asLongId(probes, probeIdCol, "probe_id"),
         col(vecCol).as("probe_vec"),
         Functional.hyperplaneLsh(col(vecCol), bits).as("b0"))
       .select(col("probe_id"), col("probe_vec"),
@@ -134,8 +318,6 @@ object Similarity {
       .where(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
         Functional.cosineSim(col("v"), col("probe_vec")).as("cosine"))
-    val w = Window.partitionBy("probe_id")
-      .orderBy(col("cosine").desc, col("id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKPerProbe(scored, k, "lshTopK")
   }
 }
