@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.Functional
 import graft.operators.AsOfJoin
 import graft.streaming.EventsStream
 
@@ -197,7 +198,10 @@ object Queries3 {
     * computes a charged price with a JVM function (mapPartitions
     * underneath — batch-amortized, no shuffle); the oracle states the
     * same logic in SQL. Proves the closure path produces the exact
-    * values the declarative path would. */
+    * values the declarative path would. The dict form of map
+    * (Functional.mapDict, icolumn.py:420-518) rides the same gate:
+    * line numbers 1/2 map through a literal dict, the rest fall to the
+    * defaultdict default. */
   def q29UdfMap(s: SparkSession, dir: String): DataFrame = {
     import graft.frame.TFrame
     val li = TFrame(t(s, dir, "lineitem"))
@@ -216,13 +220,17 @@ object Queries3 {
           Seq[Any](ok.asInstanceOf[Long], ln.asInstanceOf[Int],
             price.asInstanceOf[Double] * (1.0 + tax.asInstanceOf[Double]))
       }
+      .withCol("line_band", Functional.mapDict($"l_linenumber",
+        Map(1 -> "first", 2 -> "second"), default = Some("rest")))
       .sort(Seq("l_orderkey", "l_linenumber"))
       .df
   }
 
   val q29Sql: String =
     """SELECT l_orderkey, l_linenumber,
-      |l_extendedprice * (1.0 + l_tax) AS charged
+      |l_extendedprice * (1.0 + l_tax) AS charged,
+      |CASE l_linenumber WHEN 1 THEN 'first' WHEN 2 THEN 'second'
+      |  ELSE 'rest' END AS line_band
       |FROM lineitem WHERE l_quantity >= 30.0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 

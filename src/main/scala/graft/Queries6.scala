@@ -776,6 +776,40 @@ object Queries6 {
 
   val q103Sql: String = q102Sql
 
+  // ---- frame-level broadcast arithmetic --------------------------------
+
+  /** Frame-level operator lifting at the gate (frame/TFrameArith.scala —
+    * the reference's DataFrame op surface, dataframe_cpu.py:624-1490):
+    * a scalar chain `(df * 2).radd(1)` over a 4-column numeric
+    * projection of lineitem, a POSITIONAL frame-frame `+` against the
+    * original frame, then int-width-preserving floordiv and the
+    * always-float truediv. Result dtypes follow the reference promotion
+    * — l_linenumber stays int32 through the int ops, int/int truediv
+    * lands float32 — which the oracle mirrors with explicit casts; the
+    * double columns mirror the exact IEEE op order ((1 + 2x) + x).
+    * Both zip sides sort on the unique (l_orderkey, l_linenumber) key,
+    * making the positional alignment deterministic. */
+  def q104FrameArith(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .orderBy($"l_orderkey", $"l_linenumber")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_extendedprice")
+    val a = graft.frame.TFrame(base)
+    val out = ((a * 2L).radd(1L) + a).floordiv(7L) / 2L
+    out.df.orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q104Sql: String =
+    """SELECT
+      |  CAST((((1 + 2*l_orderkey) + l_orderkey) // 7) / 2 AS REAL)
+      |    AS l_orderkey,
+      |  CAST((((1 + 2*l_linenumber) + l_linenumber) // 7) / 2 AS REAL)
+      |    AS l_linenumber,
+      |  FLOOR(((1 + 2*l_quantity) + l_quantity) / 7) / 2 AS l_quantity,
+      |  FLOOR(((1 + 2*l_extendedprice) + l_extendedprice) / 7) / 2
+      |    AS l_extendedprice
+      |FROM lineitem ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -794,7 +828,8 @@ object Queries6 {
     "q99_salted_join" -> (q99SaltedJoin _),
     "q101_build_vocab" -> (q101BuildVocab _),
     "q102_jsonl_roundtrip" -> (q102JsonlRoundtrip _),
-    "q103_csv_roundtrip" -> (q103CsvRoundtrip _)
+    "q103_csv_roundtrip" -> (q103CsvRoundtrip _),
+    "q104_frame_arith" -> (q104FrameArith _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -811,6 +846,7 @@ object Queries6 {
     "q99_salted_join" -> q99Sql,
     "q101_build_vocab" -> q101Sql,
     "q102_jsonl_roundtrip" -> q102Sql,
-    "q103_csv_roundtrip" -> q103Sql
+    "q103_csv_roundtrip" -> q103Sql,
+    "q104_frame_arith" -> q104Sql
   )
 }

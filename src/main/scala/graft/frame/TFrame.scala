@@ -15,7 +15,7 @@ import graft.types.Dtype
   * reproduces the reference's API shape and semantics (column-name
   * conventions, na_position, keep='first', agg result naming).
   */
-final case class TFrame(df: DataFrame) {
+final case class TFrame(df: DataFrame) extends TFrameArith {
 
   def columns: Seq[String] = df.columns.toSeq
   def dtype: Dtype = Dtype.fromSpark(df.schema)

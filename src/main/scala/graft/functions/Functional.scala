@@ -1,5 +1,7 @@
 package graft.functions
 
+import scala.reflect.runtime.universe.TypeTag
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.Shim
@@ -274,6 +276,28 @@ object Functional {
     * result type = LUB (Catalyst coercion). */
   def ifElse(cond: Column, a: Column, b: Column): Column =
     when(cond.isNull, lit(null)).when(cond, a).otherwise(b)
+
+  /** The dict form of the reference's `col.map(arg, na_action)`
+    * (icolumn.py:420-518; pinned examples :456-476): values without a
+    * dict entry become null; `default` (the defaultdict analog) fills
+    * both non-mapped values AND null inputs; naAction="ignore" keeps
+    * null inputs null without consulting the dict (so they dodge the
+    * default too). One literal map + element_at — codegen'd, no UDF;
+    * the map ships in the plan like the reference's closed-over dict. */
+  def mapDict[K: TypeTag, V: TypeTag](
+      c: Column,
+      dict: Map[K, V],
+      default: Option[V] = None,
+      naAction: Option[String] = None): Column = {
+    require(dict.nonEmpty, "mapDict: empty dict")
+    require(naAction.forall(_ == "ignore"),
+      s"mapDict: na_action must be None or 'ignore', got $naAction")
+    val looked = element_at(typedLit(dict), c)
+    val mapped = default.fold(looked)(d => coalesce(looked, typedLit(d)))
+    if (naAction.contains("ignore"))
+      when(c.isNull, lit(null)).otherwise(mapped)
+    else mapped
+  }
 
   /** Fixed-size list constraint (dtypes_core.py:218): Spark has no
     * fixed-size arrays; this check fails the job on violation, the

@@ -103,6 +103,26 @@ class NamespacesSpec extends SparkSpec {
     assert(col0(df.select(col("a").arith.powInt(col("b")))) === Seq(1024L))
   }
 
+  test("mapDict pins the reference's dict-map examples " +
+      "(icolumn.py:456-476)") {
+    import graft.functions.Functional
+    val df = Seq[java.lang.Long](1L, 2L, null, 4L).toDF("x")
+    def got(c: org.apache.spark.sql.Column): Seq[Any] = col0(df.select(c))
+    // plain dict: non-mapped and null -> null
+    assert(got(Functional.mapDict(col("x"), Map(1L -> 111L))) ===
+      Seq(111L, null, null, null))
+    // defaultdict: default fills non-mapped AND null inputs
+    assert(got(Functional.mapDict(col("x"), Map(1L -> 111L),
+      default = Some(-1L))) === Seq(111L, -1L, -1L, -1L))
+    // na_action='ignore': null dodges the dict and the default
+    assert(got(Functional.mapDict(col("x"), Map(1L -> 111L),
+      default = Some(-1L), naAction = Some("ignore"))) ===
+      Seq(111L, -1L, null, -1L))
+    // value-type change (map to strings)
+    assert(got(Functional.mapDict(col("x"), Map(1L -> "one", 4L -> "four"))) ===
+      Seq("one", null, null, "four"))
+  }
+
   test("promotion lattice (dtypes.py:356-378)") {
     assert(Dtype.promote(TInt8(), TInt64()) === Some(TInt64()))
     assert(Dtype.promote(TInt64(), TFloat32()) === Some(TFloat32()))
