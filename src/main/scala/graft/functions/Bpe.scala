@@ -117,6 +117,59 @@ final class BpeEncoder(
     tokenize(text).map(t => vocab.getOrElse(t, unkId))
 }
 
+object BpeEncoder {
+
+  /** Parse the published GPT-2 `encoder.json`: a flat token→id JSON
+    * object whose keys live in the byte→unicode space (the format the
+    * reference loads, gpt2_bpe_tokenizer.cpp via lib.cpp:1025-1052 /
+    * torchtext transforms.py:287-300). Jackson ships on the Spark
+    * classpath. */
+  def parseEncoderJson(json: String): Map[String, Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    require(node.isObject, "encoder.json: expected a flat JSON object")
+    val names = node.fieldNames()
+    val b = Map.newBuilder[String, Long]
+    while (names.hasNext) {
+      val n = names.next()
+      val v = node.get(n)
+      require(v.isIntegralNumber, s"encoder.json: non-integer id for '$n'")
+      b += n -> v.asLong()
+    }
+    b.result()
+  }
+
+  /** Parse the published `vocab.bpe` merge list: an optional
+    * `#version` header line, then one "left right" merge per line;
+    * rank = position. (The reference skips the first and trailing-empty
+    * lines the same way, transforms.py:294-298.) */
+  def parseMerges(text: String): Map[(String, String), Int] = {
+    val lines = text.split("\n", -1).toSeq
+    val body =
+      if (lines.headOption.exists(_.startsWith("#version"))) lines.tail
+      else lines
+    body.filter(_.nonEmpty).zipWithIndex.map { case (line, i) =>
+      val parts = line.split(" ")
+      require(parts.length == 2,
+        s"vocab.bpe: expected 'left right' at merge $i, got '$line'")
+      ((parts(0), parts(1)), i)
+    }.toMap
+  }
+
+  /** Construct a byte-level encoder from the actual GPT-2 encoder
+    * files — the reference's own load path, so a user holding
+    * `encoder.json`/`vocab.bpe` needs no hand-parsing. */
+  def fromFiles(encoderJsonPath: String, vocabBpePath: String,
+      unkId: Long = -1L): BpeEncoder = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.{Files, Paths}
+    val vocab = parseEncoderJson(
+      new String(Files.readAllBytes(Paths.get(encoderJsonPath)), UTF_8))
+    val merges = parseMerges(
+      new String(Files.readAllBytes(Paths.get(vocabBpePath)), UTF_8))
+    new BpeEncoder(merges, vocab, unkId, byteLevel = true)
+  }
+}
+
 object Bpe {
   /** Column function: text → array<bigint> of BPE token ids. The encoder
     * is closed over once and shipped with the task closure (one

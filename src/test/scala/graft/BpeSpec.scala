@@ -51,6 +51,40 @@ class BpeSpec extends SparkSpec {
     assert(enc.bpe(" ").head.head.toInt >= 256)
   }
 
+  test("encoder-file parsers handle header, escapes and ranks") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import java.nio.file.Files
+    // Ġ is the byte->unicode image of space — the escape style the
+    // real encoder.json uses throughout
+    val encJson = """{"h": 1, "i": 2, "hi": 3, "Ġhi": 4}"""
+    val merges = "#version: 0.2\nh i\nĠ hi\n"
+    val dir = Files.createTempDirectory("bpe_assets")
+    val ej = dir.resolve("encoder.json")
+    val vb = dir.resolve("vocab.bpe")
+    Files.write(ej, encJson.getBytes(UTF_8))
+    Files.write(vb, merges.getBytes(UTF_8))
+    assert(BpeEncoder.parseEncoderJson(encJson) ===
+      Map("h" -> 1L, "i" -> 2L, "hi" -> 3L, "Ġhi" -> 4L))
+    assert(BpeEncoder.parseMerges(merges) ===
+      Map(("h", "i") -> 0, ("Ġ", "hi") -> 1))
+    val enc = BpeEncoder.fromFiles(ej.toString, vb.toString)
+    // byte level: "hi hi" -> [hi, Ġhi] -> ids [3, 4]
+    assert(enc.encode("hi hi") === Seq(3L, 4L))
+  }
+
+  test("real GPT-2 encoder files reproduce the reference's pinned ids " +
+      "(test_text_ops.py:87-94)") {
+    val assets = "/root/reference/torcharrow/test/asset"
+    assume(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$assets/gpt2_bpe_encoder.json")))
+    val enc = BpeEncoder.fromFiles(s"$assets/gpt2_bpe_encoder.json",
+      s"$assets/gpt2_bpe_vocab.bpe")
+    assert(enc.encode("Hello World!, how are you?") ===
+      Seq(15496L, 2159L, 28265L, 703L, 389L, 345L, 30L))
+    assert(enc.encode("Respublica superiorem") ===
+      Seq(4965L, 11377L, 64L, 2208L, 72L, 29625L))
+  }
+
   test("bpe_tokenize as a Column function on a DataFrame") {
     val enc = new BpeEncoder(
       mergeRanks = Map(("h", "i") -> 0),
