@@ -49,7 +49,7 @@ class TextPipelineSpec extends SparkSpec {
   }
 
   test("connectedComponents handles a long chain within maxIter") {
-    // path 0-1-2-...-9: diameter 9 needs several propagation rounds
+    // path 0-1-2-...-9: diameter 9 needs several star rounds
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val got = Dedup.connectedComponents(pairs, maxIter = 20)
       .agg(count(lit(1)), countDistinct(col("component")),
@@ -57,11 +57,56 @@ class TextPipelineSpec extends SparkSpec {
     assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((10L, 1L, 0L)))
   }
 
+  test("large-star/small-star: a 10k-node path (worst diameter) " +
+      "converges in O(log² n) star rounds, not O(n)") {
+    val n = 10000L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val (labels, rounds) = Dedup.connectedComponentsWithStats(pairs,
+      maxIter = 40)
+    val got = labels.agg(count(lit(1)), countDistinct(col("component")),
+      min(col("component")), max(col("id"))).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) === ((n, 1L, 0L, n - 1)))
+    // min-label propagation would need ~10000 rounds here; the star
+    // alternation is doubly-logarithmic-ish in practice
+    assert(rounds <= 25, s"took $rounds star rounds")
+    info(s"10k path converged in $rounds star rounds")
+  }
+
   test("connectedComponents raises rather than emit partial components") {
-    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // 4096-node path: cannot possibly star-converge in 2 rounds
+    val pairs = spark.range(4095L)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
     intercept[IllegalStateException] {
       Dedup.connectedComponents(pairs, maxIter = 2).collect()
     }
+  }
+
+  test("star CC agrees with brute-force labels on a random graph") {
+    // 300 nodes, ~200 random edges (fixed seed): compare against a
+    // driver-side union-find ground truth
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(200)((rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(300)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r)
+      var c = x; while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }; r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = es.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      .map(id => id -> {
+        // component min = min node id sharing the root
+        val r = find(id.toInt)
+        es.flatMap { case (a, b) => Seq(a, b) }.distinct
+          .filter(x => find(x.toInt) == r).min
+      })
+    val got = Dedup.connectedComponents(es.toDF("id_a", "id_b"))
+      .orderBy("id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got === want)
   }
 
   test("buildVocab ranks by count desc then term asc with minFreq") {
