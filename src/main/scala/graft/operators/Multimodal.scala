@@ -8,13 +8,14 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: media as opaque `binary` columns with
   * typed metadata, decoded/feature-extracted in distributed batch UDFs.
   *
-  * The decode step is a STUB — this container has no image/audio codec
-  * libraries — implemented as a deterministic fake keyed off the blob
-  * bytes, clearly marked below. Everything around it (schema, batched
-  * partition-wise execution, output encoding, partitioning behavior) is
-  * the real 100 TB-scale plumbing: `mapPartitions` processes whole
-  * partitions without per-row UDF overhead and without shuffling, and
-  * the metadata struct is a first-class Catalyst column usable in
+  * Header decode is REAL for PNG and JPEG (pure-JVM spec-level parsers,
+  * [[Multimodal.decodeHeader]]; pinned against javax.imageio-encoded
+  * fixture bytes in OperatorsSpec); full pixel decode / feature
+  * extraction would plug a codec library into the same mapPartitions
+  * slot. Unknown formats fall to a clearly-marked deterministic stub.
+  * The pipeline shape is the 100 TB design: `mapPartitions` processes
+  * whole partitions without per-row UDF overhead and without shuffling,
+  * and the metadata struct is a first-class Catalyst column usable in
   * pushed-down filters downstream.
   */
 object Multimodal {

@@ -243,6 +243,33 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(stuffed) === ("jpeg", 0, 0, 0))
   }
 
+  test("real codec-produced bytes: javax.imageio PNG and JPEG output " +
+      "parses to the encoded dimensions") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def encode(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer available")
+      bos.toByteArray
+    }
+    // PNG truecolor 37x21 (TYPE_INT_RGB encodes as color type 2 -> 3ch)
+    val rgb = new BufferedImage(37, 21, BufferedImage.TYPE_INT_RGB)
+    rgb.setRGB(5, 5, 0xff8800)
+    assert(Multimodal.decodeHeader(encode(rgb, "png")) === ("png", 37, 21, 3))
+    // PNG grey+alpha is written with an alpha channel (type 6 -> 4ch)
+    val argb = new BufferedImage(16, 64, BufferedImage.TYPE_INT_ARGB)
+    assert(Multimodal.decodeHeader(encode(argb, "png")) ===
+      ("png", 16, 64, 4))
+    // baseline JPEG 80x60, 3 components; real encoders emit JFIF APP0 +
+    // quant/huffman tables before the SOF0 the scan must reach
+    val jpgImg = new BufferedImage(80, 60, BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.decodeHeader(encode(jpgImg, "jpg")) ===
+      ("jpeg", 80, 60, 3))
+    // greyscale JPEG: 1 component
+    val grey = new BufferedImage(9, 7, BufferedImage.TYPE_BYTE_GRAY)
+    assert(Multimodal.decodeHeader(encode(grey, "jpg")) === ("jpeg", 9, 7, 1))
+  }
+
   test("frame sampling emits n rows per blob") {
     val df = Seq((1L, "x")).toDF("id", "text")
     val out = Multimodal.sampleFrames(
