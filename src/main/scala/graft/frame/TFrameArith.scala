@@ -143,24 +143,33 @@ trait TFrameArith { self: TFrame =>
   /** Positional column zip: self columns keep their names, `other`'s
     * land as __r_0..__r_n in field order. Row i of self meets row i of
     * other — enforced length equality (a mismatch raises inside the
-    * one fused pass, no extra count jobs). */
+    * join pass, no extra count jobs). Only the index assignment runs
+    * on the RDD (zipWithIndex — the one positional primitive Spark
+    * has); the join itself is a DataFrame full-outer on the index so
+    * the shuffle stays in Tungsten instead of Java-serializing rows. */
   private[frame] def zipFrames(other: TFrame): DataFrame = {
     require(columns.length == other.columns.length,
       s"frame op: column counts differ (${columns.length} vs " +
         s"${other.columns.length})")
-    val rightFields = other.df.schema.fields.zipWithIndex.map {
-      case (f, i) => f.copy(name = s"__r_$i")
+    def indexed(d: DataFrame, rename: Int => Option[String]): DataFrame = {
+      val fields = StructField("__idx", LongType, nullable = false) +:
+        d.schema.fields.zipWithIndex.map { case (f, i) =>
+          rename(i).map(n => f.copy(name = n)).getOrElse(f)
+        }
+      d.sparkSession.createDataFrame(
+        d.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(i +: r.toSeq) },
+        StructType(fields))
     }
-    val combined = StructType(df.schema.fields ++ rightFields)
-    val zipped = df.rdd.zipWithIndex().map(_.swap)
-      .fullOuterJoin(other.df.rdd.zipWithIndex().map(_.swap))
-      .map {
-        case (_, (Some(a), Some(b))) => Row.fromSeq(a.toSeq ++ b.toSeq)
-        case (i, _) => throw new IllegalArgumentException(
-          s"frame op: frames have different lengths (row $i unmatched) — " +
-            "the reference asserts len(self) == len(other)")
-      }
-    df.sparkSession.createDataFrame(zipped, combined)
+    val l = indexed(df, _ => None).withColumn("__lm", lit(true))
+    val r = indexed(other.df, i => Some(s"__r_$i"))
+      .withColumn("__rm", lit(true))
+    l.join(r, Seq("__idx"), "full_outer")
+      .withColumn("__chk",
+        when(col("__lm").isNull || col("__rm").isNull, raise_error(lit(
+          "frame op: frames have different lengths — the reference " +
+            "asserts len(self) == len(other)"))).otherwise(lit(true)))
+      .where(col("__chk"))
+      .drop("__idx", "__lm", "__rm", "__chk")
   }
 
   private def liftFrame(op: String, other: TFrame): TFrame = {
