@@ -810,6 +810,24 @@ object Queries6 {
       |    AS l_extendedprice
       |FROM lineitem ORDER BY 1, 2""".stripMargin
 
+  // ---- stream-stream interval join --------------------------------------
+
+  /** Stream-stream interval join at the gate
+    * (EventsStream.streamStreamJoin): clicks × same-user purchases
+    * within the following hour, both sides real watermarked streams;
+    * oracle = the batch inequality join in µs. */
+  def q105StreamStreamJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.streamStreamJoin(s, dir)
+
+  val q105Sql: String =
+    """SELECT c.event_id AS c_id, p.event_id AS p_id
+      |FROM events c JOIN events p
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      |ORDER BY c_id, p_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -829,7 +847,8 @@ object Queries6 {
     "q101_build_vocab" -> (q101BuildVocab _),
     "q102_jsonl_roundtrip" -> (q102JsonlRoundtrip _),
     "q103_csv_roundtrip" -> (q103CsvRoundtrip _),
-    "q104_frame_arith" -> (q104FrameArith _)
+    "q104_frame_arith" -> (q104FrameArith _),
+    "q105_stream_stream_join" -> (q105StreamStreamJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -847,6 +866,7 @@ object Queries6 {
     "q101_build_vocab" -> q101Sql,
     "q102_jsonl_roundtrip" -> q102Sql,
     "q103_csv_roundtrip" -> q103Sql,
-    "q104_frame_arith" -> q104Sql
+    "q104_frame_arith" -> q104Sql,
+    "q105_stream_stream_join" -> q105Sql
   )
 }

@@ -162,6 +162,44 @@ object EventsStream {
     spark.table(name).orderBy("c_mktsegment")
   }
 
+  /** Stream-stream interval join — the remaining Structured Streaming
+    * join shape beside [[streamStaticJoin]]: each click joined to the
+    * same user's purchases within the following hour, BOTH sides
+    * unbounded streams. Watermarks on both event-time columns plus the
+    * time-range join condition are what make this runnable on an
+    * unbounded stream: they bound how long each side's rows are held
+    * in join state (a click can be dropped once the purchase-side
+    * watermark passes click_time + 1 h, and vice versa). Inner-join
+    * results stream out in append mode as soon as both sides arrive;
+    * the single-file micro-batch here emits the complete pair set, so
+    * the batch SQL inequality join is an exact oracle. */
+  def streamStreamJoin(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val name = s"graft_ss2_${System.nanoTime()}"
+    def side(tp: String, pfx: String): DataFrame =
+      eventsStream(spark, dir)
+        .where(col("event_type") === tp)
+        .select(col("event_id").as(s"${pfx}_id"),
+          col("user_id").as(s"${pfx}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+        .withWatermark(s"${pfx}_time", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("c_id"), col("p_id"))
+      .orderBy("c_id", "p_id")
+  }
+
   /** Stateful sessionization through mapGroupsWithState — the custom-
     * state operator shape. The same function runs under batch (one
     * invocation per key, as here) and under readStream (incremental
