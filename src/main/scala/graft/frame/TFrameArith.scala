@@ -151,6 +151,14 @@ trait TFrameArith { self: TFrame =>
     require(columns.length == other.columns.length,
       s"frame op: column counts differ (${columns.length} vs " +
         s"${other.columns.length})")
+    // same guard class as saltedJoin's __salt check: the zip plumbing
+    // owns the __idx/__lm/__rm/__r_i names — a caller column with one
+    // of them would be silently shadowed in the join
+    val reserved = columns.filter(n => n == "__idx" || n == "__lm" ||
+      n == "__rm" || n == "__chk" || n.matches("__r_\\d+"))
+    require(reserved.isEmpty,
+      s"frame op: input columns $reserved collide with zip-internal " +
+        "names (__idx/__lm/__rm/__chk/__r_N); rename them first")
     def indexed(d: DataFrame, rename: Int => Option[String]): DataFrame = {
       val fields = StructField("__idx", LongType, nullable = false) +:
         d.schema.fields.zipWithIndex.map { case (f, i) =>

@@ -115,6 +115,12 @@ class TFrameArithSpec extends SparkSpec {
     assert(err.getMessage.contains("'s'"))
   }
 
+  test("zip-internal column names are rejected, not shadowed") {
+    val bad = TFrame(Seq(1L).toDF("__idx"))
+    val err = intercept[IllegalArgumentException] { bad + bad }
+    assert(err.getMessage.contains("__idx"))
+  }
+
   test("frame-frame length mismatch raises (the reference asserts len)") {
     val short = TFrame(Seq(1L, 2L).toDF("a"))
     val err = intercept[Exception] { longs(c + short) }
