@@ -54,7 +54,16 @@ trait TFrameArith { self: TFrame =>
   def rmod(v: Any): TFrame = liftScalar("mod", v, colLeft = false)
   def rpow(v: Any): TFrame = liftScalar("pow", v, colLeft = false)
 
+  /** Per-column negation. Non-numeric columns raise like every other
+    * frame op (the reference's velox neg has no bool/string kernel and
+    * no Python fallback for unary ops) — without the check Spark would
+    * implicitly cast a string column to double and hand back silently
+    * corrupted strings. */
   def unary_- : TFrame = TFrame(df.select(columns.map { n =>
+    val d = fieldDtype(df, n)
+    if (!Dtype.isNumerical(d))
+      throw new IllegalArgumentException(
+        s"frame neg: column '$n' ($d) does not support arithmetic")
     (-df(n)).cast(df.schema(n).dataType).as(n)
   }: _*))
 
@@ -98,10 +107,26 @@ trait TFrameArith { self: TFrame =>
       s"frame $op: column '$name' ($colD) does not support arithmetic " +
         s"with $otherD"))
     val bothInt = isIntLike(dl) && isIntLike(dr)
-    // bool columns participate via the lattice (bool < int8): compute on
-    // the promoted type, like Python's True + 1
-    val lc = if (dl.isInstanceOf[TBoolean]) l.cast(promoted.spark) else l
-    val rc = if (dr.isInstanceOf[TBoolean]) r.cast(promoted.spark) else r
+    // bool-bool ops (and any bool-column-vs-scalar op) bypass velox in
+    // the reference and run the plain Python operator
+    // (numerical_column_cpu.py:261-277 should_use_py_impl): compute on
+    // int64 like Python ints, then coerce the result back through the
+    // promoted dtype — for bool-bool that target is boolean, and the
+    // reference's FromPySequence converts nonzero ints to True
+    // (test_numerical_column.py:816-819), which is exactly Spark's
+    // long→boolean cast. truediv under the fallback is special-cased
+    // below: always float64, divisor 0 → null
+    // (inumerical_column.py:448-459).
+    val bothBool = dl.isInstanceOf[TBoolean] && dr.isInstanceOf[TBoolean]
+    val pyFallback = bothBool || (scalar && colD.isInstanceOf[TBoolean])
+    val computeT = if (bothBool) LongType else promoted.spark
+    val lc = if (dl.isInstanceOf[TBoolean]) l.cast(computeT) else l
+    val rc = if (dr.isInstanceOf[TBoolean]) r.cast(computeT) else r
+    if (op == "truediv" && pyFallback) {
+      return when(rc.cast(DoubleType) === 0.0, lit(null))
+        .otherwise(lc.cast(DoubleType) / rc.cast(DoubleType))
+        .cast(graft.types.TFloat64(true).spark).as(name)
+    }
     val out = op match {
       case "add" => lc + rc
       case "sub" => lc - rc
@@ -137,8 +162,31 @@ trait TFrameArith { self: TFrame =>
     }: _*))
   }
 
-  private def liftScalarCmp(v: Any)(cmp: (Column, Column) => Column): TFrame =
-    TFrame(df.select(columns.map(n => cmp(df(n), lit(v)).as(n)): _*))
+  /** Comparison operand validation: numeric/bool pairs compare on
+    * their promoted type, strings compare with strings; anything else
+    * raises like the reference's TypeError — without the check Spark's
+    * implicit string→numeric cast turns a mismatched comparison into
+    * an all-NULL column instead of the documented all-boolean frame. */
+  private def cmpOperands(l: Column, r: Column, dl: Dtype, dr: Dtype,
+      name: String): (Column, Column) = {
+    val bothStr = dl.isInstanceOf[graft.types.TStringT] &&
+      dr.isInstanceOf[graft.types.TStringT]
+    if (bothStr) (l, r)
+    else {
+      val promoted = Dtype.promote(dl, dr).getOrElse(
+        throw new IllegalArgumentException(
+          s"frame cmp: column '$name' ($dl) is not comparable with $dr"))
+      (l.cast(promoted.spark), r.cast(promoted.spark))
+    }
+  }
+
+  private def liftScalarCmp(v: Any)(cmp: (Column, Column) => Column): TFrame = {
+    val ds = Dtype.inferFromValue(v)
+    TFrame(df.select(columns.map { n =>
+      val (l, r) = cmpOperands(df(n), lit(v), fieldDtype(df, n), ds, n)
+      cmp(l, r).as(n)
+    }: _*))
+  }
 
   /** Positional column zip: self columns keep their names, `other`'s
     * land as __r_0..__r_n in field order. Row i of self meets row i of
@@ -193,7 +241,9 @@ trait TFrameArith { self: TFrame =>
       cmp: (Column, Column) => Column): TFrame = {
     val z = zipFrames(other)
     TFrame(z.select(columns.zipWithIndex.map { case (n, i) =>
-      cmp(z(n), z(s"__r_$i")).as(n)
+      val (l, r) = cmpOperands(z(n), z(s"__r_$i"),
+        fieldDtype(df, n), fieldDtype(other.df, other.columns(i)), n)
+      cmp(l, r).as(n)
     }: _*))
   }
 }

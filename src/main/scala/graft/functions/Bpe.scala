@@ -138,16 +138,18 @@ object BpeEncoder {
     b.result()
   }
 
-  /** Parse the published `vocab.bpe` merge list: an optional
-    * `#version` header line, then one "left right" merge per line;
-    * rank = position. (The reference skips the first and trailing-empty
-    * lines the same way, transforms.py:294-298.) */
+  /** Parse the published `vocab.bpe` merge list: the `#version` header
+    * line (dropped unconditionally — the reference's own load does
+    * `split("\n")[1:-1]`, test/transformation/test_text_ops.py:72),
+    * then one "left right" merge per line; rank = position. Splits on
+    * `\r?\n` so a CRLF checkout (git autocrlf, Windows download)
+    * parses identically — a trailing `\r` on every right-hand token
+    * would otherwise silently kill every merge and degrade encode() to
+    * single-byte tokens. */
   def parseMerges(text: String): Map[(String, String), Int] = {
-    val lines = text.split("\n", -1).toSeq
-    val body =
-      if (lines.headOption.exists(_.startsWith("#version"))) lines.tail
-      else lines
-    body.filter(_.nonEmpty).zipWithIndex.map { case (line, i) =>
+    val lines = text.split("\r?\n", -1).toSeq
+    require(lines.nonEmpty, "vocab.bpe: empty file")
+    lines.tail.filter(_.nonEmpty).zipWithIndex.map { case (line, i) =>
       val parts = line.split(" ")
       require(parts.length == 2,
         s"vocab.bpe: expected 'left right' at merge $i, got '$line'")

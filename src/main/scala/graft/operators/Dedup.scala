@@ -323,10 +323,22 @@ object Dedup {
         s"connectedComponents did not converge in $maxIter star rounds")
     // at the star fixpoint every node's min neighbor (or itself) IS the
     // component minimum
-    val labels = sym(edges)
+    val starLabels = sym(edges)
       .groupBy(col("u"))
       .agg(least(min(col("v")), col("u")).as("component"))
       .select(col("u").as("id"), col("component"))
+    // a node whose only edges were self-loops vanished with the a=!=b
+    // canonicalization filter — the contract is a label row for EVERY
+    // id in the pair graph (resolveKeepBest would otherwise silently
+    // drop such documents from the keep/drop decision), so restore
+    // them as their own singleton component. Pair-graph-sized distinct
+    // + left join, never corpus-sized.
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionByName(pairs.select(col("id_b").as("id")))
+      .distinct()
+    val labels = nodes.join(starLabels, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
     (labels, iter)
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.aggregate.{ObjectHashAggregateExec, SortAggregateExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -13,31 +13,41 @@ import org.apache.spark.sql.types._
 import graft.functions.Functional
 
 /** Bounded-size top-k buffer: a binary min-heap under the "goodness"
-  * order (cosine desc, id asc), so the root is always the WEAKEST kept
-  * element and a stronger candidate replaces it in O(log k). Arrays are
-  * fixed at k so the serialized partial is k-bounded regardless of how
-  * many rows a partition scored. */
+  * order (cosine desc NULLS LAST, id asc), so the root is always the
+  * WEAKEST kept element and a stronger candidate replaces it in
+  * O(log k). Arrays are fixed at k so the serialized partial is
+  * k-bounded regardless of how many rows a partition scored. A null
+  * score is tracked explicitly (`nulls`) and ranks below every real
+  * score — the ordering of the descending sort this buffer replaces,
+  * so a probe with fewer than k non-null candidates still fills its
+  * ranks with the null-scored rows exactly like the WindowExec did. */
 case class TopKBuf(
-    var size: Int, ids: Array[Long], scores: Array[Double]) {
+    var size: Int, ids: Array[Long], scores: Array[Double],
+    nulls: Array[Boolean]) {
 
   /** true when (s1,id1) is strictly weaker than (s2,id2) under
-    * (cosine desc, id asc); NaN compares greatest (java.lang.Double
-    * total order — matches Spark's descending sort, which is what the
-    * WindowExec this replaces used). */
-  private def weaker(s1: Double, id1: Long, s2: Double, id2: Long): Boolean = {
-    val c = java.lang.Double.compare(s1, s2)
-    c < 0 || (c == 0 && id1 > id2)
+    * (cosine desc nulls-last, id asc); NaN compares greatest
+    * (java.lang.Double total order — matches Spark's descending sort,
+    * which is what the WindowExec this replaces used). */
+  private def weaker(s1: Double, n1: Boolean, id1: Long,
+      s2: Double, n2: Boolean, id2: Long): Boolean = {
+    if (n1 != n2) n1 // null is weaker than any real score
+    else {
+      val c = if (n1) 0 else java.lang.Double.compare(s1, s2)
+      c < 0 || (c == 0 && id1 > id2)
+    }
   }
 
   private def swap(i: Int, j: Int): Unit = {
     val ti = ids(i); ids(i) = ids(j); ids(j) = ti
     val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    val tn = nulls(i); nulls(i) = nulls(j); nulls(j) = tn
   }
 
   private def siftUp(start: Int): Unit = {
     var i = start
-    while (i > 0 && weaker(scores(i), ids(i), scores((i - 1) / 2),
-        ids((i - 1) / 2))) {
+    while (i > 0 && weaker(scores(i), nulls(i), ids(i),
+        scores((i - 1) / 2), nulls((i - 1) / 2), ids((i - 1) / 2))) {
       swap(i, (i - 1) / 2); i = (i - 1) / 2
     }
   }
@@ -48,17 +58,21 @@ case class TopKBuf(
     while (!done) {
       val l = 2 * i + 1; val r = 2 * i + 2
       var m = i
-      if (l < size && weaker(scores(l), ids(l), scores(m), ids(m))) m = l
-      if (r < size && weaker(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (l < size && weaker(scores(l), nulls(l), ids(l),
+        scores(m), nulls(m), ids(m))) m = l
+      if (r < size && weaker(scores(r), nulls(r), ids(r),
+        scores(m), nulls(m), ids(m))) m = r
       if (m == i) done = true else { swap(i, m); i = m }
     }
   }
 
-  def insert(id: Long, score: Double): Unit =
+  def insert(id: Long, score: Double, isNull: Boolean): Unit =
     if (size < ids.length) {
-      ids(size) = id; scores(size) = score; size += 1; siftUp(size - 1)
-    } else if (ids.length > 0 && weaker(scores(0), ids(0), score, id)) {
-      ids(0) = id; scores(0) = score; siftDown()
+      ids(size) = id; scores(size) = score; nulls(size) = isNull
+      size += 1; siftUp(size - 1)
+    } else if (ids.length > 0 &&
+        weaker(scores(0), nulls(0), ids(0), score, isNull, id)) {
+      ids(0) = id; scores(0) = score; nulls(0) = isNull; siftDown()
     }
 }
 
@@ -69,37 +83,46 @@ case class TopKBuf(
   * reduces its partition to ≤k entries per probe, and only those
   * k-bounded partials shuffle, so the tail is constant-size per probe
   * no matter the corpus. Output is the top k as a sorted array
-  * (cosine desc, id asc — the exact WindowExec ordering, so ranks are
-  * bit-identical); null scores are skipped (desc sort placed them past
-  * any kept rank). */
+  * (cosine desc NULLS LAST, id asc — the exact WindowExec ordering, so
+  * ranks are bit-identical, including a probe with fewer than k
+  * non-null-scored candidates, whose remaining ranks carry the
+  * null-scored rows). */
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, java.lang.Double), TopKBuf,
-      Array[(Long, Double)]] {
+      Array[(Long, Option[Double])]] {
   require(k > 0, s"k=$k")
 
-  def zero: TopKBuf = TopKBuf(0, new Array[Long](k), new Array[Double](k))
+  def zero: TopKBuf = TopKBuf(0, new Array[Long](k), new Array[Double](k),
+    new Array[Boolean](k))
 
   def reduce(b: TopKBuf, in: (Long, java.lang.Double)): TopKBuf = {
-    if (in._2 != null) b.insert(in._1, in._2)
+    if (in._2 != null) b.insert(in._1, in._2, isNull = false)
+    else b.insert(in._1, 0.0, isNull = true)
     b
   }
 
   def merge(b1: TopKBuf, b2: TopKBuf): TopKBuf = {
     var i = 0
-    while (i < b2.size) { b1.insert(b2.ids(i), b2.scores(i)); i += 1 }
+    while (i < b2.size) {
+      b1.insert(b2.ids(i), b2.scores(i), b2.nulls(i)); i += 1
+    }
     b1
   }
 
-  def finish(b: TopKBuf): Array[(Long, Double)] =
-    (0 until b.size).map(i => (b.ids(i), b.scores(i))).sortWith {
-      case ((id1, s1), (id2, s2)) =>
-        val c = java.lang.Double.compare(s2, s1) // desc
-        c < 0 || (c == 0 && id1 < id2)
-    }.toArray
+  def finish(b: TopKBuf): Array[(Long, Option[Double])] =
+    (0 until b.size).map(i =>
+      (b.ids(i), b.scores(i), b.nulls(i))).sortWith {
+      case ((id1, s1, n1), (id2, s2, n2)) =>
+        if (n1 != n2) n2 // non-null before null
+        else {
+          val c = if (n1) 0 else java.lang.Double.compare(s2, s1) // desc
+          c < 0 || (c == 0 && id1 < id2)
+        }
+    }.map { case (id, s, n) => (id, if (n) None else Some(s)) }.toArray
 
   def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder[TopKBuf]()
-  def outputEncoder: Encoder[Array[(Long, Double)]] =
-    ExpressionEncoder[Array[(Long, Double)]]()
+  def outputEncoder: Encoder[Array[(Long, Option[Double])]] =
+    ExpressionEncoder[Array[(Long, Option[Double])]]()
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -117,11 +140,15 @@ class TopKAggregator(k: Int)
 object Similarity {
 
   /** Raises unless `df`'s physical plan computes top-k through the
-    * bounded partial-merging aggregate: at least one
-    * ObjectHashAggregate (the TypedImperativeAggregate host) and ZERO
-    * WindowExec — a window tail would re-shuffle every scored row into
-    * |probes| partitions, the straggler pattern this module exists to
-    * avoid. Same in-gate discipline as Bucketed.requireColocated. */
+    * bounded partial-merging aggregate: at least one aggregate exec
+    * hosting the TypedImperativeAggregate (ObjectHashAggregate
+    * normally; SortAggregate when
+    * spark.sql.execution.useObjectHashAggregateExec=false — both run
+    * the same partial-merging buffer, so both satisfy the invariant)
+    * and ZERO WindowExec — a window tail would re-shuffle every scored
+    * row into |probes| partitions, the straggler pattern this module
+    * exists to avoid. Same in-gate discipline as
+    * Bucketed.requireColocated. */
   def requireBoundedTopK(df: DataFrame, what: String): Unit = {
     def strip(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => strip(a.executedPlan)
@@ -129,11 +156,12 @@ object Similarity {
     }
     val ns = strip(df.queryExecution.executedPlan)
     val windows = ns.count(_.isInstanceOf[WindowExec])
-    val objAggs = ns.count(_.isInstanceOf[ObjectHashAggregateExec])
-    if (windows != 0 || objAggs == 0)
+    val aggs = ns.count(p => p.isInstanceOf[ObjectHashAggregateExec] ||
+      p.isInstanceOf[SortAggregateExec])
+    if (windows != 0 || aggs == 0)
       throw new IllegalStateException(
         s"$what: expected a bounded top-k aggregate (no WindowExec over " +
-          s"the scored set), found windows=$windows objAggs=$objAggs:\n" +
+          s"the scored set), found windows=$windows aggregates=$aggs:\n" +
           df.queryExecution.executedPlan.toString)
   }
 

@@ -72,6 +72,15 @@ class BpeSpec extends SparkSpec {
     assert(enc.encode("hi hi") === Seq(3L, 4L))
   }
 
+  test("a CRLF vocab.bpe parses identically to LF (git-autocrlf " +
+      "checkouts must not silently kill every merge)") {
+    val lf = "#version: 0.2\nh i\nĠ hi\n"
+    val crlf = lf.replace("\n", "\r\n")
+    assert(BpeEncoder.parseMerges(crlf) === BpeEncoder.parseMerges(lf))
+    assert(BpeEncoder.parseMerges(crlf) ===
+      Map(("h", "i") -> 0, ("Ġ", "hi") -> 1))
+  }
+
   test("real GPT-2 encoder files reproduce the reference's pinned ids " +
       "(test_text_ops.py:87-94)") {
     val assets = "/root/reference/torcharrow/test/asset"

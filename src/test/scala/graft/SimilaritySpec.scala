@@ -39,6 +39,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("null scores rank last but still fill ranks below k " +
+      "(WindowExec desc-nulls-last parity)") {
+    // 3 non-null-scored candidates + 4 null-vector candidates, k=6:
+    // the old window emitted ranks 4-6 with null cosine; the bounded
+    // aggregator must do the same instead of shrinking the output
+    val rows = Seq[(Long, Seq[Float])](
+      (1L, Seq(1.0f, 0.0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.5f, 0.5f)),
+      (4L, null), (5L, null), (6L, null), (7L, null))
+    val corpus = rows.toDF("vec_id", "embedding")
+    val probes = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(corpus, probes, "embedding",
+        "vec_id", "vec_id", k = 6)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("id"),
+        if (r.isNullAt(r.fieldIndex("cosine"))) null
+        else r.getAs[Double]("cosine"))).toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(got.take(3).forall(_._2 != null))
+    assert(got.drop(3).forall(_._2 == null))
+  }
+
   test("requireBoundedTopK rejects a window-tail plan") {
     val df = (0L until 10L).map(i => (i % 2, i, i * 0.1)).toDF(
       "probe_id", "id", "cosine")

@@ -133,4 +133,68 @@ class TFrameArithSpec extends SparkSpec {
     assert(out.df.schema.head.dataType === LongType)
     assert(longs(out) === Seq(2L, 1L))
   }
+
+  test("bool-bool ops run the Python fallback: int math coerced back " +
+      "to boolean (numerical_column_cpu.py:261-277)") {
+    val t = TFrame(Seq(true, true, false).toDF("a"))
+    val f = TFrame(Seq(true, false, false).toDF("a"))
+    // True+True=2 -> True, True+False=1 -> True, False+False=0 -> False
+    val sum = t + f
+    assert(sum.df.schema.head.dataType === BooleanType)
+    assert(bools(sum) === Seq(true, true, false))
+    // True-True=0 -> False; False-True=-1 -> True (nonzero coerces True)
+    assert(bools(t - f) === Seq(false, true, false))
+    assert(bools(TFrame(Seq(false).toDF("a")) -
+      TFrame(Seq(true).toDF("a"))) === Seq(true))
+    assert(bools(t * f) === Seq(true, false, false))
+    // pow: True**False = 1 -> True, False**False = 0**0 = 1 -> True,
+    // False**True = 0 -> False
+    assert(bools(t.pow(f)) === Seq(true, true, true))
+    assert(bools(f.pow(t)) === Seq(true, false, true))
+    // scalar form takes the same fallback
+    assert(bools(t + true) === Seq(true, true, true))
+    assert(bools(t * false) === Seq(false, false, false))
+  }
+
+  test("bool truediv is float64 with /0 -> null " +
+      "(inumerical_column.py:448-459)") {
+    val t = TFrame(Seq(true, true, false).toDF("a"))
+    val f = TFrame(Seq(true, false, true).toDF("a"))
+    val q = t / f
+    assert(q.df.schema.head.dataType === DoubleType)
+    val got = q.df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getDouble(0)).toSeq
+    assert(got === Seq(1.0, null, 0.0))
+    // bool / int scalar also falls back -> float64 (not the velox
+    // int/int float32 path)
+    assert((t / 2L).df.schema.head.dataType === DoubleType)
+    assert(doubles(t / 2L) === Seq(0.5, 0.5, 0.0))
+  }
+
+  test("neg rejects string and bool columns with a clean error") {
+    val s = TFrame(Seq((1L, "x")).toDF("i", "s"))
+    val err = intercept[IllegalArgumentException] { -s }
+    assert(err.getMessage.contains("'s'"))
+    val b = TFrame(Seq(true).toDF("a"))
+    val errB = intercept[IllegalArgumentException] { -b }
+    assert(errB.getMessage.contains("arithmetic"))
+  }
+
+  test("comparisons validate types: string vs numeric raises instead " +
+      "of an all-null column") {
+    val s = TFrame(Seq((1L, "x")).toDF("i", "s"))
+    val err = intercept[IllegalArgumentException] { s.gt(1L) }
+    assert(err.getMessage.contains("not comparable"))
+    // string vs string compares lexicographically
+    val t = TFrame(Seq("a", "c").toDF("s"))
+    assert(bools(t.lt("b")) === Seq(true, false))
+    // frame form validates positionally-zipped dtypes too
+    val errF = intercept[IllegalArgumentException] {
+      s.lt(TFrame(Seq((1L, 2L)).toDF("i", "j")))
+    }
+    assert(errF.getMessage.contains("not comparable"))
+    // bool vs int compares on the promoted type
+    val b = TFrame(Seq(true, false).toDF("a"))
+    assert(bools(b.gt(0L)) === Seq(true, false))
+  }
 }

@@ -48,6 +48,17 @@ class TextPipelineSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connectedComponents keeps self-loop-only nodes as singleton " +
+      "components (a label row for EVERY id in the pair graph)") {
+    // node 7's only edge is (7,7); node 2 has a self-loop AND a real
+    // edge — both must appear in the output
+    val pairs = Seq((7L, 7L), (2L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .orderBy("id").collect().toSeq
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("component")))
+    assert(got === Seq(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("connectedComponents handles a long chain within maxIter") {
     // path 0-1-2-...-9: diameter 9 needs several star rounds
     val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
