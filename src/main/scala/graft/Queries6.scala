@@ -828,6 +828,95 @@ object Queries6 {
       |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
       |ORDER BY c_id, p_id""".stripMargin
 
+  // ---- domain-mixture rebalancing --------------------------------------
+
+  /** Domain-mixture rebalancing (Sampling.mixToTarget): resample the
+    * corpus so language shares hit a target mix (en 50 / de 20 / fr 15 /
+    * es 10 / zh 5) at the largest total that oversamples no language —
+    * the data-mixture step of training-set assembly (the control knob
+    * behind Gopher/LLaMA-style source weighting). Fully oracled: DuckDB
+    * recomputes the per-language counts, the achievable total
+    * T = min(n/p), the per-language floor thresholds, and the
+    * splitmix64 buckets — the whole chain engine-portable, per the q83
+    * discipline. */
+  def q106MixToTarget(s: SparkSession, dir: String): DataFrame = {
+    val mixed = Sampling.mixToTarget(t(s, dir, "documents"), $"lang",
+      $"doc_id", Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.15,
+        "es" -> 0.1, "zh" -> 0.05), seed = 33L)
+    mixed.groupBy($"lang")
+      .agg(count(lit(1)).as("kept_n"), sum($"doc_id").as("kept_id_sum"))
+      .orderBy($"lang")
+  }
+
+  val q106Sql: String =
+    s"""WITH ${Queries5.bucketCtes("mx", 33L, "documents", "doc_id")},
+       |cnt AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |tgt AS (SELECT * FROM (VALUES
+       |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+       |  ('fr', CAST(0.15 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE)),
+       |  ('zh', CAST(0.05 AS DOUBLE))) AS t(lang, p)),
+       |tt AS (SELECT MIN(CAST(n AS DOUBLE) / p) AS t
+       |  FROM cnt JOIN tgt USING (lang)),
+       |thr AS (SELECT tgt.lang,
+       |  CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
+       |    p * tt.t / CAST(n AS DOUBLE)) * 8192) AS INTEGER) AS th
+       |  FROM cnt JOIN tgt USING (lang) CROSS JOIN tt),
+       |j AS (SELECT d.lang, d.doc_id, mxb.bucket
+       |  FROM documents d JOIN mxb ON d.doc_id = mxb.k)
+       |SELECT j.lang, COUNT(*) AS kept_n,
+       |  CAST(SUM(j.doc_id) AS BIGINT) AS kept_id_sum
+       |FROM j JOIN thr ON j.lang = thr.lang
+       |WHERE j.bucket < thr.th
+       |GROUP BY j.lang ORDER BY j.lang""".stripMargin
+
+  // ---- paragraph-level dedup (CCNet) -----------------------------------
+
+  /** Cross-corpus paragraph dedup (Dedup.dedupParagraphs — the CCNet
+    * §3 step): documents split into 8-word paragraphs, every repeated
+    * paragraph dropped except its first (doc_id, pos) occurrence, docs
+    * rebuilt from survivors. Fully oracled: DuckDB re-derives the
+    * paragraphs with identical list slicing, picks winners with a
+    * window over paragraph CONTENT (the hash-free formulation — a
+    * green row also witnesses xxhash64 collision-freedom on this
+    * corpus), and rebuilds kept_text with the same order. */
+  def q107ParaDedup(s: SparkSession, dir: String): DataFrame = {
+    val words = split(trim($"text"), "\\s+")
+    val nPara = ceil(size(words).cast(DoubleType) / 8.0).cast(IntegerType)
+    val paras = transform(
+      sequence(lit(0), greatest(nPara, lit(1)) - 1),
+      i => array_join(slice(words, i * 8 + 1, lit(8)), " "))
+    val pdf = t(s, dir, "documents").select($"doc_id", paras.as("paras"))
+    Dedup.dedupParagraphs(pdf, "doc_id", "paras")
+      .select($"id".as("doc_id"),
+        array_join($"kept", "\n").as("kept_text"),
+        $"n_kept".cast(LongType).as("n_kept"))
+      .orderBy($"doc_id")
+  }
+
+  val q107Sql: String =
+    raw"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+       |  FROM documents),
+       |p AS (
+       |  SELECT doc_id, i.i AS pos,
+       |    array_to_string(words[(i.i*8+1):(i.i*8+8)], ' ') AS para
+       |  FROM w, LATERAL (SELECT UNNEST(range(0,
+       |    CAST(ceil(len(words) / 8.0) AS BIGINT)))) AS i(i)),
+       |r AS (
+       |  SELECT doc_id, pos, para,
+       |    ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos)
+       |      AS rk
+       |  FROM p),
+       |k AS (
+       |  SELECT doc_id, string_agg(para, chr(10) ORDER BY pos)
+       |      AS kept_text,
+       |    COUNT(*) AS n_kept
+       |  FROM r WHERE rk = 1 GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(k.kept_text, '') AS kept_text,
+       |  COALESCE(k.n_kept, 0) AS n_kept
+       |FROM documents d LEFT JOIN k USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -848,7 +937,9 @@ object Queries6 {
     "q102_jsonl_roundtrip" -> (q102JsonlRoundtrip _),
     "q103_csv_roundtrip" -> (q103CsvRoundtrip _),
     "q104_frame_arith" -> (q104FrameArith _),
-    "q105_stream_stream_join" -> (q105StreamStreamJoin _)
+    "q105_stream_stream_join" -> (q105StreamStreamJoin _),
+    "q106_mix_to_target" -> (q106MixToTarget _),
+    "q107_para_dedup" -> (q107ParaDedup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -867,6 +958,8 @@ object Queries6 {
     "q102_jsonl_roundtrip" -> q102Sql,
     "q103_csv_roundtrip" -> q103Sql,
     "q104_frame_arith" -> q104Sql,
-    "q105_stream_stream_join" -> q105Sql
+    "q105_stream_stream_join" -> q105Sql,
+    "q106_mix_to_target" -> q106Sql,
+    "q107_para_dedup" -> q107Sql
   )
 }

@@ -50,6 +50,50 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** CCNet-style cross-corpus paragraph dedup (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2019 — §3 dedups paragraphs by hash across shards): drop
+    * every repeated paragraph, keeping its FIRST occurrence in
+    * (id, position) order, and rebuild each document from its
+    * surviving paragraphs. A document whose every paragraph occurred
+    * earlier comes back with an empty array (kept, not dropped — the
+    * caller's quality filter decides its fate, like CCNet).
+    *
+    * Input: (idCol integral, parasCol array<string>). Output:
+    * (id, kept array<string>, n_paras, n_kept). Paragraph identity is
+    * xxhash64 of the exact text (normalize upstream if desired); a
+    * 64-bit collision would merge two distinct paragraphs — the same
+    * accepted risk as [[exact]].
+    *
+    * Scale shape: only (hash, id, pos) triplets ever shuffle — the
+    * explode is row-local and the text column never moves. Winner
+    * selection is one min-struct aggregate (map-side partial, so a
+    * boilerplate paragraph repeated 10^9 times reduces per-partition
+    * first — no hot-key straggler). Winning positions re-group per
+    * doc (light) and join back by id (uniform key); each doc then
+    * filters its own paragraph array row-locally. */
+  def dedupParagraphs(df: DataFrame, idCol: String, parasCol: String)
+      : DataFrame = {
+    val light = df
+      .select(col(idCol).cast(LongType).as("id"),
+        posexplode(col(parasCol)).as(Seq("pos", "para")))
+      .select(col("id"), col("pos"), xxhash64(col("para")).as("ph"))
+    val winners = light.groupBy("ph")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("w.id").as("id"), col("w.pos").as("pos"))
+    val keptPos = winners.groupBy("id")
+      .agg(sort_array(collect_list(col("pos"))).as("__kept_pos"))
+    df.select(col(idCol).cast(LongType).as("id"),
+        col(parasCol).as("paras"))
+      .join(keptPos, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(filter(col("paras"),
+            (_, i) => array_contains(col("__kept_pos"), i)),
+          typedLit(Seq.empty[String])).as("kept"),
+        size(col("paras")).as("n_paras"))
+      .withColumn("n_kept", size(col("kept")))
+  }
+
   /** Exact duplicate groups: fingerprint → ids, for groups of size>1. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(Functional.fingerprint64(col(textCol)).as("fp"),

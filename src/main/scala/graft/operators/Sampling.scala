@@ -86,6 +86,49 @@ object Sampling {
     df.where(bucket(key, seed) < thr)
   }
 
+  /** Rebalance a corpus to target domain proportions (the data-mixture
+    * step of a training pipeline: language mixing, source weighting):
+    * given `targets` (domain → share; shares must sum to ~1), find the
+    * largest achievable total T that oversamples no domain —
+    * T = min_d(n_d / p_d) — and keep a deterministic
+    * min(1, p_d·T/n_d) fraction of each target domain via
+    * [[stratified]]. Domains outside `targets` are dropped (fraction
+    * 0); a target domain with zero rows raises (the requested mixture
+    * is unachievable) rather than silently emitting an empty corpus.
+    *
+    * Realized counts inherit [[threshold]]'s floor(f·8192)/8192
+    * granularity; the q106 oracle recomputes T, the per-domain
+    * thresholds, and the splitmix64 buckets in DuckDB, so the whole
+    * chain is pinned engine-portable.
+    *
+    * Scale shape: one label-cardinality counts aggregate collected to
+    * the driver (domains are a label column, not a key column), then
+    * the same stateless per-row filter as every sampler here — the
+    * corpus itself is never shuffled. */
+  def mixToTarget(df: DataFrame, strata: Column, key: Column,
+      targets: Map[String, Double], seed: Long): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "mixToTarget: target shares must be positive")
+    val tot = targets.values.sum
+    require(math.abs(tot - 1.0) < 1e-6,
+      s"mixToTarget: target shares must sum to 1 (got $tot)")
+    val counts = df.where(strata.isNotNull)
+      .groupBy(strata.cast(org.apache.spark.sql.types.StringType)
+        .as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    targets.keys.foreach { d =>
+      require(counts.getOrElse(d, 0L) > 0L,
+        s"mixToTarget: target domain '$d' has no rows — the requested " +
+          "mixture is unachievable")
+    }
+    val t = targets.map { case (d, p) => counts(d) / p }.min
+    val fractions = targets.map { case (d, p) =>
+      d -> math.min(1.0, p * t / counts(d))
+    }
+    stratified(df, strata, key, fractions, default = 0.0, seed)
+  }
+
   /** Deterministic global-shuffle key: the full 64-bit splitmix64
     * value behind [[bucket]] (signed comparison order). ORDER BY this
     * column is a reproducible, engine-portable permutation of the

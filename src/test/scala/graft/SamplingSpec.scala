@@ -156,4 +156,47 @@ class SamplingSpec extends SparkSpec {
       Map("A" -> 0.5), default = 0.0, seed = 9L)
     assert(out.except(again).count() === 0)
   }
+
+  test("mixToTarget hits the target mix at the largest achievable " +
+      "total; the scarcest domain keeps everything") {
+    import spark.implicits._
+    // 6000 A, 3000 B, 1000 C; targets 50/25/25 -> C is scarcest:
+    // T = min(6000/.5, 3000/.25, 1000/.25) = 4000 -> keep 2000 A
+    // (1/3), 1000 B (1/3), all 1000 C
+    val df = (0L until 10000L).map { k =>
+      (k, if (k < 6000) "A" else if (k < 9000) "B" else "C")
+    }.toDF("k", "g")
+    val out = Sampling.mixToTarget(df, col("g"), col("k"),
+      Map("A" -> 0.5, "B" -> 0.25, "C" -> 0.25), seed = 7L)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("C") === 1000L, s"scarcest domain must keep all: $byG")
+    assert(math.abs(byG("A") - 2000L) < 250, byG.toString)
+    assert(math.abs(byG("B") - 1000L) < 180, byG.toString)
+    // achieved shares ~ targets
+    val tot = byG.values.sum.toDouble
+    assert(math.abs(byG("A") / tot - 0.5) < 0.05, byG.toString)
+    assert(math.abs(byG("B") / tot - 0.25) < 0.05, byG.toString)
+  }
+
+  test("mixToTarget drops non-target domains, raises on absent " +
+      "targets and bad shares") {
+    import spark.implicits._
+    val df = (0L until 100L).map(k => (k, if (k % 2 == 0) "A" else "X"))
+      .toDF("k", "g")
+    val out = Sampling.mixToTarget(df, col("g"), col("k"),
+      Map("A" -> 1.0), seed = 7L)
+    assert(out.where(col("g") =!= "A").count() === 0)
+    assert(out.count() === 50L) // f = 1.0 keeps the whole domain
+    val absent = intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(df, col("g"), col("k"),
+        Map("A" -> 0.5, "Z" -> 0.5), seed = 7L)
+    }
+    assert(absent.getMessage.contains("'Z'"))
+    val badSum = intercept[IllegalArgumentException] {
+      Sampling.mixToTarget(df, col("g"), col("k"),
+        Map("A" -> 0.5, "X" -> 0.2), seed = 7L)
+    }
+    assert(badSum.getMessage.contains("sum to 1"))
+  }
 }

@@ -37,6 +37,35 @@ class TextPipelineSpec extends SparkSpec {
 
   // ---- connected components --------------------------------------------
 
+  // ---- paragraph dedup (CCNet) -----------------------------------------
+
+  test("dedupParagraphs keeps first occurrences by (id, pos) and " +
+      "rebuilds docs; a fully-duplicated doc comes back empty") {
+    val docs = Seq(
+      (1L, Seq("aa", "bb", "aa")), // in-doc repeat: pos 2 dropped
+      (2L, Seq("bb", "cc")), // bb seen in doc 1 -> only cc survives
+      (3L, Seq("aa", "bb")) // everything seen earlier -> empty
+    ).toDF("id", "paras")
+    val got = Dedup.dedupParagraphs(docs, "id", "paras")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toList,
+        r.getInt(2), r.getInt(3))).toSeq
+    assert(got === Seq(
+      (1L, List("aa", "bb"), 3, 2),
+      (2L, List("cc"), 2, 1),
+      (3L, List(), 2, 0)))
+  }
+
+  test("dedupParagraphs preserves intra-doc paragraph order") {
+    val docs = Seq(
+      (10L, Seq("z", "y", "x")),
+      (11L, Seq("y", "w", "z", "v"))).toDF("id", "paras")
+    val got = Dedup.dedupParagraphs(docs, "id", "paras")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1).toList)).toSeq
+    assert(got === Seq(10L -> List("z", "y", "x"), 11L -> List("w", "v")))
+  }
+
   test("connectedComponents labels chains, cliques and isolated pairs") {
     // chain 1-2-3 (diameter 2), clique 10-11-12, pair 20-21
     val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (10L, 12L),
