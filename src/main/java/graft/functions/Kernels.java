@@ -1229,6 +1229,72 @@ public final class Kernels {
     return z;
   }
 
+  /** Product-quantization encode (Jegou, Douze & Schmid, TPAMI 2011):
+   * split the vector into m contiguous subspaces and store, per
+   * subspace, the index of the L2-nearest codeword. `codebooks` is
+   * flat [subspace][code][subdim] with subDim = v.length/m; ties go to
+   * the lower code id. Output: m byte codes — the 4*dim/m at-rest
+   * compression that makes a 100 TB embedding column scannable. */
+  public static ArrayData pqEncode(ArrayData v, ArrayData codebooks,
+      int m, int k) {
+    int dim = v.numElements();
+    int sub = dim / m;
+    byte[] out = new byte[m];
+    for (int mi = 0; mi < m; mi++) {
+      double best = Double.POSITIVE_INFINITY;
+      int bi = 0;
+      for (int j = 0; j < k; j++) {
+        int base = (mi * k + j) * sub;
+        double d2 = 0.0;
+        for (int i = 0; i < sub; i++) {
+          double d = codebooks.getDouble(base + i)
+              - v.getFloat(mi * sub + i);
+          d2 += d * d;
+        }
+        if (d2 < best) {
+          best = d2;
+          bi = j;
+        }
+      }
+      out[mi] = (byte) bi;
+    }
+    return new GenericArrayData(out);
+  }
+
+  /** Per-probe PQ lookup table: lut[mi*k + j] = dot(probe subvector mi,
+   * codeword j of subspace mi) — so an asymmetric-distance (ADC) scan
+   * approximates dot(probe, x) as the sum of m table lookups. */
+  public static ArrayData pqLut(ArrayData probe, ArrayData codebooks,
+      int m, int k) {
+    int dim = probe.numElements();
+    int sub = dim / m;
+    double[] out = new double[m * k];
+    for (int mi = 0; mi < m; mi++) {
+      for (int j = 0; j < k; j++) {
+        int base = (mi * k + j) * sub;
+        double dot = 0.0;
+        for (int i = 0; i < sub; i++) {
+          dot += codebooks.getDouble(base + i)
+              * probe.getFloat(mi * sub + i);
+        }
+        out[mi * k + j] = dot;
+      }
+    }
+    return new GenericArrayData(out);
+  }
+
+  /** ADC score: approximate dot(probe, x) from x's PQ codes and the
+   * probe's lookup table — m array reads per candidate, no float math
+   * over the original vector. */
+  public static double pqScore(ArrayData codes, ArrayData lut, int k) {
+    int m = codes.numElements();
+    double s = 0.0;
+    for (int mi = 0; mi < m; mi++) {
+      s += lut.getDouble(mi * k + (codes.getByte(mi) & 0xff));
+    }
+    return s;
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits
    * of dot products with pseudo-random hyperplanes derived from seed. */
   public static long hyperplaneLsh(ArrayData v, int bits, long seed) {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.Functional
+import graft.functions.{BpeEncoder, BpeTrain, Functional}
 import graft.operators.{Clustering, Dedup, Packing, Salting, Sampling, TextAnalysis}
 
 /** Round-10 queries: the LLM-pipeline operators a 100 TB training-data
@@ -917,6 +917,75 @@ object Queries6 {
        |FROM documents d LEFT JOIN k USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- BPE tokenizer training ------------------------------------------
+
+  /** BPE tokenizer training (functions/BpeTrain.scala — the learning
+    * counterpart of q36's encoder): 60 merges learned from the corpus
+    * word-frequency table. One distributed count scan reduces the
+    * corpus to a vocabulary-sized table; the incremental merge loop is
+    * driver-side and corpus-size-independent (the Sennrich Algorithm-1
+    * shape). Output = the ranked merge table, deterministic via the
+    * (count desc, pair asc) tie-break. Self-checking in-gate: the
+    * trained tables must drive BpeEncoder losslessly over the corpus
+    * they came from — for EVERY document, concatenating its tokens
+    * restores the byte-unicode image of the text (no byte dropped or
+    * reordered) and compresses it (token count below byte count, or
+    * equal for degenerate docs); any violation raises. */
+  def q108BpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = t(s, dir, "documents")
+    val (ranks, vocab) = BpeTrain.trainFromCorpus(docs, "text",
+      numMerges = 60)
+    val enc = new BpeEncoder(ranks, vocab, unkId = -1L, byteLevel = true)
+    val fidelity = udf { (text: String) =>
+      val toks = enc.tokenize(text)
+      val image = text.getBytes("UTF-8").map(b =>
+        BpeEncoder.byteToUnicode(b & 0xff)).mkString
+      toks.mkString == image && toks.length <= image.length &&
+        enc.encode(text).forall(_ >= 0L)
+    }
+    val check = docs
+      .agg(min(when(fidelity($"text"), 1).otherwise(0)).as("__ok"))
+      .select(when($"__ok" === 1, lit(true)).otherwise(raise_error(lit(
+        "q108: trained BPE tables are not lossless over their own " +
+          "corpus"))).as("fidelity_ok"))
+    val merges = ranks.toSeq.sortBy(_._2)
+      .map { case ((l, r), k) => (k, l, r) }
+      .toDF("rank", "left", "right")
+    merges.crossJoin(broadcast(check)).orderBy($"rank")
+  }
+
+  // ---- product-quantization ANN ----------------------------------------
+
+  /** PQ/ADC ANN (Similarity.pqTopK — Jégou et al., TPAMI 2011): the
+    * memory-compression scale path beside q51's LSH pruning and q52's
+    * IVF cell pruning. The corpus embedding column is stored as 8 byte
+    * codes per vector (32× compression at dim 64) and probes score by
+    * table lookup. Approximate by construction — no SQL oracle — but
+    * doubly self-checking like q51/q52: (a) planted exact twins must
+    * rank first (not structurally forced for ADC, unlike bucketed
+    * variants — pinning it is the point: measured 5/5 at every SF),
+    * and (b) recall@10 vs q50's exact brute force above the pinned
+    * floor (deterministic measured 0.64 / 0.74 / 0.44 at
+    * sf0.001/0.01/0.1 with m=8, 256 codes trained on a hash-ordered
+    * 4096-sample; near-uniform corpus cosines sit within quantization
+    * distortion of each other — the PQ worst case, floor 0.40). */
+  def q109KnnPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where($"vec_id" < 5)
+    def run(corpus: DataFrame): DataFrame =
+      graft.operators.Similarity.pqTopK(corpus, probes, "embedding",
+        "vec_id", "vec_id", k = 10)
+    val pq = run(emb)
+    val brute = graft.operators.Similarity.bruteForceTopK(emb, probes,
+      "embedding", "vec_id", "vec_id", k = 10)
+    pq.select($"probe_id", $"id", $"rank")
+      .crossJoin(broadcast(Queries2.annRecallCheck(pq, brute, "q109", 0.40)))
+      .crossJoin(broadcast(Queries2.annTwinCheck(run, emb, probes,
+        "q109", 5)))
+      .orderBy($"probe_id", $"rank")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -939,7 +1008,9 @@ object Queries6 {
     "q104_frame_arith" -> (q104FrameArith _),
     "q105_stream_stream_join" -> (q105StreamStreamJoin _),
     "q106_mix_to_target" -> (q106MixToTarget _),
-    "q107_para_dedup" -> (q107ParaDedup _)
+    "q107_para_dedup" -> (q107ParaDedup _),
+    "q108_bpe_train" -> (q108BpeTrain _),
+    "q109_knn_pq" -> (q109KnnPq _)
   )
 
   val oracles: Map[String, String] = Map(

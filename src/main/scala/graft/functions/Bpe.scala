@@ -68,18 +68,8 @@ final class BpeEncoder(
     ("'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+" +
       "|\\s+(?=\\s)|\\s+").r
 
-  /** The public GPT-2 byte→unicode printable mapping: printable ASCII /
-    * latin-1 map to themselves, the rest shift into 256+n. */
-  @transient private lazy val byteToUnicode: Array[Char] = {
-    val out = new Array[Char](256)
-    var n = 0
-    for (b <- 0 until 256) {
-      val printable = (b >= '!' && b <= '~') || (b >= 0xA1 && b <= 0xAC) ||
-        (b >= 0xAE && b <= 0xFF)
-      out(b) = if (printable) b.toChar else { val c = (256 + n).toChar; n += 1; c }
-    }
-    out
-  }
+  @transient private lazy val byteToUnicode: Array[Char] =
+    BpeEncoder.byteToUnicode
 
   private def toUnits(piece: String): Vector[String] =
     if (byteLevel)
@@ -118,6 +108,21 @@ final class BpeEncoder(
 }
 
 object BpeEncoder {
+
+  /** The public GPT-2 byte→unicode printable mapping: printable ASCII /
+    * latin-1 map to themselves, the rest shift into 256+n. Shared by
+    * the encoder and [[BpeTrain]] so trained merges live in the same
+    * symbol space the encoder consumes. */
+  lazy val byteToUnicode: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val printable = (b >= '!' && b <= '~') || (b >= 0xA1 && b <= 0xAC) ||
+        (b >= 0xAE && b <= 0xFF)
+      out(b) = if (printable) b.toChar else { val c = (256 + n).toChar; n += 1; c }
+    }
+    out
+  }
 
   /** Parse the published GPT-2 `encoder.json`: a flat token→id JSON
     * object whose keys live in the byte→unicode space (the format the

@@ -258,6 +258,20 @@ object Functional {
   def hyperplaneLsh(v: Column, bits: Int, seed: Long = 42L): Column =
     invoke("hyperplaneLsh", LongType, Seq(v, lit(bits), lit(seed)))
 
+  /** PQ encode: m byte codes per vector (Kernels.pqEncode). */
+  def pqEncode(v: Column, codebooksFlat: Column, m: Int, k: Int): Column =
+    invoke("pqEncode", ArrayType(ByteType, containsNull = false),
+      Seq(v, codebooksFlat, lit(m), lit(k)))
+
+  /** PQ per-probe lookup table (Kernels.pqLut). */
+  def pqLut(probe: Column, codebooksFlat: Column, m: Int, k: Int): Column =
+    invoke("pqLut", ArrayType(DoubleType, containsNull = false),
+      Seq(probe, codebooksFlat, lit(m), lit(k)))
+
+  /** PQ asymmetric-distance score (Kernels.pqScore). */
+  def pqScore(codes: Column, lut: Column, k: Int): Column =
+    invoke("pqScore", DoubleType, Seq(codes, lut, lit(k)))
+
   /** Reference round semantics (torcharrow_round: rint half-even on
     * the scaled double) — NOT Spark round/bround. */
   def roundRef(c: Column, decimals: Int): Column =

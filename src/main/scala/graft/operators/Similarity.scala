@@ -319,6 +319,103 @@ object Similarity {
     topKPerProbe(scored, k, "ivfTopK")
   }
 
+  /** Per-subspace L2 k-means codebooks for [[pqTopK]], trained
+    * driver-side on a hash-ordered sample — the [[trainCentroids]]
+    * sampling discipline (first-N-by-id trains on one corner of an
+    * id-ordered corpus). Plain L2 Lloyd, NOT spherical: PQ minimizes
+    * subvector reconstruction error (Jégou et al., TPAMI 2011, §II).
+    * Returns flat [subspace][code][subdim] doubles, the layout
+    * Kernels.pqEncode/pqLut consume. */
+  private[graft] def trainPqCodebooks(
+      corpus: DataFrame,
+      vecCol: String,
+      idCol: String,
+      m: Int,
+      nCodes: Int,
+      sampleSize: Int,
+      iters: Int): Array[Double] = {
+    val sample = corpus.select(col(idCol), col(vecCol))
+      .orderBy(Functional.sampleHash(col(idCol), 11L), col(idCol))
+      .limit(sampleSize)
+      .collect().map(_.getSeq[Float](1).toArray)
+    require(sample.length >= nCodes,
+      s"PQ sample (${sample.length}) smaller than nCodes=$nCodes")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val sub = dim / m
+    val flat = new Array[Double](m * nCodes * sub)
+    for (mi <- 0 until m) {
+      var cents = Array.tabulate(nCodes) { j =>
+        sample(j * (sample.length / nCodes))
+          .slice(mi * sub, (mi + 1) * sub).map(_.toDouble)
+      }
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(nCodes)(new Array[Double](sub))
+        val counts = new Array[Int](nCodes)
+        sample.foreach { v =>
+          var bi = 0; var best = Double.MaxValue
+          for (j <- 0 until nCodes) {
+            var d2 = 0.0
+            for (i <- 0 until sub) {
+              val d = cents(j)(i) - v(mi * sub + i); d2 += d * d
+            }
+            if (d2 < best) { best = d2; bi = j }
+          }
+          for (i <- 0 until sub) sums(bi)(i) += v(mi * sub + i)
+          counts(bi) += 1
+        }
+        cents = Array.tabulate(nCodes)(j =>
+          if (counts(j) == 0) cents(j) else sums(j).map(_ / counts(j)))
+      }
+      for (j <- 0 until nCodes; i <- 0 until sub)
+        flat((mi * nCodes + j) * sub + i) = cents(j)(i)
+    }
+    flat
+  }
+
+  /** Product-quantization ANN (Jégou, Douze & Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the
+    * corpus is stored as m byte codes per vector — a 4·dim/m at-rest
+    * compression (64-dim float → 8 bytes = 32×) that turns a 100 TB
+    * embedding column into an in-memory-scannable code column — and
+    * probes score candidates with an asymmetric-distance (ADC) scan:
+    * dot(probe, x) ≈ Σ_subspace LUT[code], m table reads per
+    * candidate, no float math over original vectors.
+    *
+    * The score approximates the raw INNER PRODUCT; on unit-normalized
+    * embeddings that is the cosine (normalize upstream otherwise).
+    * Unlike LSH/IVF, an exact twin of a probe is not STRUCTURALLY
+    * guaranteed rank 1 (ADC error could in principle reorder it) —
+    * but its approximate score is the probe's self-score minus
+    * quantization distortion, so it wins in practice; q109 pins this.
+    * Composable with [[ivfTopK]]'s cell pruning (IVF-ADC) — here the
+    * scan is exhaustive over codes, the canonical PQ baseline. */
+  def pqTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      probeIdCol: String,
+      k: Int = 10,
+      m: Int = 8,
+      nCodes: Int = 256,
+      sampleSize: Int = 4096,
+      iters: Int = 5): DataFrame = {
+    require(nCodes >= 1 && nCodes <= 256, s"PQ codes are bytes: $nCodes")
+    val cb = trainPqCodebooks(corpus, vecCol, idCol, m, nCodes,
+      sampleSize, iters)
+    val cbLit = lit(cb)
+    val codes = corpus.select(asLongId(corpus, idCol, "id"),
+      Functional.pqEncode(col(vecCol), cbLit, m, nCodes).as("codes"))
+    val pb = broadcast(probes.select(
+      asLongId(probes, probeIdCol, "probe_id"),
+      Functional.pqLut(col(vecCol), cbLit, m, nCodes).as("lut")))
+    val scored = codes.join(pb, col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        Functional.pqScore(col("codes"), col("lut"), nCodes).as("cosine"))
+    topKPerProbe(scored, k, "pqTopK")
+  }
+
   /** LSH-bucketed ANN: only corpus rows whose hyperplane bucket matches
     * a probe bucket (or a 1-bit neighbor, for recall) are scored. */
   def lshTopK(

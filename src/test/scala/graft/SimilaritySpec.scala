@@ -84,6 +84,45 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Seq(1999L, 1998L, 1997L, 1996L, 1995L))
   }
 
+  // ---- product quantization --------------------------------------------
+
+  test("PQ: ADC score equals the sum of per-subspace codeword dots, " +
+      "and an exact twin of a probe gets the probe's own score") {
+    // corpus on 2 subspaces of 2 dims; codebooks trained on the corpus
+    // itself so encode() is exact for corpus points
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Seq(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 0)
+    val got = graft.operators.Similarity.pqTopK(corpus, probes,
+        "embedding", "vec_id", "vec_id", k = 3, m = 2, nCodes = 2,
+        sampleSize = 4, iters = 8)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("cosine")))
+    // subvectors of the corpus are exactly {(1,0),(0,1)} per subspace,
+    // so 2-code codebooks reconstruct exactly and ADC == exact dot:
+    // dot(v0, v2) = 1, dot(v0, v3) = 1, dot(v0, v1) = 0; ties id-asc
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 1L))
+    assert(got.map(_._2).toSeq === Seq(1.0, 1.0, 0.0))
+  }
+
+  test("PQ codes are m bytes and the plan carries the bounded top-k " +
+      "(no window tail)") {
+    val corpus = (0L until 200L)
+      .map(i => (i, Seq.tabulate(8)(d => ((i + d) % 7).toFloat / 7f)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.operators.Similarity.trainPqCodebooks(corpus,
+      "embedding", "vec_id", m = 4, nCodes = 8, sampleSize = 128,
+      iters = 3)
+    assert(cb.length === 4 * 8 * 2) // m * nCodes * subDim
+    val codes = corpus.select(graft.functions.Functional.pqEncode(
+      col("embedding"), lit(cb), 4, 8).as("c")).head().getSeq[Byte](0)
+    assert(codes.length === 4)
+    assert(codes.forall(c => c >= 0 && c < 8))
+  }
+
   // ---- quantizer sampling discipline -----------------------------------
 
   /** 4 orthogonal clusters of 300 vectors each, ids ORDERED BY CLUSTER —
