@@ -986,6 +986,27 @@ object Queries6 {
       .orderBy($"probe_id", $"rank")
   }
 
+  // ---- stream-stream LEFT OUTER interval join --------------------------
+
+  /** The outer variant of q105: clicks with no purchase in the hour
+    * emit a NULL p_id — the append-mode semantics where unmatched rows
+    * only surface on watermark-driven state eviction (see
+    * EventsStream.streamStreamOuterJoin for the sentinel that forces
+    * the final flush in a bounded run). Fully oracled: DuckDB batch
+    * LEFT JOIN over the same µs arithmetic. */
+  def q110StreamOuterJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.streamStreamOuterJoin(s, dir)
+
+  val q110Sql: String =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase')
+      |SELECT c.event_id AS c_id, p.event_id AS p_id
+      |FROM c LEFT JOIN p
+      |  ON p.user_id = c.user_id
+      | AND epoch_us(p.ts) >= epoch_us(c.ts)
+      | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      |ORDER BY c_id, p_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -1010,7 +1031,8 @@ object Queries6 {
     "q106_mix_to_target" -> (q106MixToTarget _),
     "q107_para_dedup" -> (q107ParaDedup _),
     "q108_bpe_train" -> (q108BpeTrain _),
-    "q109_knn_pq" -> (q109KnnPq _)
+    "q109_knn_pq" -> (q109KnnPq _),
+    "q110_stream_outer_join" -> (q110StreamOuterJoin _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -1031,6 +1053,7 @@ object Queries6 {
     "q104_frame_arith" -> q104Sql,
     "q105_stream_stream_join" -> q105Sql,
     "q106_mix_to_target" -> q106Sql,
-    "q107_para_dedup" -> q107Sql
+    "q107_para_dedup" -> q107Sql,
+    "q110_stream_outer_join" -> q110Sql
   )
 }

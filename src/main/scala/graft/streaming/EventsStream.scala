@@ -200,6 +200,60 @@ object EventsStream {
       .orderBy("c_id", "p_id")
   }
 
+  /** Stream-stream LEFT OUTER interval join (§2.15's missing outer
+    * shape beside [[streamStreamJoin]]): every click paired with its
+    * purchases within the following hour, or a NULL purchase if none
+    * arrived. Append-mode outer rows only materialize when the
+    * WATERMARK passes their join-state eviction bound — in a bounded
+    * run the last hour of clicks would stay in state forever, so a
+    * watermark-advancing sentinel event per side (far-future ts,
+    * user_id -1, filtered from the output) forces the final eviction;
+    * on a real cluster the continuously advancing stream plays that
+    * role. Unlike the inner join, no-data micro-batches stay ENABLED:
+    * eviction happens in the trigger AFTER the watermark advances.
+    * Verified row-identical to the batch left join (the q110 DuckDB
+    * oracle). */
+  def streamStreamOuterJoin(parent: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val maxTs = graft.Tables(parent, dir, "events")
+      .agg(max(col("ts"))).head().getLong(0)
+    val sentDir = s"/tmp/graft_ss_sentinel_${System.nanoTime()}"
+    val margin = 30L * 24 * 3600 * 1000000000L // 30 days in ns
+    parent.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(-1L, maxTs + margin, -1L, "click", 0.0,
+          null),
+        org.apache.spark.sql.Row(-2L, maxTs + margin, -1L, "purchase",
+          0.0, null)),
+      eventsSchema).coalesce(1).write.mode("overwrite").parquet(sentDir)
+    val events = eventsStream(spark, dir).unionByName(
+      spark.readStream.schema(eventsSchema).parquet(sentDir))
+    def side(tp: String, pfx: String): DataFrame =
+      events.where(col("event_type") === tp)
+        .select(col("event_id").as(s"${pfx}_id"),
+          col("user_id").as(s"${pfx}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+        .withWatermark(s"${pfx}_time", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+    val name = s"graft_ss2o_${System.nanoTime()}"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .where(col("c_user") =!= -1L) // drop the sentinel click
+      .select(col("c_id"), col("p_id"))
+      .orderBy("c_id", "p_id")
+  }
+
   /** Stateful sessionization through mapGroupsWithState — the custom-
     * state operator shape. The same function runs under batch (one
     * invocation per key, as here) and under readStream (incremental
