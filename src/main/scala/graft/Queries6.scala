@@ -957,19 +957,24 @@ object Queries6 {
 
   // ---- product-quantization ANN ----------------------------------------
 
-  /** PQ/ADC ANN (Similarity.pqTopK — Jégou et al., TPAMI 2011): the
+  /** PQ/ADC ANN with exact refine (Similarity.pqTopK — Jégou et al.,
+    * TPAMI 2011; refine = FAISS IndexRefineFlat): the
     * memory-compression scale path beside q51's LSH pruning and q52's
     * IVF cell pruning. The corpus embedding column is stored as 8 byte
-    * codes per vector (32× compression at dim 64) and probes score by
-    * table lookup. Approximate by construction — no SQL oracle — but
-    * doubly self-checking like q51/q52: (a) planted exact twins must
-    * rank first (not structurally forced for ADC, unlike bucketed
-    * variants — pinning it is the point: measured 5/5 at every SF),
-    * and (b) recall@10 vs q50's exact brute force above the pinned
-    * floor (deterministic measured 0.64 / 0.74 / 0.44 at
-    * sf0.001/0.01/0.1 with m=8, 256 codes trained on a hash-ordered
-    * 4096-sample; near-uniform corpus cosines sit within quantization
-    * distortion of each other — the PQ worst case, floor 0.40). */
+    * codes per vector (32× compression at dim 64), probes score by
+    * table lookup, and the ADC top-40 re-ranks by exact cosine (the
+    * second pass reads only |probes|·40 original vectors through a
+    * broadcast candidate filter). Approximate by construction — no SQL
+    * oracle — but doubly self-checking like q51/q52: (a) planted
+    * exact twins must rank first — pure ADC cannot force this on a
+    * near-replica corpus (sf1.0's one-element-shifted replicas
+    * quantize identically to the twin; pre-refine it read 0/5 there),
+    * exact refine restores the guarantee for any twin surviving the
+    * ADC cut (measured 5/5 at every SF incl. the sf1.0 replica
+    * corpus) — and (b) recall@10 vs q50's exact brute force above the
+    * pinned floor (deterministic measured 0.96 / 1.00 / 0.78 / 0.92
+    * at sf0.001/0.01/0.1/sf1.0 with m=8, 256 codes, refine 4, trained
+    * on a hash-ordered 4096-sample; floor 0.70). */
   def q109KnnPq(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     val probes = emb.where($"vec_id" < 5)
@@ -980,7 +985,7 @@ object Queries6 {
     val brute = graft.operators.Similarity.bruteForceTopK(emb, probes,
       "embedding", "vec_id", "vec_id", k = 10)
     pq.select($"probe_id", $"id", $"rank")
-      .crossJoin(broadcast(Queries2.annRecallCheck(pq, brute, "q109", 0.40)))
+      .crossJoin(broadcast(Queries2.annRecallCheck(pq, brute, "q109", 0.70)))
       .crossJoin(broadcast(Queries2.annTwinCheck(run, emb, probes,
         "q109", 5)))
       .orderBy($"probe_id", $"rank")

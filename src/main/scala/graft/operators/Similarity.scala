@@ -382,14 +382,21 @@ object Similarity {
     * dot(probe, x) ≈ Σ_subspace LUT[code], m table reads per
     * candidate, no float math over original vectors.
     *
-    * The score approximates the raw INNER PRODUCT; on unit-normalized
-    * embeddings that is the cosine (normalize upstream otherwise).
-    * Unlike LSH/IVF, an exact twin of a probe is not STRUCTURALLY
-    * guaranteed rank 1 (ADC error could in principle reorder it) —
-    * but its approximate score is the probe's self-score minus
-    * quantization distortion, so it wins in practice; q109 pins this.
-    * Composable with [[ivfTopK]]'s cell pruning (IVF-ADC) — here the
-    * scan is exhaustive over codes, the canonical PQ baseline. */
+    * The ADC score approximates the raw INNER PRODUCT; on
+    * unit-normalized embeddings that is the cosine (normalize upstream
+    * otherwise). Unlike LSH/IVF, an exact twin of a probe is not
+    * STRUCTURALLY guaranteed rank 1 under pure ADC — quantization
+    * error can reorder candidates that sit within distortion of each
+    * other (a corpus of near-replicas is exactly that). `refine` is
+    * the standard PQ answer (FAISS IndexRefineFlat): re-score the ADC
+    * top k·refine candidates EXACTLY against the original vectors and
+    * re-rank — the second pass reads only |probes|·k·refine original
+    * vectors via a broadcast candidate filter, so the 100 TB scan
+    * still happens over codes. With refine on, a surviving exact twin
+    * ranks first by exact cosine; q109 pins it. refine=0 is the pure
+    * ADC baseline. Composable with [[ivfTopK]]'s cell pruning
+    * (IVF-ADC) — here the code scan is exhaustive, the canonical PQ
+    * baseline. */
   def pqTopK(
       corpus: DataFrame,
       probes: DataFrame,
@@ -400,8 +407,10 @@ object Similarity {
       m: Int = 8,
       nCodes: Int = 256,
       sampleSize: Int = 4096,
-      iters: Int = 5): DataFrame = {
+      iters: Int = 5,
+      refine: Int = 4): DataFrame = {
     require(nCodes >= 1 && nCodes <= 256, s"PQ codes are bytes: $nCodes")
+    require(refine >= 0, s"refine=$refine")
     val cb = trainPqCodebooks(corpus, vecCol, idCol, m, nCodes,
       sampleSize, iters)
     val cbLit = lit(cb)
@@ -413,7 +422,21 @@ object Similarity {
     val scored = codes.join(pb, col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
         Functional.pqScore(col("codes"), col("lut"), nCodes).as("cosine"))
-    topKPerProbe(scored, k, "pqTopK")
+    if (refine == 0) topKPerProbe(scored, k, "pqTopK")
+    else {
+      val cand = topKPerProbe(scored, k * refine, "pqTopK/adc")
+        .select(col("probe_id"), col("id"))
+      val pv = broadcast(probes.select(
+        asLongId(probes, probeIdCol, "probe_id"),
+        col(vecCol).as("probe_vec")))
+      val exact = corpus
+        .select(asLongId(corpus, idCol, "id"), col(vecCol).as("v"))
+        .join(broadcast(cand), Seq("id"))
+        .join(pv, Seq("probe_id"))
+        .select(col("probe_id"), col("id"),
+          Functional.cosineSim(col("v"), col("probe_vec")).as("cosine"))
+      topKPerProbe(exact, k, "pqTopK/refine")
+    }
   }
 
   /** LSH-bucketed ANN: only corpus rows whose hyperplane bucket matches

@@ -98,7 +98,7 @@ class SimilaritySpec extends SparkSpec {
     val probes = corpus.where(col("vec_id") === 0)
     val got = graft.operators.Similarity.pqTopK(corpus, probes,
         "embedding", "vec_id", "vec_id", k = 3, m = 2, nCodes = 2,
-        sampleSize = 4, iters = 8)
+        sampleSize = 4, iters = 8, refine = 0)
       .orderBy("rank")
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("cosine")))
     // subvectors of the corpus are exactly {(1,0),(0,1)} per subspace,
@@ -106,6 +106,29 @@ class SimilaritySpec extends SparkSpec {
     // dot(v0, v2) = 1, dot(v0, v3) = 1, dot(v0, v1) = 0; ties id-asc
     assert(got.map(_._1).toSeq === Seq(2L, 3L, 1L))
     assert(got.map(_._2).toSeq === Seq(1.0, 1.0, 0.0))
+  }
+
+  test("PQ refine re-ranks ADC candidates by exact cosine: an exact " +
+      "twin beats a near-replica that quantizes identically") {
+    // 16 base vectors + a probe, its exact twin, and a near-replica one
+    // element off: with 2 codes per subspace the twin and replica get
+    // the same codes (ADC tie), but exact refine must put the twin
+    // first
+    val base = (10L until 26L).map(i =>
+      (i, Seq.tabulate(4)(d => if (d == (i % 4).toInt) 1.0f else 0.0f)))
+    val probeVec = Seq(0.6f, 0.8f, 0.0f, 0.0f)
+    val twin = (1L, probeVec)
+    val nearRep = (2L, Seq(0.6f, 0.79f, 0.02f, 0.0f))
+    val corpus = (base :+ twin :+ nearRep :+ (0L -> probeVec))
+      .toDF("vec_id", "embedding")
+    val probes = corpus.where(col("vec_id") === 0)
+    val got = graft.operators.Similarity.pqTopK(corpus, probes,
+        "embedding", "vec_id", "vec_id", k = 2, m = 2, nCodes = 4,
+        sampleSize = 32, iters = 8, refine = 3)
+      .orderBy("rank")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("cosine")))
+    assert(got.head._1 === 1L, s"twin must rank first: ${got.toSeq}")
+    assert(math.abs(got.head._2 - 1.0) < 1e-12) // exact cosine, not ADC
   }
 
   test("PQ codes are m bytes and the plan carries the bounded top-k " +
