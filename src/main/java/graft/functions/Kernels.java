@@ -1239,6 +1239,12 @@ public final class Kernels {
       int m, int k) {
     int dim = v.numElements();
     int sub = dim / m;
+    if (sub * m != dim || codebooks.numElements() != m * k * sub) {
+      throw new IllegalArgumentException(
+          "pqEncode: vector dim " + dim + " does not match the trained "
+              + "codebook layout (m=" + m + ", k=" + k + ", flat="
+              + codebooks.numElements() + ") — mixed-dimension corpus?");
+    }
     byte[] out = new byte[m];
     for (int mi = 0; mi < m; mi++) {
       double best = Double.POSITIVE_INFINITY;
@@ -1268,6 +1274,12 @@ public final class Kernels {
       int m, int k) {
     int dim = probe.numElements();
     int sub = dim / m;
+    if (sub * m != dim || codebooks.numElements() != m * k * sub) {
+      throw new IllegalArgumentException(
+          "pqLut: probe dim " + dim + " does not match the trained "
+              + "codebook layout (m=" + m + ", k=" + k + ", flat="
+              + codebooks.numElements() + ")");
+    }
     double[] out = new double[m * k];
     for (int mi = 0; mi < m; mi++) {
       for (int j = 0; j < k; j++) {
@@ -1288,6 +1300,11 @@ public final class Kernels {
    * over the original vector. */
   public static double pqScore(ArrayData codes, ArrayData lut, int k) {
     int m = codes.numElements();
+    if (lut.numElements() != m * k) {
+      throw new IllegalArgumentException(
+          "pqScore: LUT size " + lut.numElements() + " != m*k = "
+              + (m * k));
+    }
     double s = 0.0;
     for (int mi = 0; mi < m; mi++) {
       s += lut.getDouble(mi * k + (codes.getByte(mi) & 0xff));

@@ -858,8 +858,10 @@ object Queries6 {
        |tt AS (SELECT MIN(CAST(n AS DOUBLE) / p) AS t
        |  FROM cnt JOIN tgt USING (lang)),
        |thr AS (SELECT tgt.lang,
-       |  CAST(floor(LEAST(CAST(1.0 AS DOUBLE),
-       |    p * tt.t / CAST(n AS DOUBLE)) * 8192) AS INTEGER) AS th
+       |  CAST(floor(CASE WHEN CAST(n AS DOUBLE) / p = tt.t
+       |    THEN CAST(1.0 AS DOUBLE)
+       |    ELSE LEAST(CAST(1.0 AS DOUBLE),
+       |      p * tt.t / CAST(n AS DOUBLE)) END * 8192) AS INTEGER) AS th
        |  FROM cnt JOIN tgt USING (lang) CROSS JOIN tt),
        |j AS (SELECT d.lang, d.doc_id, mxb.bucket
        |  FROM documents d JOIN mxb ON d.doc_id = mxb.k)
@@ -938,11 +940,14 @@ object Queries6 {
       numMerges = 60)
     val enc = new BpeEncoder(ranks, vocab, unkId = -1L, byteLevel = true)
     val fidelity = udf { (text: String) =>
-      val toks = enc.tokenize(text)
-      val image = text.getBytes("UTF-8").map(b =>
-        BpeEncoder.byteToUnicode(b & 0xff)).mkString
-      toks.mkString == image && toks.length <= image.length &&
-        enc.encode(text).forall(_ >= 0L)
+      if (text == null) true // training drops nulls; vacuously lossless
+      else {
+        val toks = enc.tokenize(text) // tokenize ONCE; id check via vocab
+        val image = text.getBytes("UTF-8").map(b =>
+          BpeEncoder.byteToUnicode(b & 0xff)).mkString
+        toks.mkString == image && toks.length <= image.length &&
+          toks.forall(vocab.contains)
+      }
     }
     val check = docs
       .agg(min(when(fidelity($"text"), 1).otherwise(0)).as("__ok"))

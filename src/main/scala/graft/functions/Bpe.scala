@@ -144,8 +144,9 @@ object BpeEncoder {
   }
 
   /** Parse the published `vocab.bpe` merge list: the `#version` header
-    * line (dropped unconditionally — the reference's own load does
-    * `split("\n")[1:-1]`, test/transformation/test_text_ops.py:72),
+    * line (the reference's own load drops line 1 blindly —
+    * `split("\n")[1:-1]`, test/transformation/test_text_ops.py:72 —
+    * this parser additionally REQUIRES it to look like the header),
     * then one "left right" merge per line; rank = position. Splits on
     * `\r?\n` so a CRLF checkout (git autocrlf, Windows download)
     * parses identically — a trailing `\r` on every right-hand token
@@ -154,6 +155,13 @@ object BpeEncoder {
   def parseMerges(text: String): Map[(String, String), Int] = {
     val lines = text.split("\r?\n", -1).toSeq
     require(lines.nonEmpty, "vocab.bpe: empty file")
+    // the reference drops line 1 blindly; demand it LOOK like the
+    // header so a headerless file (e.g. merges exported by hand) fails
+    // loudly instead of silently losing its rank-0 merge
+    require(lines.head.startsWith("#version"),
+      "vocab.bpe: expected a '#version' header as line 1 (the " +
+        "published GPT-2 format) — a headerless file would silently " +
+        "lose its first merge")
     lines.tail.filter(_.nonEmpty).zipWithIndex.map { case (line, i) =>
       val parts = line.split(" ")
       require(parts.length == 2,

@@ -60,6 +60,12 @@ object BpeTrain {
       require(c > 0, s"non-positive count for word '$w'")
       (toUnits(w), c)
     }.toArray
+    // char-level base alphabet, snapshotted BEFORE the merge loop
+    // mutates the unit buffers in place — deriving it afterwards would
+    // lose every base symbol that only occurs inside merged tokens
+    val baseUnits: Array[String] =
+      if (byteLevel) Array.empty
+      else words.flatMap(_._1).distinct.sorted
 
     // pair -> total weighted count; pair -> word indices containing it
     // (the occurrence index driving incremental updates); and a
@@ -131,13 +137,11 @@ object BpeTrain {
           merges.zipWithIndex.map { case ((l, r), i) =>
             (l + r) -> (256L + i)
           }
-      else {
-        val base = words.flatMap(_._1).distinct.sorted
-        base.zipWithIndex.map { case (u, i) => u -> i.toLong }.toMap ++
+      else
+        baseUnits.zipWithIndex.map { case (u, i) => u -> i.toLong }.toMap ++
           merges.zipWithIndex.map { case ((l, r), i) =>
-            (l + r) -> (base.length.toLong + i)
+            (l + r) -> (baseUnits.length.toLong + i)
           }
-      }
     (mergeRanks, vocab)
   }
 
@@ -159,12 +163,14 @@ object BpeTrain {
       .where(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("c"))
       .where(col("c") >= minWordFreq)
-    val n = counts.limit(maxVocab + 1).count()
-    require(n <= maxVocab,
+    // one scan: collect maxVocab+1 rows and check the cap on the
+    // driver instead of running the count aggregation twice
+    val wc = counts.limit(maxVocab + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    require(wc.length <= maxVocab,
       s"BpeTrain: corpus has more than $maxVocab distinct words — " +
         "raise maxVocab or minWordFreq (the merge loop is driver-side " +
         "and vocabulary-sized)")
-    val wc = counts.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     train(wc, numMerges, byteLevel)
   }
 }

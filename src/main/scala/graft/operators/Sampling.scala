@@ -123,8 +123,14 @@ object Sampling {
           "mixture is unachievable")
     }
     val t = targets.map { case (d, p) => counts(d) / p }.min
+    // the argmin domain is kept IN FULL by contract; computing its
+    // fraction as p*(n/p)/n would round to 0.99999... and floor away a
+    // bucket, so pin any domain whose n/p equals the min to exactly 1
+    // (fp-equality on the same expression that produced the min — the
+    // q106 oracle replays the same CASE)
     val fractions = targets.map { case (d, p) =>
-      d -> math.min(1.0, p * t / counts(d))
+      d -> (if (counts(d) / p == t) 1.0
+            else math.min(1.0, p * t / counts(d)))
     }
     stratified(df, strata, key, fractions, default = 0.0, seed)
   }

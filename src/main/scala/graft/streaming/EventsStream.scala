@@ -247,7 +247,16 @@ object EventsStream {
       .format("memory")
       .queryName(name)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      // the memory sink holds the rows; the per-run sentinel dir is
+      // dead weight — delete it so repeated bench loops don't
+      // accumulate orphans under /tmp
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(sentDir))
+    }
     spark.table(name)
       .where(col("c_user") =!= -1L) // drop the sentinel click
       .select(col("c_id"), col("p_id"))

@@ -81,6 +81,13 @@ class BpeSpec extends SparkSpec {
       Map(("h", "i") -> 0, ("Ġ", "hi") -> 1))
   }
 
+  test("a headerless merges file is rejected, not silently truncated") {
+    val err = intercept[IllegalArgumentException] {
+      BpeEncoder.parseMerges("h i\nĠ hi\n")
+    }
+    assert(err.getMessage.contains("#version"))
+  }
+
   test("real GPT-2 encoder files reproduce the reference's pinned ids " +
       "(test_text_ops.py:87-94)") {
     val assets = "/root/reference/torcharrow/test/asset"

@@ -45,6 +45,19 @@ class BpeTrainSpec extends SparkSpec {
     assert(vocab.size === 258)
   }
 
+  test("char-level vocab keeps every BASE symbol even when merges " +
+      "consume all its standalone occurrences") {
+    // after 3 merges the in-training buffers hold [aa,ab] / [aa,b] —
+    // the base alphabet {a, b} must come from the PRE-merge units, or
+    // any standalone 'a' would silently map to unkId
+    val (_, vocab) = BpeTrain.train(
+      Seq("aaab" -> 3L, "aab" -> 2L), numMerges = 3, byteLevel = false)
+    assert(vocab.contains("a") && vocab.contains("b"))
+    assert(vocab("a") === 0L && vocab("b") === 1L) // sorted base first
+    assert(vocab("aa") === 2L && vocab("ab") === 3L &&
+      vocab("aaab") === 4L) // merges at base.length + rank
+  }
+
   test("trained tables drive BpeEncoder end-to-end") {
     val (ranks, vocab) = BpeTrain.train(
       Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 2L), numMerges = 4)

@@ -179,6 +179,23 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(byG("B") / tot - 0.25) < 0.05, byG.toString)
   }
 
+  test("mixToTarget keeps the scarcest domain in FULL even when its " +
+      "recomputed fraction rounds below 1.0") {
+    import spark.implicits._
+    // 7 A, 1000 B with targets 0.3/0.7: t = 7/0.3 = 23.333...,
+    // 0.3*t/7 = 0.9999999999999999 — without the argmin pin the floor
+    // threshold would silently drop ~1/8192 of A
+    val df = (0L until 1007L).map(k => (k, if (k < 7) "A" else "B"))
+      .toDF("k", "g")
+    for (seed <- 0L until 20L) {
+      val byG = Sampling.mixToTarget(df, col("g"), col("k"),
+        Map("A" -> 0.3, "B" -> 0.7), seed = seed)
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(byG("A") === 7L, s"seed $seed: scarcest domain lost rows")
+    }
+  }
+
   test("mixToTarget drops non-target domains, raises on absent " +
       "targets and bad shares") {
     import spark.implicits._
