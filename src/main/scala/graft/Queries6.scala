@@ -1017,6 +1017,32 @@ object Queries6 {
       | AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
       |ORDER BY c_id, p_id""".stripMargin
 
+  // ---- IVF-ADC (IVF + PQ + refine) -------------------------------------
+
+  /** The composed ANN production shape (Similarity.ivfPqTopK — FAISS
+    * IndexIVFPQ + RefineFlat): q52's coarse cells prune WHAT is
+    * scanned, q109's byte codes compress HOW, exact refine re-ranks
+    * the survivors. Recall is bounded by the nProbe/nCells scan
+    * fraction, not quantization (deterministic measured
+    * 0.52 / 0.52 / 0.54 at sf0.001/0.01/0.1 and 0.66 on the sf1.0
+    * replica corpus — the q52 band, floor 0.50); planted twins rank
+    * first at every SF (same cell by construction + exact refine). */
+  def q111KnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.where($"vec_id" < 5)
+    def run(corpus: DataFrame): DataFrame =
+      graft.operators.Similarity.ivfPqTopK(corpus, probes, "embedding",
+        "vec_id", "vec_id", k = 10)
+    val got = run(emb)
+    val brute = graft.operators.Similarity.bruteForceTopK(emb, probes,
+      "embedding", "vec_id", "vec_id", k = 10)
+    got.select($"probe_id", $"id", $"rank")
+      .crossJoin(broadcast(Queries2.annRecallCheck(got, brute, "q111", 0.50)))
+      .crossJoin(broadcast(Queries2.annTwinCheck(run, emb, probes,
+        "q111", 5)))
+      .orderBy($"probe_id", $"rank")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q85_decontaminate" -> (q85Decontaminate _),
     "q86_pii_redact" -> (q86PiiRedact _),
@@ -1042,7 +1068,8 @@ object Queries6 {
     "q107_para_dedup" -> (q107ParaDedup _),
     "q108_bpe_train" -> (q108BpeTrain _),
     "q109_knn_pq" -> (q109KnnPq _),
-    "q110_stream_outer_join" -> (q110StreamOuterJoin _)
+    "q110_stream_outer_join" -> (q110StreamOuterJoin _),
+    "q111_knn_ivfpq" -> (q111KnnIvfPq _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -423,20 +423,89 @@ object Similarity {
       .select(col("probe_id"), col("id"),
         Functional.pqScore(col("codes"), col("lut"), nCodes).as("cosine"))
     if (refine == 0) topKPerProbe(scored, k, "pqTopK")
-    else {
-      val cand = topKPerProbe(scored, k * refine, "pqTopK/adc")
-        .select(col("probe_id"), col("id"))
-      val pv = broadcast(probes.select(
-        asLongId(probes, probeIdCol, "probe_id"),
-        col(vecCol).as("probe_vec")))
-      val exact = corpus
-        .select(asLongId(corpus, idCol, "id"), col(vecCol).as("v"))
-        .join(broadcast(cand), Seq("id"))
-        .join(pv, Seq("probe_id"))
-        .select(col("probe_id"), col("id"),
-          Functional.cosineSim(col("v"), col("probe_vec")).as("cosine"))
-      topKPerProbe(exact, k, "pqTopK/refine")
-    }
+    else refineExact(corpus, probes, scored, vecCol, idCol, probeIdCol,
+      k, refine, "pqTopK")
+  }
+
+  /** Shared exact-refine tail (FAISS IndexRefineFlat): bound the
+    * approximate `scored` set to the per-probe ADC top k·refine, then
+    * re-score those candidates EXACTLY against the original vectors
+    * and re-rank. The candidate set is |probes|·k·refine rows —
+    * broadcastable — so the original-vector read is a broadcast-
+    * filtered scan, never a shuffle of the corpus. */
+  private def refineExact(
+      corpus: DataFrame,
+      probes: DataFrame,
+      scored: DataFrame,
+      vecCol: String,
+      idCol: String,
+      probeIdCol: String,
+      k: Int,
+      refine: Int,
+      what: String): DataFrame = {
+    val cand = topKPerProbe(scored, k * refine, s"$what/adc")
+      .select(col("probe_id"), col("id"))
+    val pv = broadcast(probes.select(
+      asLongId(probes, probeIdCol, "probe_id"),
+      col(vecCol).as("probe_vec")))
+    val exact = corpus
+      .select(asLongId(corpus, idCol, "id"), col(vecCol).as("v"))
+      .join(broadcast(cand), Seq("id"))
+      .join(pv, Seq("probe_id"))
+      .select(col("probe_id"), col("id"),
+        Functional.cosineSim(col("v"), col("probe_vec")).as("cosine"))
+    topKPerProbe(exact, k, s"$what/refine")
+  }
+
+  /** IVF-ADC (+refine): the full FAISS IndexIVFPQ production shape and
+    * the composition of this module's two scale axes — [[ivfTopK]]'s
+    * coarse cells prune WHAT is scanned (nProbe/nCells of the corpus),
+    * [[pqTopK]]'s byte codes compress HOW it is scanned (m bytes per
+    * candidate, ADC table lookups), and the exact-refine tail restores
+    * top-k fidelity over the survivors. The at-rest layout is
+    * (cell, codes): partition or bucket by cell and a probe reads
+    * nProbe partitions of 8-byte codes; only refine touches original
+    * vectors, through a broadcast candidate filter. Recall is bounded
+    * by the cell pruning (the q52 discipline), not the quantization —
+    * refine removes the ADC ordering error inside the scanned set. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      probes: DataFrame,
+      vecCol: String,
+      idCol: String,
+      probeIdCol: String,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      nCodes: Int = 256,
+      sampleSize: Int = 4096,
+      iters: Int = 5,
+      refine: Int = 4): DataFrame = {
+    require(nCodes >= 1 && nCodes <= 256, s"PQ codes are bytes: $nCodes")
+    require(refine >= 0, s"refine=$refine")
+    val centroids = trainCentroids(corpus, vecCol, idCol, nCells,
+      sampleSize, iters)
+    val cb = trainPqCodebooks(corpus, vecCol, idCol, m, nCodes,
+      sampleSize, iters)
+    val dim = centroids.head.length
+    val centLit = lit(centroids.flatten)
+    val cbLit = lit(cb)
+    val codes = corpus.select(asLongId(corpus, idCol, "id"),
+      Functional.nearestCell(col(vecCol), centLit, dim).as("cell"),
+      Functional.pqEncode(col(vecCol), cbLit, m, nCodes).as("codes"))
+    val pb = broadcast(probes.select(
+      asLongId(probes, probeIdCol, "probe_id"),
+      Functional.pqLut(col(vecCol), cbLit, m, nCodes).as("lut"),
+      explode(Functional.nearestCells(col(vecCol), centLit, dim, nProbe))
+        .as("cell")))
+    val scored = codes.join(pb, Seq("cell"))
+      .where(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        Functional.pqScore(col("codes"), col("lut"), nCodes).as("cosine"))
+    if (refine == 0) topKPerProbe(scored, k, "ivfPqTopK")
+    else refineExact(corpus, probes, scored, vecCol, idCol, probeIdCol,
+      k, refine, "ivfPqTopK")
   }
 
   /** LSH-bucketed ANN: only corpus rows whose hyperplane bucket matches

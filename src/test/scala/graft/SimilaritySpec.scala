@@ -131,6 +131,33 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(got.head._2 - 1.0) < 1e-12) // exact cosine, not ADC
   }
 
+  test("IVF-ADC composes cell pruning with code scanning: neighbors " +
+      "inside probed cells come back exactly ranked via refine") {
+    // clusteredCorpus's structure: a probe's true neighbors share its
+    // cluster; a trained coarse quantizer keeps them in probed cells,
+    // and the refine tail must order the survivors by exact cosine
+    val corpus = clusteredCorpus
+    val probes = corpus.where(col("vec_id").isin(450L))
+    val ivfpq = graft.operators.Similarity.ivfPqTopK(corpus, probes,
+      "embedding", "vec_id", "vec_id", k = 10, nCells = 8, nProbe = 2,
+      m = 4, nCodes = 64, sampleSize = 256, iters = 5, refine = 4)
+    val brute = graft.operators.Similarity.bruteForceTopK(corpus, probes,
+      "embedding", "vec_id", "vec_id", k = 10)
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(brute)
+    val recall = hits(ivfpq).intersect(exact).size.toDouble / exact.size
+    info(f"IVF-ADC recall@10 on clustered corpus: $recall%.3f")
+    assert(recall >= 0.8, s"recall $recall")
+    // refine means survivor scores are EXACT cosines (<= 1 + eps and
+    // monotonically non-increasing by rank)
+    val scores = ivfpq.orderBy("rank").collect()
+      .map(_.getAs[Double]("cosine"))
+    assert(scores.forall(_ <= 1.0 + 1e-9))
+    assert(scores.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+  }
+
   test("PQ codes are m bytes and the plan carries the bounded top-k " +
       "(no window tail)") {
     val corpus = (0L until 200L)
