@@ -125,6 +125,75 @@ object TextAnalysis {
   /** Stable 64-bit content fingerprint (FNV-1a kernel). */
   def fingerprint(text: Column): Column = Functional.fingerprint64(text)
 
+  // ---- C4-style document filter (Raffel et al. 2020, §2.2) -------------
+
+  /** Count of the most frequent whitespace token — exact and row-local:
+    * sort the token array, take the longest equal run (the HOF fold
+    * stays inside whole-stage codegen; no explode, no shuffle). NULL
+    * text → NULL. */
+  def topTokenCount(text: Column): Column = {
+    val sorted = array_sort(tokens(text))
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, w) => {
+        val run = when(w === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(w.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+  }
+
+  /** Stopword list the C4 filter checks for (the en profile). */
+  val c4Stopwords: Seq[String] = stopwordProfiles("en")
+
+  /** C4-style document-level quality filter (Raffel et al. 2020 §2.2,
+    * adapted from line statistics to word statistics since this corpus
+    * is single-line): a document is kept when it
+    *  1. has `minWords`..`maxWords` words,
+    *  2. has mean word length in [meanLenMin10x, meanLenMax10x] tenths
+    *     of a character (C4's 3..10 band, tightened to 4.2 for this
+    *     vocabulary),
+    *  3. devotes <= topWordMaxPct % of its words to a single word
+    *     (the Gopher top-gram repetition rule at gram = 1),
+    *  4. contains >= minStopwords DISTINCT English stopwords (C4's
+    *     "terminal punctuation / natural language" proxy), and
+    *  5. contains no banned phrase ("lorem ipsum", "javascript" —
+    *     C4's blocklist rule).
+    * Returns struct(keep, reason) where reason is the FIRST failed
+    * rule name in the order above, NULL when kept.
+    *
+    * Every threshold is an INTEGER comparison (mean length via
+    * 10·sumLen vs bound·n, fraction via 100·top vs pct·n) so any SQL
+    * engine reproduces the verdict bit-for-bit — no FP epsilon in the
+    * keep/drop decision. One scan, pure column expressions, no
+    * shuffle: the 100 TB cost is the read. */
+  def c4Filter(text: Column,
+      minWords: Int = 15, maxWords: Int = 10000,
+      meanLenMin10x: Int = 42, meanLenMax10x: Int = 100,
+      topWordMaxPct: Int = 20, minStopwords: Int = 2,
+      banned: Seq[String] = Seq("lorem ipsum", "javascript")): Column = {
+    val toks = tokens(text)
+    val n = coalesce(size(toks), lit(0)).cast(LongType)
+    val sumLen = coalesce(length(regexp_replace(text, "\\s", "")), lit(0))
+      .cast(LongType)
+    val topc = coalesce(topTokenCount(text), lit(0)).cast(LongType)
+    val nstop = coalesce(
+      size(array_intersect(toks, array(c4Stopwords.map(lit): _*))),
+      lit(0))
+    val isBanned = coalesce(
+      banned.map(b => lower(text).contains(b)).reduce(_ || _), lit(false))
+    val reason = when(n < minWords || n > maxWords, "word_count")
+      .when(sumLen * 10 < n * meanLenMin10x ||
+        sumLen * 10 > n * meanLenMax10x, "word_length")
+      .when(topc * 100 > n * topWordMaxPct, "repetition")
+      .when(nstop < minStopwords, "stopwords")
+      .when(isBanned, "banned")
+      .otherwise(lit(null).cast(StringType))
+    struct(reason.isNull.as("keep"), reason.as("reason"))
+  }
+
   /** Winnowing fingerprint set (rolling-hash k-grams, window-minimum
     * selection — Schleimer et al., SIGMOD'03). Position-independent
     * local fingerprints: docs sharing any run of >= w + k - 1 bytes

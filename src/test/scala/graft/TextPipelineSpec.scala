@@ -255,4 +255,45 @@ class TextPipelineSpec extends SparkSpec {
       .where(col("term") === "rare2").select("score").head().getDouble(0)
     assert(math.abs(scores - 2 * math.log(3.0)) < 1e-12)
   }
+
+  // ---- C4 document filter ----------------------------------------------
+
+  private def c4Verdict(text: String): (Boolean, String) = {
+    val r = Seq(Tuple1(text)).toDF("text")
+      .select(TextAnalysis.c4Filter(col("text")).as("f"))
+      .select("f.keep", "f.reason").head()
+    (r.getBoolean(0), if (r.isNullAt(1)) null else r.getString(1))
+  }
+
+  test("topTokenCount finds the longest run of the sorted token array") {
+    val got = Seq("b a b c b", "x", "y y", "  a   b  ").toDF("text")
+      .select(TextAnalysis.topTokenCount(col("text")))
+    assert(col0(got) === Seq(3, 1, 2, 1))
+    // NULL text stays NULL (callers decide the policy)
+    assert(col0(Seq(Option.empty[String]).toDF("text")
+      .select(TextAnalysis.topTokenCount(col("text")))) === Seq(null))
+  }
+
+  test("c4Filter fires rules in declared order with integer thresholds") {
+    val good = "the quality of these documents seems generally quite " +
+      "reasonable because the writing contains longer standard words " +
+      "throughout today"
+    assert(c4Verdict(good) === ((true, null)))
+    // 1. word count below 15
+    assert(c4Verdict("the a of and too short") === ((false, "word_count")))
+    // 2. mean word length below 4.2 (integer compare: 10*sumLen < 42*n)
+    assert(c4Verdict("a b c d e f g h i j k l m n o p") ===
+      ((false, "word_length")))
+    // 3. one word above 20% of the document
+    assert(c4Verdict(("the of " + "spammy " * 14).trim + " word here is " +
+      "repeated far too many times to pass") === ((false, "repetition")))
+    // 4. fewer than 2 distinct stopwords — 'the' twice still counts once
+    assert(c4Verdict("the quick brown foxes jumped over lazy dogs " +
+      "while the other animals watched quietly nearby today") ===
+      ((false, "stopwords")))
+    // 5. banned phrase, case-insensitive
+    assert(c4Verdict(good + " Lorem IPSUM") === ((false, "banned")))
+    // null text counts zero words
+    assert(c4Verdict(null) === ((false, "word_count")))
+  }
 }
