@@ -66,11 +66,59 @@ object Queries7 {
       |SELECT doc_id, reason IS NULL AS keep, reason
       |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---- exact-substring span dedup --------------------------------------
+
+  /** Exact-substring dedup at k = 8 words (Lee et al., ACL 2022; see
+    * Dedup.dedupSpans for semantics and the triplets-only shuffle
+    * story). The synthetic corpus genuinely contains ~1k duplicated
+    * 8-word spans at sf0.01, so removal is exercised, not vacuous.
+    * Fully oracled: DuckDB picks winners by span CONTENT (which also
+    * witnesses xxhash64 collision-freedom, as in q107), expands loser
+    * positions, and rebuilds kept_text from the uncovered words. */
+  def q113SpanDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Dedup.dedupSpans(t(s, dir, "documents"),
+        "doc_id", "text", k = 8)
+      .select($"id".as("doc_id"), $"kept_text", $"n_removed")
+      .orderBy($"doc_id")
+
+  val q113Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(words[(i):(i+7)], ' ') AS gram
+      |  FROM w, UNNEST(range(1, len(words) - 8 + 2)) AS t(i)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+      |      AS rk
+      |  FROM g),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos + j.j AS cp
+      |  FROM r, UNNEST(range(0, 8)) AS j(j) WHERE rk > 1),
+      |wp AS (
+      |  SELECT doc_id, i - 1 AS wpos, words[i] AS word
+      |  FROM w, UNNEST(range(1, len(words) + 1)) AS t(i)),
+      |kept AS (
+      |  SELECT wp.doc_id,
+      |    string_agg(word, ' ' ORDER BY wpos) AS kept_text
+      |  FROM wp LEFT JOIN cov
+      |    ON wp.doc_id = cov.doc_id AND wp.wpos = cov.cp
+      |  WHERE cov.doc_id IS NULL GROUP BY wp.doc_id),
+      |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1)
+      |SELECT w.doc_id, coalesce(kept_text, '') AS kept_text,
+      |  coalesce(n_removed, 0) AS n_removed
+      |FROM w LEFT JOIN kept USING (doc_id) LEFT JOIN nrem USING (doc_id)
+      |ORDER BY w.doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q112_c4_filter" -> (q112C4Filter _)
+    "q112_c4_filter" -> (q112C4Filter _),
+    "q113_span_dedup" -> (q113SpanDedup _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q112_c4_filter" -> q112Sql
+    "q112_c4_filter" -> q112Sql,
+    "q113_span_dedup" -> q113Sql
   )
 }

@@ -94,6 +94,64 @@ object Dedup {
       .withColumn("n_kept", size(col("kept")))
   }
 
+  /** Exact-substring span dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL 2022 — the ExactSubstr
+    * policy at word granularity): every k-word span occurring more than
+    * once in the corpus keeps only its FIRST occurrence in (id, pos)
+    * order; all other occurrences have their k word positions removed,
+    * and each document is rebuilt from its surviving words. Overlapping
+    * duplicated spans remove the UNION of their positions. Documents
+    * shorter than k words have no spans and pass through whole.
+    *
+    * Input: (idCol integral, textCol string; whitespace tokens). Output:
+    * (id, kept_text, n_words, n_removed). Span identity is xxhash64 of
+    * the space-joined k words — the same accepted 64-bit collision risk
+    * as [[exact]].
+    *
+    * Scale shape (the dedupParagraphs discipline at span granularity):
+    * the shingle explode is row-local (fused wordShingles kernel) and
+    * only (hash, id, pos) triplets shuffle — never the text. Winner
+    * selection is one min-struct aggregate, map-side partial, so a
+    * boilerplate span repeated 10^9 times reduces per-partition without
+    * a hot key. Loser positions expand k-fold but stay (id, int) pairs,
+    * dedup to a per-doc covered set bounded by document length, and
+    * join back on the uniform id key; the word-array rebuild is
+    * row-local (array_contains per word — O(words·covered) on
+    * document-bounded arrays). */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int)
+      : DataFrame = {
+    require(k >= 2, s"dedupSpans: span length k must be >= 2, got $k")
+    val grams = df
+      .select(col(idCol).cast(LongType).as("id"),
+        // the kernel emits one whole-doc shingle for docs shorter than
+        // k; spans are defined only at full length, so guard those out
+        posexplode(when(
+          size(TextAnalysis.tokens(col(textCol))) >= k,
+          Functional.wordShingles(col(textCol), k))
+          .otherwise(typedLit(Seq.empty[String])))
+          .as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), xxhash64(col("gram")).as("gh"))
+    val winners = grams.groupBy("gh")
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("gh"), col("w.id").as("wid"), col("w.pos").as("wpos"))
+    val covered = grams.join(winners, Seq("gh"))
+      .where(!(col("id") === col("wid") && col("pos") === col("wpos")))
+      .select(col("id"), explode(sequence(col("pos"),
+        col("pos") + (k - 1))).as("cp"))
+      .distinct()
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("cp"))).as("__covered"))
+    df.select(col(idCol).cast(LongType).as("id"),
+        TextAnalysis.tokens(col(textCol)).as("words"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"),
+        concat_ws(" ", filter(col("words"), (_, i) =>
+          !coalesce(array_contains(col("__covered"), i), lit(false))))
+          .as("kept_text"),
+        size(col("words")).as("n_words"),
+        coalesce(size(col("__covered")), lit(0)).as("n_removed"))
+  }
+
   /** Exact duplicate groups: fingerprint → ids, for groups of size>1. */
   def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
     df.select(Functional.fingerprint64(col(textCol)).as("fp"),

@@ -256,6 +256,35 @@ class TextPipelineSpec extends SparkSpec {
     assert(math.abs(scores - 2 * math.log(3.0)) < 1e-12)
   }
 
+  // ---- exact-substring span dedup ---------------------------------------
+
+  test("dedupSpans removes losing k-word spans, unions overlaps, and " +
+      "passes short docs through whole") {
+    val docs = Seq(
+      (1L, "a b c d e f"), // owns the first "a b c d"
+      (2L, "x a b c d y"), // loses its copy at pos 1 -> only x y left
+      (3L, "a b c d e f"), // exact copy of doc 1 -> fully removed
+      (4L, "a b c"), // shorter than k: no spans, kept whole
+      (5L, "p q r s p q r s p q r s") // self-repeat: one period survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got === Seq(
+      (1L, "a b c d e f", 6, 0),
+      (2L, "x y", 6, 4),
+      (3L, "", 6, 6),
+      (4L, "a b c", 3, 0),
+      (5L, "p q r s", 12, 8)))
+  }
+
+  test("dedupSpans rejects k < 2") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.dedupSpans(docs, "doc_id", "text", k = 1)
+    }
+  }
+
   // ---- C4 document filter ----------------------------------------------
 
   private def c4Verdict(text: String): (Boolean, String) = {
