@@ -1,10 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.TextAnalysis
+import graft.functions.Functional
+import graft.operators.{Sketches, TextAnalysis}
 
 /** Round-11 continuation queries: corpus-hygiene and format operators
   * past q111 — C4-style document filtering, exact-substring span dedup,
@@ -18,6 +19,11 @@ object Queries7 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
+
+  /** Exact distributed sum of a double column (the [[Queries]] DECIMAL
+    * convention, so partial-agg order cannot change the result). */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
 
   // ---- C4-style document filter ----------------------------------------
 
@@ -112,13 +118,123 @@ object Queries7 {
       |FROM w LEFT JOIN kept USING (doc_id) LEFT JOIN nrem USING (doc_id)
       |ORDER BY w.doc_id""".stripMargin
 
+  // ---- sketch cardinality (HLL + Count-Min) ------------------------------
+
+  /** Sketch-based counting vs exact (Sketches.approxDistinct /
+    * cmsCounts): per-lang distinct 8-word shingles — ~5k per lang, past
+    * the HLL++ sparse/dense switch at rsd 0.05, so real register
+    * estimation is exercised, not the exact sparse mode. The oracled
+    * output is the EXACT distinct count (the small-SF baseline); the
+    * sketches are checked in-gate: the deterministic HLL estimate must
+    * sit within 4 sigma (20%) of exact per lang, and every Count-Min
+    * word-count estimate must obey true <= est <= true + eps*N (CMS
+    * never undercounts; the grid is seeded, so the bound is a pinned
+    * fact, not a flake). At 100 TB the HLL column IS the plan — one
+    * scan, fixed-size registers, no shuffle of values — where the
+    * exact count here shuffles every distinct shingle. */
+  def q114SketchDistinct(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val grams = docs.select($"lang",
+      explode(when(size(TextAnalysis.tokens($"text")) >= 8,
+        Functional.wordShingles($"text", 8))
+        .otherwise(typedLit(Seq.empty[String]))).as("gram"))
+    val exact = grams.groupBy($"lang")
+      .agg(count_distinct($"gram").as("nd_exact"))
+    val worst = exact
+      .join(Sketches.approxDistinct(grams, Seq("lang"), "gram", rsd = 0.05),
+        "lang")
+      .agg(max(abs($"nd_approx" - $"nd_exact").cast(DoubleType) /
+        $"nd_exact".cast(DoubleType)).as("e"))
+      .head().getDouble(0)
+    require(worst <= 0.20,
+      f"q114: HLL relative error $worst%.4f above the 4-sigma bound " +
+        "0.20 at rsd 0.05")
+    // Count-Min: the exact word-count table is vocabulary-sized, so
+    // collecting it as the truth side is bounded
+    val words = docs.select(explode(TextAnalysis.tokens($"text")).as("w"))
+    val eps = 0.001
+    val cms = Sketches.cmsCounts(words, "w", eps, confidence = 0.99,
+      seed = 42)
+    val slack = math.ceil(eps * cms.totalCount()).toLong
+    words.groupBy($"w").agg(count(lit(1)).as("c")).collect().foreach { r =>
+      val (w, c) = (r.getString(0), r.getLong(1))
+      val est = cms.estimateCount(w)
+      require(est >= c && est <= c + slack,
+        s"q114: CMS estimate $est for '$w' outside [$c, ${c + slack}]")
+    }
+    exact.withColumn("hll_ok", lit(true)).withColumn("cms_ok", lit(true))
+      .orderBy($"lang")
+  }
+
+  val q114Sql: String =
+    """WITH w AS (
+      |  SELECT lang, string_split_regex(trim(text), '\s+') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, array_to_string(words[(i):(i+7)], ' ') AS gram
+      |  FROM w, UNNEST(range(1, len(words) - 8 + 2)) AS t(i))
+      |SELECT lang, count(DISTINCT gram) AS nd_exact,
+      |  true AS hll_ok, true AS cms_ok
+      |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- bloom semi-join prefilter ----------------------------------------
+
+  /** Bloom-prefiltered semi-join (Sketches.bloomPrefilter — the
+    * explicit form of Spark's runtime row-group filters): lineitem
+    * rows are pre-filtered by a bounded binary sketch of the qualifying
+    * part keys (codegen'd probe on the scan, no join, no shuffle), then
+    * the exact semi-join removes the false positives. In-gate checks:
+    * the prefilter must preserve EVERY true match (bloom false
+    * negatives are impossible — a drop is a bug), and the measured
+    * false-positive rate must stay under 3x the 0.01 target (the
+    * sketch is deterministic, so this is pinned, not sampled). The
+    * oracled output is the exact post-join aggregate. */
+  def q115BloomSemijoin(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val keys = t(s, dir, "part").where($"p_size" < 10).select($"p_partkey")
+    val pre = Sketches.bloomPrefilter(li, "l_partkey", keys, "p_partkey",
+      expectedItems = keys.count(), fpp = 0.01)
+    val exact = pre.join(broadcast(keys), $"l_partkey" === $"p_partkey",
+      "left_semi")
+    val directCount = li.join(broadcast(keys),
+      $"l_partkey" === $"p_partkey", "left_semi").count()
+    val exactCount = exact.count()
+    require(exactCount == directCount,
+      s"q115: bloom prefilter dropped true matches ($exactCount vs " +
+        s"$directCount) — false negatives are impossible, this is a bug")
+    val liCount = li.count()
+    val fpRate = (pre.count() - exactCount).toDouble /
+      math.max(1L, liCount - exactCount)
+    require(fpRate <= 0.03,
+      f"q115: bloom false-positive rate $fpRate%.4f above 3x the 0.01 " +
+        "target")
+    exact.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .withColumn("no_false_negatives", lit(true))
+      .withColumn("fp_ok", lit(true))
+      .orderBy($"l_returnflag")
+  }
+
+  val q115Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_qty,
+      |  true AS no_false_negatives, true AS fp_ok
+      |FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_c4_filter" -> (q112C4Filter _),
-    "q113_span_dedup" -> (q113SpanDedup _)
+    "q113_span_dedup" -> (q113SpanDedup _),
+    "q114_sketch_distinct" -> (q114SketchDistinct _),
+    "q115_bloom_semijoin" -> (q115BloomSemijoin _)
   )
 
   val oracles: Map[String, String] = Map(
     "q112_c4_filter" -> q112Sql,
-    "q113_span_dedup" -> q113Sql
+    "q113_span_dedup" -> q113Sql,
+    "q114_sketch_distinct" -> q114Sql,
+    "q115_bloom_semijoin" -> q115Sql
   )
 }

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
+
+/** Bounded-size probabilistic sketches — the operations that replace
+  * exact shuffles at 100 TB:
+  *
+  *  - HLL distinct counts ([[approxDistinct]]): one scan, map-side
+  *    partial merge of fixed-size registers, no shuffle of values —
+  *    where an exact distinct would shuffle every distinct key.
+  *  - Bloom semi-join prefilter ([[bloomPrefilter]]): the explicit
+  *    form of Spark's runtime row-group filters — build a bounded
+  *    binary sketch over the key side, probe the fact side with a
+  *    codegen'd literal. False negatives impossible (every true match
+  *    survives); false positives bounded by fpp and removed by the
+  *    exact join that follows.
+  *  - Count-Min heavy-hitter counts ([[cmsCounts]]): fixed-size
+  *    counter grid, estimates never undercount and overcount by at
+  *    most eps·N with the sketch's confidence.
+  *
+  * All three are deterministic for fixed inputs and seeds (HLL and
+  * bloom are seed-free; CMS takes an explicit seed), so gates can pin
+  * their error bounds exactly.
+  */
+object Sketches {
+
+  /** Per-group HLL distinct counts: groupBy(groupCols).agg(HLL(value)).
+    * `rsd` is the target relative standard deviation; estimates are
+    * deterministic and partition-order-invariant (register max-merge
+    * commutes). */
+  def approxDistinct(
+      df: DataFrame, groupCols: Seq[String], valueCol: String,
+      rsd: Double, out: String = "nd_approx"): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(approx_count_distinct(col(valueCol), rsd).as(out))
+
+  /** Build a bloom sketch over `keyCol` of `keys`, sized for
+    * `expectedItems` at false-positive rate `fpp`. The aggregate runs
+    * distributed (partial sketches OR-merge); only the final
+    * numBits-bounded binary reaches the driver. */
+  def bloomSketch(
+      keys: DataFrame, keyCol: String, expectedItems: Long,
+      fpp: Double): Array[Byte] = {
+    require(expectedItems > 0, s"bloomSketch: expectedItems must be " +
+      s"positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"bloomSketch: fpp must be in (0,1), " +
+      s"got $fpp")
+    val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    val r = keys
+      .select(Shim.bloomAgg(xxhash64(col(keyCol)), expectedItems, numBits)
+        .as("bf"))
+      .head()
+    require(!r.isNullAt(0),
+      "bloomSketch: empty key side — the aggregate returned no sketch")
+    r.getAs[Array[Byte]](0)
+  }
+
+  /** Semi-join prefilter: keep the fact rows whose `factKey` MIGHT be
+    * in `keys`. The scale pattern for fact-x-dim filtering when the
+    * dim is too big to broadcast as a hash relation but its bloom
+    * sketch is not: the probe is a pure codegen'd expression on the
+    * fact scan (no shuffle, no join), and the exact join that follows
+    * runs over the pre-shrunk fact side. */
+  def bloomPrefilter(
+      fact: DataFrame, factKey: String,
+      keys: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val sketch = bloomSketch(keys, keyCol, expectedItems, fpp)
+    fact.where(Shim.bloomMightContain(sketch, xxhash64(col(factKey))))
+  }
+
+  /** Count-Min sketch of a string column's value counts (distributed
+    * build, driver-merged fixed-size grid). Estimates obey
+    * true <= est <= true + eps·N with the sketch's confidence. */
+  def cmsCounts(
+      df: DataFrame, valueCol: String, eps: Double, confidence: Double,
+      seed: Int): CountMinSketch =
+    df.stat.countMinSketch(valueCol, eps, confidence, seed)
+}

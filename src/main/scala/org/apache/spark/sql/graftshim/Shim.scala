@@ -94,4 +94,25 @@ object Shim {
       clazz, dataType, functionName, args.map(expression), inputTypes,
       propagateNull = true, returnNullable = false, isDeterministic = true,
       None))
+
+  /** Bloom-filter aggregate over a pre-hashed LONG column (pass
+    * xxhash64 of the key) → binary sketch. The same expression Spark's
+    * InjectRuntimeFilter builds for its runtime row-group filters,
+    * exposed for explicit semi-join prefilters (it has no SQL-registered
+    * name). Partial-merging, so the sketch build is one map-side pass. */
+  def bloomAgg(hashed: Column, expectedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(hashed),
+        org.apache.spark.sql.catalyst.expressions.Literal(expectedItems),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+      .toAggregateExpression())
+
+  /** Codegen'd probe of a driver-held bloom sketch: the sketch bytes
+    * ship as a literal (bounded by numBits), the probe inlines into
+    * whole-stage codegen — no UDF, no per-row deserialization. */
+  def bloomMightContain(sketch: Array[Byte], hashed: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(sketch,
+        org.apache.spark.sql.types.BinaryType),
+      expression(hashed)))
 }
