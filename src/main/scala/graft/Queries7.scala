@@ -224,17 +224,48 @@ object Queries7 {
       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size < 10)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- ORC round trip ----------------------------------------------------
+
+  /** ORC sink/source round trip, the q102/q103 contract for the third
+    * columnar format Spark ships natively: a five-type lineitem
+    * projection (int64, int32, double, string, timestamp_ntz) written
+    * to ORC and read back with an explicit schema must hash-match the
+    * parquet original row-for-row — byte fidelity through the
+    * encode/decode including the timestamp column. */
+  def q116OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_formats/orc_lineitem"
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag", $"l_shipdate")
+      .write.mode("overwrite").orc(path)
+    s.read.schema(StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_returnflag", StringType),
+        StructField("l_shipdate", TimestampNTZType))))
+      .orc(path)
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q116Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+      |  l_shipdate
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_c4_filter" -> (q112C4Filter _),
     "q113_span_dedup" -> (q113SpanDedup _),
     "q114_sketch_distinct" -> (q114SketchDistinct _),
-    "q115_bloom_semijoin" -> (q115BloomSemijoin _)
+    "q115_bloom_semijoin" -> (q115BloomSemijoin _),
+    "q116_orc_roundtrip" -> (q116OrcRoundtrip _)
   )
 
   val oracles: Map[String, String] = Map(
     "q112_c4_filter" -> q112Sql,
     "q113_span_dedup" -> q113Sql,
     "q114_sketch_distinct" -> q114Sql,
-    "q115_bloom_semijoin" -> q115Sql
+    "q115_bloom_semijoin" -> q115Sql,
+    "q116_orc_roundtrip" -> q116Sql
   )
 }
