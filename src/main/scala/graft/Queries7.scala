@@ -253,12 +253,77 @@ object Queries7 {
       |  l_shipdate
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  // ---- composed hygiene pipeline -----------------------------------------
+
+  /** The composed corpus-hygiene pipeline — the shape a real
+    * pretraining-data run chains: C4 quality filter (q112) → exact
+    * substring span dedup over the SURVIVORS (q113 — running dedup
+    * after filtering changes the winners, which is exactly what the
+    * composition must get right) → post-dedup length re-filter
+    * (documents hollowed out by span removal drop). Fully oracled:
+    * DuckDB chains the q112 and q113 CTEs over the same intermediate
+    * population. Output = surviving (doc_id, n_words_final). */
+  def q117HygienePipeline(s: SparkSession, dir: String): DataFrame = {
+    val kept = t(s, dir, "documents")
+      .where(TextAnalysis.c4Filter($"text").getField("keep"))
+    graft.operators.Dedup.dedupSpans(kept, "doc_id", "text", k = 8)
+      .select($"id".as("doc_id"),
+        ($"n_words" - $"n_removed").as("n_words_final"))
+      .where($"n_words_final" >= 15)
+      .orderBy($"doc_id")
+  }
+
+  val q117Sql: String =
+    """WITH w0 AS (
+      |  SELECT doc_id, text,
+      |    string_split_regex(trim(text), '\s+') AS words
+      |  FROM documents),
+      |u AS (SELECT doc_id, x FROM w0, UNNEST(words) AS t(x)),
+      |cnt AS (SELECT doc_id, max(c) AS topc FROM (
+      |  SELECT doc_id, x, count(*) AS c FROM u GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |stp AS (SELECT doc_id, count(DISTINCT x) AS nstop FROM u
+      |  WHERE x IN ('the','a','of','and','to','in','is','that','it',
+      |    'for','on','with','as','are','this')
+      |  GROUP BY 1),
+      |keepers AS (
+      |  SELECT w0.doc_id, words FROM w0
+      |  LEFT JOIN cnt USING (doc_id) LEFT JOIN stp USING (doc_id)
+      |  WHERE NOT (len(words) < 15 OR len(words) > 10000)
+      |    AND NOT (len(regexp_replace(text, '\s', '', 'g')) * 10
+      |             < len(words) * 42
+      |          OR len(regexp_replace(text, '\s', '', 'g')) * 10
+      |             > len(words) * 100)
+      |    AND NOT (coalesce(topc, 0) * 100 > len(words) * 20)
+      |    AND NOT (coalesce(nstop, 0) < 2)
+      |    AND NOT (position('lorem ipsum' IN lower(text)) > 0 OR
+      |             position('javascript' IN lower(text)) > 0)),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    array_to_string(words[(i):(i+7)], ' ') AS gram
+      |  FROM keepers, UNNEST(range(1, len(words) - 8 + 2)) AS t(i)),
+      |r AS (
+      |  SELECT doc_id, pos,
+      |    ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos)
+      |      AS rk
+      |  FROM g),
+      |cov AS (
+      |  SELECT DISTINCT doc_id, pos + j.j AS cp
+      |  FROM r, UNNEST(range(0, 8)) AS j(j) WHERE rk > 1),
+      |nrem AS (SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY 1)
+      |SELECT k.doc_id,
+      |  len(words) - coalesce(n_removed, 0) AS n_words_final
+      |FROM keepers k LEFT JOIN nrem USING (doc_id)
+      |WHERE len(words) - coalesce(n_removed, 0) >= 15
+      |ORDER BY k.doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_c4_filter" -> (q112C4Filter _),
     "q113_span_dedup" -> (q113SpanDedup _),
     "q114_sketch_distinct" -> (q114SketchDistinct _),
     "q115_bloom_semijoin" -> (q115BloomSemijoin _),
-    "q116_orc_roundtrip" -> (q116OrcRoundtrip _)
+    "q116_orc_roundtrip" -> (q116OrcRoundtrip _),
+    "q117_hygiene_pipeline" -> (q117HygienePipeline _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -266,6 +331,7 @@ object Queries7 {
     "q113_span_dedup" -> q113Sql,
     "q114_sketch_distinct" -> q114Sql,
     "q115_bloom_semijoin" -> q115Sql,
-    "q116_orc_roundtrip" -> q116Sql
+    "q116_orc_roundtrip" -> q116Sql,
+    "q117_hygiene_pipeline" -> q117Sql
   )
 }
