@@ -317,13 +317,98 @@ object Queries7 {
       |WHERE len(words) - coalesce(n_removed, 0) >= 15
       |ORDER BY k.doc_id""".stripMargin
 
+  // ---- native session windows --------------------------------------------
+
+  /** Session windows via Spark's native `session_window` (the built-in
+    * gaps-and-islands operator — complementary to q23's
+    * mapGroupsWithState sessionizer, which demonstrates CUSTOM state;
+    * this is the declarative form Catalyst can optimize). 30-minute
+    * gap; window end = last event + gap; an event at EXACTLY gap
+    * distance starts a new session ([start, end) overlap semantics),
+    * which the oracle's `>= gap` break condition mirrors. Event-time
+    * ns are truncated to µs identically on both sides. */
+  def q118SessionWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy($"user_id",
+        session_window(timestamp_micros(expr("ts div 1000")),
+          "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"sw.start").as("start_us"),
+        unix_micros($"sw.end").as("end_us"), $"n_events")
+      .orderBy($"user_id", $"start_us")
+
+  val q118Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events),
+      |x AS (
+      |  SELECT user_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w >= 1800000000
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      |y AS (
+      |  SELECT user_id, us,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY us
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM x)
+      |SELECT user_id, min(us) AS start_us,
+      |  max(us) + 1800000000 AS end_us, count(*) AS n_events
+      |FROM y GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin
+
+  // ---- hive-partitioned at-rest layout ------------------------------------
+
+  /** Hive-style partitioned at-rest layout — the directory-pruning
+    * complement of q92's bucketing: lineitem written
+    * `partitionBy(l_returnflag)`, then a partition-key filter must
+    * read ONLY the matching directory. The gate asserts the pruning
+    * at the FILE level (`inputFiles` all under `l_returnflag=R/`) —
+    * stronger than a plan-string check — then aggregates the pruned
+    * scan; the oracle recomputes from the unpartitioned original. At
+    * 100 TB this layout turns a full-corpus scan into a
+    * 1/|partitions| scan for partition-aligned predicates. */
+  def q119PartitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_formats/part_lineitem"
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    val pruned = s.read.parquet(path).where($"l_returnflag" === "R")
+    // pruning witness, file-level: execute THIS plan instance and read
+    // the scan's numFiles metric (Dataset.inputFiles is pre-pruning —
+    // it lists the whole relation)
+    val qe = pruned.queryExecution
+    qe.toRdd.count()
+    val scan = qe.executedPlan.collectLeaves().head
+    require(scan.toString().contains("PartitionFilters"),
+      s"q119: scan carries no partition filter:\n$scan")
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = s.read.parquet(path).inputFiles.length
+    require(filesRead > 0 && filesRead < totalFiles,
+      s"q119: partition pruning failed — read $filesRead of " +
+        s"$totalFiles files")
+    pruned.groupBy($"l_linenumber")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .withColumn("pruned_ok", lit(true))
+      .orderBy($"l_linenumber")
+  }
+
+  val q119Sql: String =
+    """SELECT l_linenumber, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_qty,
+      |  true AS pruned_ok
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q112_c4_filter" -> (q112C4Filter _),
     "q113_span_dedup" -> (q113SpanDedup _),
     "q114_sketch_distinct" -> (q114SketchDistinct _),
     "q115_bloom_semijoin" -> (q115BloomSemijoin _),
     "q116_orc_roundtrip" -> (q116OrcRoundtrip _),
-    "q117_hygiene_pipeline" -> (q117HygienePipeline _)
+    "q117_hygiene_pipeline" -> (q117HygienePipeline _),
+    "q118_session_window" -> (q118SessionWindow _),
+    "q119_partitioned_scan" -> (q119PartitionedScan _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -332,6 +417,8 @@ object Queries7 {
     "q114_sketch_distinct" -> q114Sql,
     "q115_bloom_semijoin" -> q115Sql,
     "q116_orc_roundtrip" -> q116Sql,
-    "q117_hygiene_pipeline" -> q117Sql
+    "q117_hygiene_pipeline" -> q117Sql,
+    "q118_session_window" -> q118Sql,
+    "q119_partitioned_scan" -> q119Sql
   )
 }
