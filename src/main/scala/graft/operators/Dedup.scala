@@ -138,9 +138,10 @@ object Dedup {
       .where(!(col("id") === col("wid") && col("pos") === col("wpos")))
       .select(col("id"), explode(sequence(col("pos"),
         col("pos") + (k - 1))).as("cp"))
-      .distinct()
       .groupBy("id")
-      .agg(sort_array(collect_list(col("cp"))).as("__covered"))
+      // collect_set dedups overlapping spans inside the aggregate —
+      // one shuffle instead of distinct-then-collect's two
+      .agg(sort_array(collect_set(col("cp"))).as("__covered"))
     df.select(col(idCol).cast(LongType).as("id"),
         TextAnalysis.tokens(col(textCol)).as("words"))
       .join(covered, Seq("id"), "left")
