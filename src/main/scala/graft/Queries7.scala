@@ -53,7 +53,7 @@ object Queries7 {
       |  WHERE x IN ('the','a','of','and','to','in','is','that','it',
       |    'for','on','with','as','are','this')
       |  GROUP BY 1),
-      |s AS (SELECT w.doc_id, len(words) AS n,
+      |s AS (SELECT w.doc_id, coalesce(len(words), 0) AS n,
       |    len(regexp_replace(text, '\s', '', 'g')) AS sumlen,
       |    coalesce(topc, 0) AS topc, coalesce(nstop, 0) AS nstop,
       |    (position('lorem ipsum' IN lower(text)) > 0 OR
@@ -140,12 +140,15 @@ object Queries7 {
         .otherwise(typedLit(Seq.empty[String]))).as("gram"))
     val exact = grams.groupBy($"lang")
       .agg(count_distinct($"gram").as("nd_exact"))
-    val worst = exact
+    val worstRow = exact
       .join(Sketches.approxDistinct(grams, Seq("lang"), "gram", rsd = 0.05),
         "lang")
       .agg(max(abs($"nd_approx" - $"nd_exact").cast(DoubleType) /
         $"nd_exact".cast(DoubleType)).as("e"))
-      .head().getDouble(0)
+      .head()
+    require(!worstRow.isNullAt(0),
+      "q114: no lang has any >=8-token document — empty gram population")
+    val worst = worstRow.getDouble(0)
     require(worst <= 0.20,
       f"q114: HLL relative error $worst%.4f above the 4-sigma bound " +
         "0.20 at rsd 0.05")
@@ -324,9 +327,11 @@ object Queries7 {
     * mapGroupsWithState sessionizer, which demonstrates CUSTOM state;
     * this is the declarative form Catalyst can optimize). 30-minute
     * gap; window end = last event + gap; an event at EXACTLY gap
-    * distance starts a new session ([start, end) overlap semantics),
-    * which the oracle's `>= gap` break condition mirrors. Event-time
-    * ns are truncated to µs identically on both sides. */
+    * distance MERGES into the session (Spark's merge condition is
+    * sessionStart <= currentSessionEnd — adjacency counts), which the
+    * oracle's strict `> gap` break condition mirrors; pinned against a
+    * hand-built exact-gap fixture in Queries7Spec. Event-time ns are
+    * truncated to µs identically on both sides. */
   def q118SessionWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .groupBy($"user_id",
@@ -343,7 +348,7 @@ object Queries7 {
       |x AS (
       |  SELECT user_id, us,
       |    CASE WHEN lag(us) OVER w IS NULL
-      |           OR us - lag(us) OVER w >= 1800000000
+      |           OR us - lag(us) OVER w > 1800000000
       |         THEN 1 ELSE 0 END AS brk
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
       |y AS (
@@ -378,7 +383,15 @@ object Queries7 {
     // it lists the whole relation)
     val qe = pruned.queryExecution
     qe.toRdd.count()
-    val scan = qe.executedPlan.collectLeaves().head
+    // strip a potential AQE wrapper (AdaptiveSparkPlanExec is itself a
+    // LeafExecNode, so a raw collectLeaves would return the wrapper)
+    def strip(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => strip(a.executedPlan)
+      case other => other
+    }
+    val scan = strip(qe.executedPlan).collectLeaves().map(strip).head
     require(scan.toString().contains("PartitionFilters"),
       s"q119: scan carries no partition filter:\n$scan")
     val filesRead = scan.metrics("numFiles").value

@@ -49,6 +49,23 @@ object Sketches {
     require(fpp > 0 && fpp < 1, s"bloomSketch: fpp must be in (0,1), " +
       s"got $fpp")
     val numBits = BloomFilter.optimalNumOfBits(expectedItems, fpp)
+    // BloomFilterAggregate silently CLAMPS to these session confs
+    // (rather than erroring), which would leave the sketch far above
+    // the requested fpp — fail loudly instead of degrading silently.
+    val conf = keys.sparkSession.conf
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000")
+      .toLong
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864")
+      .toLong
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloomSketch: expectedItems=$expectedItems needs $numBits bits " +
+        s"at fpp=$fpp, above the aggregate's clamp " +
+        s"(maxNumItems=$maxItems, maxNumBits=$maxBits) — the sketch " +
+        "would be silently undersized; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        "or accept a larger fpp")
     val r = keys
       .select(Shim.bloomAgg(xxhash64(col(keyCol)), expectedItems, numBits)
         .as("bf"))
