@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.graftshim.Shim
 import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
 
@@ -96,4 +97,56 @@ object Sketches {
       df: DataFrame, valueCol: String, eps: Double, confidence: Double,
       seed: Int): CountMinSketch =
     df.stat.countMinSketch(valueCol, eps, confidence, seed)
+
+  /** Exact frequent items above a `theta` frequency threshold, found
+    * WITHOUT a full-domain groupBy — the two-pass candidate pattern
+    * for heavy hitters over an unbounded key domain:
+    *
+    *  1. Candidate pass: each partition counts locally and emits only
+    *     the keys with local count >= theta * localRows. By the
+    *     averaging argument, any key with global count >= theta * N
+    *     clears the local threshold in AT LEAST one partition (if
+    *     every partition had count_p < theta * n_p, summing gives
+    *     count < theta * N) — so the candidate set is a guaranteed
+    *     superset of the true heavy hitters, and it is bounded:
+    *     <= 1/theta keys per partition survive the local filter.
+    *  2. Exact pass: recount ONLY the candidate keys (broadcast
+    *     semi-join on the scan) and keep those with count >= theta*N.
+    *
+    * At 100 TB the win is the shuffle: pass 1 shuffles <=
+    * partitions/theta candidate KEYS, pass 2 shuffles only rows
+    * matching candidates — the full key domain is never aggregated.
+    * Returns (keyCol, n) exact counts, no approximation in the output.
+    * Null keys are ignored. The local maps are per-partition
+    * distinct-key-bounded; the documented upgrade for adversarial
+    * per-partition cardinality is a SpaceSaving buffer at capacity
+    * ceil(1/theta), which preserves the same superset guarantee. */
+  def heavyHitters(df: DataFrame, keyCol: String, theta: Double)
+      : DataFrame = {
+    require(theta > 0 && theta <= 1,
+      s"heavyHitters: theta must be in (0,1], got $theta")
+    import scala.jdk.CollectionConverters._
+    val keys = df.select(col(keyCol).cast(StringType).as(keyCol))
+      .where(col(keyCol).isNotNull)
+    val candidates = keys
+      .as[String](Encoders.STRING)
+      .mapPartitions { it =>
+        val m = new java.util.HashMap[String, Long]
+        var n = 0L
+        it.foreach { k =>
+          n += 1
+          m.merge(k, 1L, (a, b) => a + b)
+        }
+        val thr = theta * n
+        m.entrySet().iterator().asScala
+          .filter(_.getValue >= thr).map(_.getKey)
+      }(Encoders.STRING)
+      .distinct()
+      .toDF(keyCol)
+    val total = keys.count()
+    keys.join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= lit(theta) * lit(total))
+  }
 }
