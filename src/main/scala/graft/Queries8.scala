@@ -209,12 +209,113 @@ object Queries8 {
        |SELECT lang, doc_id, h, rnk FROM r WHERE rnk <= 20
        |ORDER BY lang, rnk""".stripMargin
 
+  // ---- streaming session windows -----------------------------------------
+
+  /** Per-user session windows computed by a real STREAMING query with
+    * watermarked state (EventsStream.sessionWindows) — the stateful
+    * complement of q118's batch form, sharing its oracle: the
+    * single-file micro-batch must produce exactly the batch result,
+    * proving the streaming state merge implements the same session
+    * semantics (merge at <= gap distance, end = last + gap). */
+  def q125StreamSessions(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.sessionWindows(s, dir)
+
+  // ---- single-pass observed metrics --------------------------------------
+
+  /** Pipeline accounting via `Dataset.observe` (the Observation API):
+    * row count and an exact DECIMAL total accumulate ON the scan of
+    * the aggregate query itself — the production pattern for emitting
+    * data-quality counters without a second pass over 100 TB. In-gate:
+    * the observed metrics must equal the totals recomputed from the
+    * oracled per-group output (conservation — the observation saw
+    * every row the aggregate consumed). */
+  def q126ObserveMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = org.apache.spark.sql.Observation(s"q126_${System.nanoTime()}")
+    val out = t(s, dir, "lineitem")
+      .observe(obs, count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast(DecimalType(25, 4))).as("qty"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .withColumn("observed_ok", lit(true))
+      .orderBy($"l_returnflag")
+    val rows = out.collect()
+    val m = obs.get
+    val obsCnt = m("cnt").asInstanceOf[Long]
+    val obsQty = m("qty").asInstanceOf[java.math.BigDecimal]
+    val aggCnt = rows.map(_.getLong(1)).sum
+    val aggQty = rows.map(r => BigDecimal(r.getDouble(2))).sum
+    require(obsCnt == aggCnt,
+      s"q126: observed row count $obsCnt != aggregate total $aggCnt")
+    require((BigDecimal(obsQty) - aggQty).abs < BigDecimal("0.0001"),
+      s"q126: observed qty $obsQty != aggregate total $aggQty")
+    out
+  }
+
+  val q126Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+      |true AS observed_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- range-sorted at-rest layout ---------------------------------------
+
+  /** Range-partitioned, sorted at-rest layout — the zone-map story
+    * that completes the q92 (bucketed) / q119 (hive-partitioned)
+    * trilogy: `repartitionByRange` + `sortWithinPartitions` writes
+    * files whose key ranges are PAIRWISE DISJOINT, so any engine
+    * reading parquet min/max footers (or any format with zone maps)
+    * skips every file outside a range predicate. The gate asserts the
+    * disjointness from the data itself (per-file min/max via
+    * input_file_name) and that the range predicate reaches the scan as
+    * a pushed filter; the oracle recomputes the filtered aggregate
+    * from the unsorted original. */
+  def q127SortedLayout(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_formats/range_lineitem"
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      .repartitionByRange(8, $"l_orderkey")
+      .sortWithinPartitions($"l_orderkey", $"l_linenumber")
+      .write.mode("overwrite").parquet(path)
+    val back = s.read.parquet(path)
+    val ranges = back.groupBy(input_file_name().as("f"))
+      .agg(min($"l_orderkey").as("lo"), max($"l_orderkey").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    require(ranges.length > 1, s"q127: expected multiple files")
+    ranges.sliding(2).foreach {
+      case Array((lo1, hi1), (lo2, _)) =>
+        require(hi1 <= lo2,
+          s"q127: file ranges overlap — [$lo1,$hi1] vs [$lo2,...]: " +
+            "range layout broken")
+      case _ =>
+    }
+    val filtered = back
+      .where($"l_orderkey" >= 1000L && $"l_orderkey" <= 2000L)
+    val planStr = filtered.queryExecution.executedPlan.toString()
+    require(planStr.contains("PushedFilters") &&
+      planStr.contains("GreaterThanOrEqual(l_orderkey,1000)"),
+      s"q127: range predicate not pushed to the scan:\n${planStr.take(600)}")
+    filtered.groupBy($"l_linenumber")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .withColumn("layout_ok", lit(true))
+      .orderBy($"l_linenumber")
+  }
+
+  val q127Sql: String =
+    """SELECT l_linenumber, COUNT(*) AS n,
+      |CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty,
+      |true AS layout_ok
+      |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 2000
+      |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q120_pivot_unpivot" -> (q120PivotUnpivot _),
     "q121_cube" -> (q121Cube _),
     "q122_quantile_sketch" -> (q122QuantileSketch _),
     "q123_heavy_hitters" -> (q123HeavyHitters _),
-    "q124_group_sample" -> (q124GroupSample _)
+    "q124_group_sample" -> (q124GroupSample _),
+    "q125_stream_sessions" -> (q125StreamSessions _),
+    "q126_observe_metrics" -> (q126ObserveMetrics _),
+    "q127_sorted_layout" -> (q127SortedLayout _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -222,6 +323,9 @@ object Queries8 {
     "q121_cube" -> q121Sql,
     "q122_quantile_sketch" -> q122Sql,
     "q123_heavy_hitters" -> q123Sql,
-    "q124_group_sample" -> q124Sql
+    "q124_group_sample" -> q124Sql,
+    "q125_stream_sessions" -> Queries7.q118Sql,
+    "q126_observe_metrics" -> q126Sql,
+    "q127_sorted_layout" -> q127Sql
   )
 }

@@ -69,6 +69,40 @@ object EventsStream {
       .orderBy("bucket_ts", "event_type")
   }
 
+  /** Per-user session windows as a STREAMING aggregation — the
+    * stateful form of the batch `session_window` gate (q118): Spark
+    * merges a new event's [t, t+gap) window into the user's open
+    * session state when it overlaps or touches (start <= current end —
+    * an event at exactly gap distance MERGES; pinned in Queries7Spec),
+    * and the watermark decides when a session can no longer grow. On
+    * an unbounded stream this is the production sessionization plan:
+    * state per user is the OPEN sessions only, closed sessions emit
+    * and evict on watermark advance. The single-file micro-batch in
+    * complete mode yields exactly the batch result — the q118 oracle
+    * verifies it value-for-value. */
+  def sessionWindows(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val name = s"graft_sessions_${System.nanoTime()}"
+    val stream = eventsStream(spark, dir)
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
   /** Streaming deduplication: dropDuplicates as a stateful streaming
     * operator over the event stream. Output = the distinct
     * (user_id, event_type) pairs (key-only output keeps the result
