@@ -128,7 +128,13 @@ object Sketches {
     import scala.jdk.CollectionConverters._
     val keys = df.select(col(keyCol).cast(StringType).as(keyCol))
       .where(col(keyCol).isNotNull)
-    val candidates = keys
+    // one pass emits BOTH the local-threshold candidates and the
+    // per-partition row totals (sentinel rows with a null key — safe,
+    // real keys were filtered non-null above), so the global N needs
+    // no extra corpus scan. The pass output is bounded: <= 1/theta
+    // candidates + 1 sentinel per partition — cheap to cache for its
+    // two consumers (total, candidate set).
+    val pass1 = keys
       .as[String](Encoders.STRING)
       .mapPartitions { it =>
         val m = new java.util.HashMap[String, Long]
@@ -138,12 +144,17 @@ object Sketches {
           m.merge(k, 1L, (a, b) => a + b)
         }
         val thr = theta * n
-        m.entrySet().iterator().asScala
-          .filter(_.getValue >= thr).map(_.getKey)
-      }(Encoders.STRING)
-      .distinct()
-      .toDF(keyCol)
-    val total = keys.count()
+        Iterator.single((null: String, n)) ++
+          m.entrySet().iterator().asScala
+            .filter(_.getValue >= thr).map(e => (e.getKey, 0L))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF(keyCol, "__np")
+      .cache()
+    val total = pass1.where(col(keyCol).isNull)
+      .agg(coalesce(sum(col("__np")), lit(0L)).as("t"))
+      .head().getLong(0)
+    val candidates = pass1.where(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct()
     keys.join(broadcast(candidates), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
