@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Parquet table loader for the driver-generated star schema
   * (TESTDATA.md). At cluster scale these reads are plain distributed
@@ -8,6 +10,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * into them (verify via .explain: PushedFilters / ReadSchema).
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts contract for every consumer in this repo: LONG
+    * nanoseconds since epoch. Early testdata generations annotated the
+    * column TIMESTAMP(NANOS), which Spark surfaces as exactly that long
+    * under spark.sql.legacy.parquet.nanosAsLong; current generations
+    * write TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Normalizing
+    * here — one projection on the scan, µs·1000 is exact — keeps the
+    * whole query surface agnostic to the file's physical annotation.
+    * Sessions run UTC, so the NTZ→TIMESTAMP cast is the identity. */
+  private def normalizeEventsTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType => df // TIMESTAMP(NANOS) under nanosAsLong
+      case TimestampNTZType | TimestampType =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts: expected long ns or a timestamp, got $other")
+    }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventsTs(df) else df
+  }
 }
