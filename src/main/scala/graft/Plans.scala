@@ -11,6 +11,9 @@ object Plans {
     val spark = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the NTZ→TIMESTAMP cast in Tables.normalizeEventsTs is only an
+      // identity under UTC — pin it like every other entrypoint does
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

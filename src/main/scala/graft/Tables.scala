@@ -18,8 +18,15 @@ object Tables {
     * write TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ). Normalizing
     * here — one projection on the scan, µs·1000 is exact — keeps the
     * whole query surface agnostic to the file's physical annotation.
-    * Sessions run UTC, so the NTZ→TIMESTAMP cast is the identity. */
-  private def normalizeEventsTs(df: DataFrame): DataFrame =
+    * Sessions run UTC, so the NTZ→TIMESTAMP cast is the identity.
+    * Trade-off, micros layout only: ts becomes a computed column, so
+    * ts-range predicates no longer push into the parquet scan
+    * (row-group min/max pruning on ts is lost); predicates on every
+    * OTHER column still push down. Hot ts-range queries should filter
+    * at timestamp granularity before this projection. Shared with the
+    * streaming reader (EventsStream) so stream and batch see one ts
+    * contract. */
+  private[graft] def normalizeEventsTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case LongType => df // TIMESTAMP(NANOS) under nanosAsLong
       case TimestampNTZType | TimestampType =>

@@ -20,18 +20,37 @@ object EventsStream {
     * directory, so stream the parent dir with a glob filter) and a
     * directory of part-files at sf1.0+ (where the glob filter would
     * match nothing — the round-10 fix; before it, every sf1.0
-    * streaming sample timed an EMPTY stream). */
+    * streaming sample timed an EMPTY stream).
+    *
+    * The streaming source needs an explicit schema, and the file's ts
+    * annotation varies by testdata generation (TIMESTAMP(NANOS) = long
+    * ns under nanosAsLong, vs TIMESTAMP(MICROS) = TIMESTAMP_NTZ). A
+    * hardcoded long schema over a micros file silently reads the raw
+    * micros AS nanos — event times 1000× off (the round-11 streaming
+    * regression). So: probe the actual ts type with a footer-only
+    * batch read, stream with a schema matching the file, then apply
+    * the SAME normalization as the batch loader
+    * ([[graft.Tables.normalizeEventsTs]]) so stream and batch share
+    * one ts contract: long nanoseconds since epoch. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(s"$dir/events.parquet")
-    val base = spark.readStream.schema(eventsSchema)
-    if (path.isDirectory) base.parquet(path.getPath)
-    else base.option("pathGlobFilter", "events.parquet").parquet(dir)
+    val tsType =
+      spark.read.parquet(path.getPath).schema("ts").dataType
+    val fileSchema = StructType(eventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val base = spark.readStream.schema(fileSchema)
+    val raw =
+      if (path.isDirectory) base.parquet(path.getPath)
+      else base.option("pathGlobFilter", "events.parquet").parquet(dir)
+    graft.Tables.normalizeEventsTs(raw)
   }
 
-  /** events.parquet schema as Spark reads it with nanosAsLong. */
+  /** The NORMALIZED events schema every streaming consumer sees (and
+    * the sentinel writer targets): ts = long nanoseconds since epoch,
+    * whatever the file's physical annotation. */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) surfaces as long ns
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
