@@ -1,0 +1,328 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.ZOrder
+
+/** Round-12 gates past q127: the full analytic window-function surface
+  * (q128), an EXACT token-set similarity self-join via prefix filtering
+  * — no cross product in the plan (q129), Z-order multi-dimensional
+  * at-rest clustering with a file-skipping witness (q130), and
+  * streaming checkpoint recovery proving exactly-once file-sink
+  * semantics across a stop/restart (q131). Naming/oracle/float
+  * conventions as in [[Queries]].
+  */
+object Queries9 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact distributed sum of a double column (the [[Queries]] DECIMAL
+    * convention, so partial-agg order cannot change the result). */
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
+
+  // ---- q128: analytic window-function suite -----------------------------
+
+  /** The window functions q11 (rank) and q27 (rolling) do NOT cover, in
+    * one partitioned pass: row_number / lag / lead / ntile /
+    * percent_rank / cume_dist / first_value / last_value / nth_value /
+    * framed sum. Ordering inside each supplier partition is the
+    * globally-unique (l_orderkey, l_linenumber), so every function is
+    * deterministic; percent_rank and cume_dist are exact rational
+    * divisions of identical integer operands on both engines, and the
+    * framed moving sum goes through DECIMAL. One shuffle on l_suppkey;
+    * all ten functions share the single sort. */
+  def q128WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_orderkey", $"l_linenumber")
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTail = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val wM3 = w.rowsBetween(-2, 0)
+    t(s, dir, "lineitem")
+      .where($"l_suppkey" < 10)
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        row_number().over(w).as("rn"),
+        lag($"l_quantity", 1).over(w).as("lag_qty"),
+        lead($"l_quantity", 1).over(w).as("lead_qty"),
+        ntile(4).over(w).as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"),
+        first($"l_quantity").over(wCum).as("first_q"),
+        last($"l_quantity").over(wTail).as("last_q"),
+        nth_value($"l_quantity", 2).over(wCum).as("nth2"),
+        sum($"l_quantity".cast(DecimalType(25, 4))).over(wM3)
+          .cast(DoubleType).as("mavg3"))
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber")
+  }
+
+  val q128Sql: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |  row_number() OVER w AS rn,
+      |  lag(l_quantity, 1) OVER w AS lag_qty,
+      |  lead(l_quantity, 1) OVER w AS lead_qty,
+      |  ntile(4) OVER w AS nt,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  first_value(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_q,
+      |  last_value(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_orderkey, l_linenumber
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_q,
+      |  nth_value(l_quantity, 2) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nth2,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) OVER (
+      |    PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mavg3
+      |FROM lineitem WHERE l_suppkey < 10
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |  ORDER BY l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q129: exact similarity join via prefix filtering -----------------
+
+  /** EXACT word-set Jaccard self-join at threshold 0.7 WITHOUT an
+    * all-pairs plan — the AllPairs/PPJoin prefix-filter pattern
+    * (Bayardo et al., WWW'07; Xiao et al., WWW'08): order every
+    * token set by ascending global document frequency (rare tokens
+    * first), keep only the first |x| − ⌈θ·|x|⌉ + 1 tokens as the
+    * PREFIX, and generate candidates by equi-joining on prefix tokens.
+    * Soundness: J(x,y) ≥ θ forces |x∩y| ≥ ⌈θ·max(|x|,|y|)⌉, and two
+    * sets overlapping that much under a common total order must share
+    * a prefix token — so the equi-join provably misses NO qualifying
+    * pair, which the all-pairs DuckDB oracle certifies value-for-value.
+    * ⌈θn⌉ is computed in exact integer arithmetic ((7n+9) div 10) so
+    * the soundness bound carries no floating-point rounding question
+    * (a double ceil is only right while 0.7·n rounds the right way). Unlike q40/q42 (MinHash LSH: probabilistic recall,
+    * containment-checked) this join is exact by construction.
+    *
+    * Scale shape: the corpus shuffles as (prefix_token, id) pairs —
+    * O(0.3·Σ|x|) rows — then candidate pairs join back to the
+    * token-set table by id; the executed plan is asserted free of
+    * cartesian/nested-loop joins. Pruning power tracks corpus
+    * redundancy (this synthetic corpus is near-replica-dense, so most
+    * pairs genuinely qualify); on a real corpus the df-ascending
+    * prefix is the difference between |candidates| and n². */
+  def q129SimJoinPrefix(s: SparkSession, dir: String): DataFrame = {
+    val toks = array_distinct(filter(
+      split(lower($"text"), "[^a-z]+"), x => x =!= ""))
+    val d = t(s, dir, "documents")
+      .where($"doc_id" < 200)
+      .select($"doc_id", toks.as("tok"))
+      .where(size($"tok") > 0)
+    val tf = d.select($"doc_id", explode($"tok").as("token"))
+    val dfreq = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val ranked = tf.join(dfreq, "token")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"token"))).as("ts"))
+      .select($"doc_id",
+        transform($"ts", st => st.getField("token")).as("stok"))
+    val prefLen = greatest(lit(1),
+      size($"stok") - expr("(7 * size(stok) + 9) div 10") + lit(1))
+    val pref = ranked
+      .select($"doc_id", explode(slice($"stok", lit(1), prefLen))
+        .as("ptok"))
+    val cand = pref.as("a").join(pref.as("b"),
+        $"a.ptok" === $"b.ptok" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("ia"), $"b.doc_id".as("ib"))
+      .distinct()
+    val sets = d
+    val result = cand
+      .join(sets.select($"doc_id".as("ia"), $"tok".as("ta")), "ia")
+      .join(sets.select($"doc_id".as("ib"), $"tok".as("tb")), "ib")
+      .select($"ia", $"ib",
+        size(array_intersect($"ta", $"tb")).as("i"),
+        size($"ta").as("na"), size($"tb").as("nb"))
+      .withColumn("j", $"i".cast(DoubleType) /
+        ($"na" + $"nb" - $"i").cast(DoubleType))
+      .where($"j" >= 0.7)
+      .select($"ia".as("id_a"), $"ib".as("id_b"),
+        round($"j", 4).as("jaccard"))
+      .orderBy($"id_a", $"id_b")
+    val plan = result.queryExecution.executedPlan.toString()
+    require(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"q129: similarity join fell back to an all-pairs plan:\n" +
+        plan.take(600))
+    result
+  }
+
+  val q129Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_distinct(list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    x -> x <> '')) AS tok
+      |  FROM documents WHERE doc_id < 200),
+      |d2 AS (SELECT * FROM d WHERE len(tok) > 0),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_filter(a.tok, x -> list_contains(b.tok, x))) AS i,
+      |    len(a.tok) AS na, len(b.tok) AS nb
+      |  FROM d2 a, d2 b WHERE a.doc_id < b.doc_id)
+      |SELECT id_a, id_b,
+      |  ROUND(CAST(i AS DOUBLE) / (na + nb - i), 4) AS jaccard
+      |FROM p WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.7
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---- q130: Z-order multi-dimensional layout ---------------------------
+
+  /** Completes the at-rest layout story (bucketed q92, hive-partitioned
+    * q119, 1-D range q127) with the MULTI-dimensional case: files
+    * range-partitioned + sorted on the Morton key of
+    * (l_partkey, l_suppkey) ([[ZOrder.mortonKey]]), so a conjunctive
+    * box predicate on BOTH columns can skip files from footer min/max
+    * stats alone — the zone-map model 1-D sorting only provides for
+    * its one sort key. In-gate witnesses: (a) per-file [min,max] boxes
+    * computed from the data must let the query box skip at least half
+    * the files, and (b) the re-read scan carries the box predicate as
+    * PushedFilters. The oracled VALUES are the box-filtered aggregate;
+    * box bounds derive from max(key) by integer division so both
+    * engines compute identical bounds at every SF. */
+  def q130ZorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_returnflag", $"l_quantity")
+    val mrow = src.agg(max($"l_partkey"), max($"l_suppkey")).head()
+    val (mp, ms) = (mrow.getLong(0), mrow.getLong(1))
+    val (loP, hiP, loS, hiS) = (mp / 10, mp / 5, ms / 10, ms / 5)
+    val zkey = ZOrder.mortonKey(21, $"l_partkey", $"l_suppkey")
+    val path = "/tmp/graft_formats/zorder_lineitem"
+    src.repartitionByRange(16, zkey).sortWithinPartitions(zkey)
+      .write.mode("overwrite").parquet(path)
+    val back = s.read.parquet(path)
+    val boxes = back.groupBy(input_file_name().as("f"))
+      .agg(min($"l_partkey").as("p0"), max($"l_partkey").as("p1"),
+        min($"l_suppkey").as("s0"), max($"l_suppkey").as("s1"))
+      .collect()
+    require(boxes.length > 1, "q130: expected multiple files")
+    val touched = boxes.count { b =>
+      !(b.getLong(2) < loP || b.getLong(1) > hiP ||
+        b.getLong(4) < loS || b.getLong(3) > hiS)
+    }
+    require(touched * 2 <= boxes.length,
+      s"q130: z-order skipping too weak — box touches $touched of " +
+        s"${boxes.length} files")
+    val filtered = back.where(
+      $"l_partkey".between(loP, hiP) && $"l_suppkey".between(loS, hiS))
+    val plan = filtered.queryExecution.executedPlan.toString()
+    require(plan.contains("PushedFilters") &&
+      plan.contains(s"GreaterThanOrEqual(l_partkey,$loP)"),
+      s"q130: box predicate not pushed to the scan:\n${plan.take(600)}")
+    filtered.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q130Sql: String =
+    """WITH m AS (
+      |  SELECT max(l_partkey) // 10 AS lp, max(l_partkey) // 5 AS hp,
+      |         max(l_suppkey) // 10 AS ls, max(l_suppkey) // 5 AS hs
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem, m
+      |WHERE l_partkey BETWEEN lp AND hp
+      |  AND l_suppkey BETWEEN ls AND hs
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q131: streaming checkpoint recovery (exactly-once) ---------------
+
+  /** The fault-tolerance contract every production stream relies on:
+    * a file-source → parquet-file-sink stream is stopped mid-corpus
+    * and RESTARTED from its checkpoint, and the sink must hold each
+    * input row exactly once — no loss (offsets committed before
+    * output would drop rows), no duplication (output committed before
+    * offsets would replay). The staged corpus is split into two file
+    * batches; run 1 sees only the first, then a second query with the
+    * SAME checkpoint + sink processes the remainder. In-gate: run 1
+    * must emit a strict subset (else "recovery" proved nothing), the
+    * recovered total must equal the batch count, and event_ids must be
+    * distinct. The oracled VALUES are the per-type aggregate over the
+    * sink — identical to batch SQL over the original table iff
+    * exactly-once held. The file sink's _spark_metadata commit log is
+    * what makes the sink read transactional (orphan files from a torn
+    * run are invisible); state here is the source's processed-file log,
+    * so the same recovery works for any deterministic transform. */
+  def q131StreamRecovery(parent: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val base = s"/tmp/graft_recovery_${System.nanoTime()}"
+    val (stage, srcDir, sink, chk) =
+      (s"$base/stage", s"$base/src", s"$base/sink", s"$base/chk")
+    val ev = Tables(parent, dir, "events")
+    val expected = ev.count()
+    ev.repartition(4).write.parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length >= 2, s"q131: need >=2 staged files")
+    new java.io.File(srcDir).mkdirs()
+    def arrive(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Path.of(srcDir, f.getName))
+    }
+    def runToCompletion(): Unit = {
+      val q = spark.readStream
+        .schema(graft.streaming.EventsStream.eventsSchema).parquet(srcDir)
+        .select($"event_id", $"event_type", $"value")
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    arrive(parts.take(parts.length / 2))
+    runToCompletion()
+    val afterRun1 = spark.read.parquet(sink).count()
+    arrive(parts.drop(parts.length / 2))
+    runToCompletion()
+    val out = spark.read.parquet(sink)
+    val totalRows = out.count()
+    val distinctIds = out.select($"event_id").distinct().count()
+    val res = out.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type").collect().toSeq
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(base))
+    require(afterRun1 > 0 && afterRun1 < expected,
+      s"q131: run 1 emitted $afterRun1 of $expected rows — the restart " +
+        "had nothing to recover")
+    require(totalRows == expected,
+      s"q131: exactly-once violated — sink has $totalRows rows, " +
+        s"batch has $expected")
+    require(distinctIds == expected,
+      s"q131: duplicate event_ids in sink ($distinctIds distinct of " +
+        s"$totalRows)")
+    parent.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(res).asJava),
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_value", DoubleType))))
+  }
+
+  val q131Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_window_suite" -> (q128WindowSuite _),
+    "q129_simjoin_prefix" -> (q129SimJoinPrefix _),
+    "q130_zorder_layout" -> (q130ZorderLayout _),
+    "q131_stream_recovery" -> (q131StreamRecovery _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q128_window_suite" -> q128Sql,
+    "q129_simjoin_prefix" -> q129Sql,
+    "q130_zorder_layout" -> q130Sql,
+    "q131_stream_recovery" -> q131Sql
+  )
+}
