@@ -312,17 +312,206 @@ object Queries9 {
       |  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---- q132: star-schema join (TPC-H Q3 shape) --------------------------
+
+  /** The classic shipping-priority query (TPC-H Q3) on the star schema:
+    * filtered customer segment × date-bounded orders × shipped-after
+    * lineitems, revenue per order, top 20. The Spark-first plan: the
+    * segment-filtered customer dim is explicitly `broadcast()` (no
+    * shuffle of either fact input for that join), the orders join
+    * shuffles on the natural key, and both date filters push into the
+    * parquet scans. Revenue per row is the identical IEEE product on
+    * both engines; the per-order sum goes through DECIMAL; top-20
+    * selection is deterministic via the (revenue DESC, orderkey)
+    * tie-break. */
+  def q132StarJoin(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-01").cast(TimestampNTZType)
+    val cust = t(s, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey")
+    val ord = t(s, dir, "orders")
+      .where($"o_orderdate" < cutoff)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        $"o_orderpriority")
+    val li = t(s, dir, "lineitem")
+      .where($"l_shipdate" > cutoff)
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val result = li
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(20)
+      .select($"l_orderkey", $"revenue", $"o_orderdate",
+        $"o_orderpriority")
+    val plan = result.queryExecution.executedPlan.toString()
+    require(plan.contains("BroadcastHashJoin"),
+      s"q132: customer dim not broadcast:\n${plan.take(600)}")
+    result
+  }
+
+  val q132Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |    AS DECIMAL(25,4))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 20""".stripMargin
+
+  // ---- q133: dynamic partition pruning --------------------------------
+
+  /** Runtime partition pruning — the scan of a hive-partitioned fact
+    * table is pruned by the RESULT of a dim-side filter the optimizer
+    * cannot see statically (the filter is on `cat`, the fact is
+    * partitioned by `flag`): Catalyst inserts a dynamicpruning
+    * subquery that reuses the dim broadcast to skip fact partitions at
+    * run time. q119 witnesses STATIC pruning (literal predicate); this
+    * is the join-driven form every star-schema query at 100 TB leans
+    * on. In-gate: the executed scan must carry a
+    * dynamicpruningexpression PartitionFilter AND its numFiles metric
+    * must show a strict subset of the relation's files was read.
+    * `useStats=false` on the isolated session because local toy stats
+    * make the benefit heuristic decline the insertion a cluster's
+    * stats would accept. */
+  def q133DynamicPruning(parent: SparkSession, dir: String): DataFrame = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "false")
+    val factPath = "/tmp/graft_formats/dpp_lineitem"
+    val dimPath = "/tmp/graft_formats/dpp_dim"
+    t(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(factPath)
+    import scala.jdk.CollectionConverters._
+    s.createDataFrame(
+      Seq(Row("R", "returned"), Row("A", "acknowledged"),
+        Row("N", "none")).asJava,
+      StructType(Seq(StructField("flag", StringType),
+        StructField("cat", StringType))))
+      .write.mode("overwrite").parquet(dimPath)
+    val fact = s.read.parquet(factPath)
+    val dim = s.read.parquet(dimPath).where($"cat" === "returned")
+    val joined = fact.join(dim, fact("l_returnflag") === dim("flag"))
+      .groupBy($"l_linenumber")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_linenumber")
+    val qe = joined.queryExecution
+    qe.toRdd.count()
+    // AQE wraps finished stages in QueryStageExec LEAF nodes — a plain
+    // collectLeaves stops at the stage boundary and never sees the
+    // scans, so descend into every stage's plan explicitly
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val factScan = allNodes(qe.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.toString().contains("dynamicpruningexpression") => f
+    }.getOrElse(
+      sys.error("q133: no scan carries a dynamicpruning partition " +
+        s"filter:\n${qe.executedPlan.toString().take(800)}"))
+    val filesRead = factScan.metrics("numFiles").value
+    val totalFiles = s.read.parquet(factPath).inputFiles.length
+    require(filesRead > 0 && filesRead < totalFiles,
+      s"q133: dynamic pruning read $filesRead of $totalFiles files — " +
+        "no runtime skip happened")
+    joined
+  }
+
+  val q133Sql: String =
+    """SELECT l_linenumber, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_qty
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY l_linenumber ORDER BY l_linenumber""".stripMargin
+
+  // ---- q134: AQE skew-join handling -----------------------------------
+
+  /** Runtime skew mitigation WITHOUT manual salting (the q99
+    * alternative): half the fact rows share one synthetic hot key, the
+    * dim is too big to broadcast (both broadcast thresholds off), and
+    * AQE's OptimizeSkewedJoin must split the skewed shuffle partition
+    * at mapper boundaries — the executed plan is REQUIRED to carry an
+    * `AQEShuffleRead … skew=true`. Skew thresholds derive from the
+    * actual data size so the witness holds at every SF without
+    * creating thousands of split tasks at sf1.0; the upstream
+    * repartition(16) guarantees multiple mapper chunks to split at
+    * (a single-file input gives AQE nothing to cut). Values are
+    * oracled: the synthetic key and weight are exact integer
+    * expressions DuckDB replays, the revenue product is the identical
+    * IEEE double, and the sum goes through DECIMAL. */
+  def q134AqeSkewJoin(parent: SparkSession, dir: String): DataFrame = {
+    val s = parent.newSession()
+    val li0 = t(s, dir, "lineitem")
+    val rows = li0.count()
+    val hotBytes = rows / 2 * 16
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      math.max(4096L, hotBytes / 4).toString)
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      math.max(2048L, hotBytes / 8).toString)
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "1.0")
+    val fact = li0.repartition(16)
+      .withColumn("k", when($"l_orderkey" % 2 === 0, 7L)
+        .otherwise($"l_orderkey" % 1000L))
+    val dim = s.range(0, 1000)
+      .select($"id".as("k"), ($"id" * 2).as("w"))
+    val result = fact.join(dim, "k")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_quantity" * $"w").as("weighted_qty"))
+      .orderBy($"l_returnflag")
+    val qe = result.queryExecution
+    qe.toRdd.count()
+    val plan = qe.executedPlan.toString()
+    require(plan.contains("skew=true"),
+      s"q134: AQE did not mark the hot partition skewed:\n" +
+        plan.take(800))
+    result
+  }
+
+  val q134Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity * (k * 2) AS DECIMAL(25,4)))
+      |    AS DOUBLE) AS weighted_qty
+      |FROM lineitem JOIN range(0, 1000) AS t(k)
+      |  ON (CASE WHEN l_orderkey % 2 = 0 THEN 7
+      |      ELSE l_orderkey % 1000 END) = k
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_window_suite" -> (q128WindowSuite _),
     "q129_simjoin_prefix" -> (q129SimJoinPrefix _),
     "q130_zorder_layout" -> (q130ZorderLayout _),
-    "q131_stream_recovery" -> (q131StreamRecovery _)
+    "q131_stream_recovery" -> (q131StreamRecovery _),
+    "q132_star_join" -> (q132StarJoin _),
+    "q133_dynamic_pruning" -> (q133DynamicPruning _),
+    "q134_aqe_skew_join" -> (q134AqeSkewJoin _)
   )
 
   val oracles: Map[String, String] = Map(
     "q128_window_suite" -> q128Sql,
     "q129_simjoin_prefix" -> q129Sql,
     "q130_zorder_layout" -> q130Sql,
-    "q131_stream_recovery" -> q131Sql
+    "q131_stream_recovery" -> q131Sql,
+    "q132_star_join" -> q132Sql,
+    "q133_dynamic_pruning" -> q133Sql,
+    "q134_aqe_skew_join" -> q134Sql
   )
 }
