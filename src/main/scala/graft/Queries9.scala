@@ -495,6 +495,86 @@ object Queries9 {
       |      ELSE l_orderkey % 1000 END) = k
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q135: incremental corpus ingestion (dedup vs a store) ----------
+
+  /** The shape every continuously-crawled corpus takes: a NEW batch of
+    * documents is deduplicated against the fingerprint store of
+    * everything already ingested, WITHOUT touching historical text —
+    * the store holds 8-byte xxhash64 fingerprints only. New-batch
+    * survivors = anti-join against the store on fingerprint, then
+    * keep-first (min doc_id) within the batch for content the batch
+    * itself repeats. The DuckDB oracle picks survivors by raw CONTENT,
+    * so a green row also witnesses fingerprint collision-freedom
+    * (the q107/q113 discipline). Scale shape: the store shuffles as
+    * 8-byte hashes, the incoming batch as (hash, id) pairs; text
+    * never moves, and the anti-join + min-agg are both map-side
+    * partial-friendly. */
+  def q135IncrementalIngest(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val store = docs.where($"doc_id" < 250)
+      .select(xxhash64($"text").as("fp")).distinct()
+    val incoming = docs.where($"doc_id" >= 250)
+    val keep = incoming.select($"doc_id", xxhash64($"text").as("fp"))
+      .join(store, Seq("fp"), "left_anti")
+      .groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+    keep.join(docs.select($"doc_id", $"lang", $"n_chars"), "doc_id")
+      .select($"doc_id", $"lang", $"n_chars")
+      .orderBy($"doc_id")
+  }
+
+  val q135Sql: String =
+    """WITH store AS (
+      |  SELECT DISTINCT text FROM documents WHERE doc_id < 250),
+      |inc AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+      |unseen AS (
+      |  SELECT i.* FROM inc i WHERE NOT EXISTS (
+      |    SELECT 1 FROM store st WHERE st.text = i.text)),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM unseen GROUP BY text)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d JOIN keep USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  // ---- q136: weighted deterministic sampling ---------------------------
+
+  /** Quality-weighted subsampling ([[graft.operators.Sampling
+    * .weightedBernoulli]]): every document is kept with probability
+    * proportional to its weight — here n_chars / max(n_chars), the
+    * deterministic stand-in for a quality or DSIR importance score —
+    * via a per-row integer threshold (n_chars·8192) div max_n_chars
+    * against the splitmix64 bucket of doc_id. Everything is exact
+    * integer arithmetic, so the DuckDB oracle replays the ENTIRE
+    * selection bit-for-bit (the q83 HUGEINT machinery): a green row
+    * pins the hash, the per-row threshold, and the comparison as
+    * engine-portable. One bounded max() scan, then a stateless
+    * codegen'd filter — the corpus is never shuffled. */
+  def q136WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = t(s, dir, "documents")
+    val maxn = docs.agg(max($"n_chars")).head().getLong(0)
+    val thr = expr(
+      s"least(${Sampling.Buckets}, (n_chars * ${Sampling.Buckets}) " +
+        s"div $maxn)")
+    Sampling.weightedBernoulli(docs, $"doc_id", thr, 5L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n"),
+        sum($"n_chars").cast(LongType).as("chars_sum"),
+        sum($"doc_id").cast(LongType).as("id_sum"))
+      .orderBy($"lang")
+  }
+
+  val q136Sql: String =
+    s"""WITH ${Queries5.bucketCtes("ws", 5L, "documents", "doc_id")},
+       |m AS (SELECT max(n_chars) AS mn FROM documents),
+       |kept AS (
+       |  SELECT d.* FROM documents d JOIN wsb b ON d.doc_id = b.k, m
+       |  WHERE b.bucket < LEAST(8192, (d.n_chars * 8192) // m.mn))
+       |SELECT lang, COUNT(*) AS n,
+       |  CAST(SUM(n_chars) AS BIGINT) AS chars_sum,
+       |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_window_suite" -> (q128WindowSuite _),
     "q129_simjoin_prefix" -> (q129SimJoinPrefix _),
@@ -502,7 +582,9 @@ object Queries9 {
     "q131_stream_recovery" -> (q131StreamRecovery _),
     "q132_star_join" -> (q132StarJoin _),
     "q133_dynamic_pruning" -> (q133DynamicPruning _),
-    "q134_aqe_skew_join" -> (q134AqeSkewJoin _)
+    "q134_aqe_skew_join" -> (q134AqeSkewJoin _),
+    "q135_incremental_ingest" -> (q135IncrementalIngest _),
+    "q136_weighted_sample" -> (q136WeightedSample _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -512,6 +594,8 @@ object Queries9 {
     "q131_stream_recovery" -> q131Sql,
     "q132_star_join" -> q132Sql,
     "q133_dynamic_pruning" -> q133Sql,
-    "q134_aqe_skew_join" -> q134Sql
+    "q134_aqe_skew_join" -> q134Sql,
+    "q135_incremental_ingest" -> q135Sql,
+    "q136_weighted_sample" -> q136Sql
   )
 }

@@ -71,6 +71,21 @@ object Sampling {
       seed: Long): DataFrame =
     df.where(bucket(key, seed) < lit(threshold(fraction)))
 
+  /** Per-row WEIGHTED deterministic Bernoulli (importance/quality
+    * weighting — the DSIR/CCNet resampling step): keep a row iff
+    * bucket(key, seed) < `thr`, where `thr` is a per-row integer
+    * threshold in [0, Buckets] the caller derives in EXACT integer
+    * arithmetic (e.g. `(weight_num * Buckets) div weight_den` for a
+    * rational weight — never a double product, whose rounding could
+    * shift a threshold by one bucket and diverge between engines).
+    * Inclusion probability is thr/Buckets per row; like every sampler
+    * here it is a stateless codegen'd filter — no shuffle, no rand(),
+    * reproducible under any partitioning and replayable in any engine
+    * with 64-bit integers. Null key or null threshold → never kept. */
+  def weightedBernoulli(df: DataFrame, key: Column, thr: Column,
+      seed: Long): DataFrame =
+    df.where(bucket(key, seed) < thr)
+
   /** Stratified deterministic sample: per-stratum fractions, with
     * `default` for strata absent from the map. The fraction lookup is
     * a literal when-chain (codegen'd, no join) — strata cardinality is

@@ -216,4 +216,31 @@ class SamplingSpec extends SparkSpec {
     }
     assert(badSum.getMessage.contains("sum to 1"))
   }
+
+  test("weightedBernoulli: boundary thresholds, monotonicity, " +
+      "partition invariance, null policy") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(k => (k, k % 100)).toDF("k", "w")
+    def kept(thr: org.apache.spark.sql.Column, d: org.apache.spark.sql
+        .DataFrame = df): Set[Long] =
+      Sampling.weightedBernoulli(d, col("k"), thr, 11L)
+        .select("k").collect().map(_.getLong(0)).toSet
+    assert(kept(lit(0)) === Set.empty)
+    assert(kept(lit(Sampling.Buckets)) === (0L until 2000L).toSet)
+    // per-row thresholds: raising every weight only ADDS rows
+    val lo = kept(expr(s"(w * ${Sampling.Buckets}) div 100"))
+    val hi = kept(expr(s"(least(w + 20, 100) * ${Sampling.Buckets}) " +
+      "div 100"))
+    assert(lo.subsetOf(hi), s"monotonicity broken: ${lo -- hi}")
+    // and a weight-0 row is NEVER kept (bucket >= 0 always)
+    assert(!lo.exists(_ % 100 == 0))
+    // deterministic under repartitioning
+    val re = kept(expr(s"(w * ${Sampling.Buckets}) div 100"),
+      df.repartition(7))
+    assert(re === lo)
+    // null threshold -> never kept
+    val withNull = df.withColumn("t",
+      when(col("k") < 1000L, lit(Sampling.Buckets)))
+    assert(kept(col("t"), withNull) === (0L until 1000L).toSet)
+  }
 }
