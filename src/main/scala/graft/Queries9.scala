@@ -575,6 +575,135 @@ object Queries9 {
        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum
        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- q137: join-strategy control ------------------------------------
+
+  /** Explicit join-strategy selection — the knob a 100 TB plan turns
+    * when the optimizer's size estimates are wrong: the SAME join runs
+    * under `broadcast`, `shuffle_hash`, and `merge` hints, the
+    * executed plan is REQUIRED to honor each (BroadcastHashJoin /
+    * ShuffledHashJoin / SortMergeJoin), and all three must produce
+    * IDENTICAL values — which the DECIMAL sum convention makes exact
+    * regardless of partial-agg order, so the check is bit-for-bit, not
+    * approximate. One strategy's result is oracled; the others equal
+    * it in-gate. */
+  def q137JoinHints(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select($"l_suppkey", $"l_quantity")
+    val sup = t(s, dir, "supplier")
+      .select($"s_suppkey", $"s_nationkey")
+    def run(hint: String, shape: String): DataFrame = {
+      val j = li.join(sup.hint(hint), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("qty_sum"))
+        .orderBy($"s_nationkey")
+      val plan = j.queryExecution.executedPlan.toString()
+      require(plan.contains(shape),
+        s"q137: hint '$hint' did not yield $shape:\n${plan.take(500)}")
+      j
+    }
+    val bc = run("broadcast", "BroadcastHashJoin")
+    val sh = run("shuffle_hash", "ShuffledHashJoin")
+    val sm = run("merge", "SortMergeJoin")
+    val (b, h, m) =
+      (bc.collect().toSeq, sh.collect().toSeq, sm.collect().toSeq)
+    require(b == h && h == m,
+      s"q137: join strategies disagree — broadcast=$b shuffle_hash=$h " +
+        s"merge=$m")
+    sm
+  }
+
+  val q137Sql: String =
+    """SELECT s_nationkey, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS qty_sum
+      |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin
+
+  // ---- q138: file sizing + compaction ----------------------------------
+
+  /** The small-file problem, both directions: `maxRecordsPerFile`
+    * bounds file size at WRITE time (a 100 TB table written unsized
+    * melts the namenode and the planner; written too-finely it drowns
+    * in per-file overhead), and a compaction pass coalesces an
+    * over-fragmented table down to a target file count without
+    * touching values. In-gate: the sized write must produce exactly
+    * ⌈n/per⌉ files, compaction must strictly reduce the count to the
+    * target, and the oracled aggregate reads from the COMPACTED copy —
+    * proving the maintenance pass preserved every row. */
+  def q138FileSizing(s: SparkSession, dir: String): DataFrame = {
+    val sized = "/tmp/graft_formats/sized_events"
+    val compact = "/tmp/graft_formats/compact_events"
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    val n = ev.count()
+    // 1/8 of the table per file at any SF, so the sized write always
+    // fragments (≥8 files) and the coalesce(2) pass always compacts
+    val per = math.max(1L, n / 8)
+    ev.repartition(1).sortWithinPartitions($"event_id")
+      .write.option("maxRecordsPerFile", per)
+      .mode("overwrite").parquet(sized)
+    val files1 = s.read.parquet(sized).inputFiles.length
+    val want = ((n + per - 1) / per).toInt
+    require(files1 == want,
+      s"q138: sized write produced $files1 files, expected $want " +
+        s"(n=$n, per=$per)")
+    s.read.parquet(sized).coalesce(2).write.mode("overwrite")
+      .parquet(compact)
+    val files2 = s.read.parquet(compact).inputFiles.length
+    require(files2 == 2 && files2 < files1,
+      s"q138: compaction produced $files2 files from $files1")
+    s.read.parquet(compact)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"),
+        sum($"event_id").cast(LongType).as("id_sum"))
+      .orderBy($"event_type")
+  }
+
+  val q138Sql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_value,
+      |  CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---- q139: SQL-text API surface --------------------------------------
+
+  /** The `spark.sql(...)` user path: tables registered as temp views
+    * and queried with SQL TEXT (not the DataFrame DSL) — a join, a
+    * window, and an aggregate in one statement, planned by the same
+    * Catalyst pipeline as every DSL gate. Proves the library's surface
+    * is reachable from the SQL front end a BI tool or notebook user
+    * would hit; the oracle is the same statement's DuckDB reading. */
+  def q139SqlApi(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_mktsegment,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+          AS price_sum,
+        MAX(rk) AS max_rank
+      FROM (
+        SELECT o.o_totalprice, c.c_mktsegment,
+          RANK() OVER (PARTITION BY c.c_mktsegment
+            ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+        FROM orders_v o JOIN customer_v c ON o.o_custkey = c.c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""")
+  }
+
+  val q139Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS price_sum,
+      |  MAX(rk) AS max_rank
+      |FROM (
+      |  SELECT o.o_totalprice, c.c_mktsegment,
+      |    RANK() OVER (PARTITION BY c.c_mktsegment
+      |      ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rk
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey) t
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_window_suite" -> (q128WindowSuite _),
     "q129_simjoin_prefix" -> (q129SimJoinPrefix _),
@@ -584,7 +713,10 @@ object Queries9 {
     "q133_dynamic_pruning" -> (q133DynamicPruning _),
     "q134_aqe_skew_join" -> (q134AqeSkewJoin _),
     "q135_incremental_ingest" -> (q135IncrementalIngest _),
-    "q136_weighted_sample" -> (q136WeightedSample _)
+    "q136_weighted_sample" -> (q136WeightedSample _),
+    "q137_join_hints" -> (q137JoinHints _),
+    "q138_file_sizing" -> (q138FileSizing _),
+    "q139_sql_api" -> (q139SqlApi _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -596,6 +728,9 @@ object Queries9 {
     "q133_dynamic_pruning" -> q133Sql,
     "q134_aqe_skew_join" -> q134Sql,
     "q135_incremental_ingest" -> q135Sql,
-    "q136_weighted_sample" -> q136Sql
+    "q136_weighted_sample" -> q136Sql,
+    "q137_join_hints" -> q137Sql,
+    "q138_file_sizing" -> q138Sql,
+    "q139_sql_api" -> q139Sql
   )
 }
