@@ -96,6 +96,11 @@ object Queries8 {
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
     val eps = 0.002
     def arr(xs: Seq[Double]): Column = array(xs.map(lit): _*)
+    // persist the group-cardinality agg result: the exact percentiles
+    // are the expensive part (full per-group sorted buffers), and the
+    // gate reads them twice — once for the rank-band check, once for
+    // the returned projection. Without the persist the whole agg runs
+    // twice.
     val rows = t(s, dir, "lineitem")
       .groupBy($"l_linestatus")
       .agg(
@@ -106,6 +111,7 @@ object Queries8 {
           arr(ps.map(p => math.max(0.0, p - eps)))).as("lo"),
         percentile($"l_extendedprice",
           arr(ps.map(p => math.min(1.0, p + eps)))).as("hi"))
+      .persist()
     rows.select($"l_linestatus", $"ap", $"lo", $"hi").collect().foreach {
       r =>
         val g = r.getString(0)
