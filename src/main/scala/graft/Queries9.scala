@@ -704,6 +704,90 @@ object Queries9 {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q140: schema evolution (mergeSchema read) -----------------------
+
+  /** Long-lived tables EVOLVE: a v2 writer adds a column while
+    * petabytes of v1 files stay on disk. Batch A is written with the
+    * 3-column v1 schema, batch B appended with v2's extra column, and
+    * a `mergeSchema` read must present the union — v1 rows surface the
+    * new column as null (never a default, never an error). The oracle
+    * recomputes the same population from the source table, so the
+    * merged read is value-certified, not just shape-checked. At scale
+    * mergeSchema's footer union is a planning-time cost (or a
+    * metastore schema); the data files are never rewritten. */
+  def q140SchemaMerge(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_formats/evolving_orders"
+    val o = t(s, dir, "orders")
+    o.where($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+      .write.mode("overwrite").parquet(path)
+    o.where($"o_orderkey" % 2 =!= 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"o_orderpriority")
+      .write.mode("append").parquet(path)
+    val merged = s.read.option("mergeSchema", "true").parquet(path)
+    require(merged.columns.toSet == Set("o_orderkey", "o_custkey",
+      "o_totalprice", "o_orderpriority"),
+      s"q140: merged schema wrong: ${merged.columns.toSeq}")
+    merged
+      .groupBy(coalesce($"o_orderpriority", lit("<v1>"))
+        .as("priority"))
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("price_sum"))
+      .orderBy($"priority")
+  }
+
+  val q140Sql: String =
+    """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '<v1>'
+      |  ELSE o_orderpriority END AS priority,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS price_sum
+      |FROM orders GROUP BY 1 ORDER BY priority""".stripMargin
+
+  // ---- q141: time-series resample with gap fill ------------------------
+
+  /** Downsample the event stream to fixed 15-minute bins INCLUDING the
+    * empty ones — the resample-then-gap-fill shape every monitoring /
+    * feature-engineering pipeline needs (a missing bin is a zero, not
+    * an absent row). Bin ids are exact integer division of the long-ns
+    * ts; the dense bin axis comes from `spark.range(lo, hi+1)` (a
+    * generated relation, not a scan) left-joined to the aggregate.
+    * In-gate: the output must be exactly the dense axis — one row per
+    * bin in [lo, hi]. Scale shape: the aggregate is the usual partial/
+    * final pair; the axis relation is bins-sized, not rows-sized, and
+    * broadcasts. */
+  def q141ResampleGapfill(s: SparkSession, dir: String): DataFrame = {
+    val binNs = 900L * 1000000000L // 15 min
+    val agg = t(s, dir, "events")
+      .select(expr(s"ts div $binNs").as("bin"), $"value")
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n0"), dsum($"value").as("s0"))
+    val mrow = agg.agg(min($"bin"), max($"bin")).head()
+    val (lo, hi) = (mrow.getLong(0), mrow.getLong(1))
+    require(hi > lo, s"q141: degenerate bin axis [$lo,$hi]")
+    val out = s.range(lo, hi + 1).select($"id".as("bin"))
+      .join(agg, Seq("bin"), "left")
+      .select($"bin", coalesce($"n0", lit(0L)).as("n"),
+        coalesce($"s0", lit(0.0)).as("sum_value"))
+      .orderBy($"bin")
+    out
+  }
+
+  val q141Sql: String =
+    """WITH b AS (
+      |  SELECT (epoch_us(ts) * 1000) // 900000000000 AS bin, value
+      |  FROM events),
+      |a AS (
+      |  SELECT bin, COUNT(*) AS n0,
+      |    CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS s0
+      |  FROM b GROUP BY bin),
+      |r AS (
+      |  SELECT UNNEST(generate_series(
+      |    (SELECT min(bin) FROM a), (SELECT max(bin) FROM a))) AS bin)
+      |SELECT r.bin, COALESCE(a.n0, 0) AS n,
+      |  COALESCE(a.s0, 0.0) AS sum_value
+      |FROM r LEFT JOIN a USING (bin) ORDER BY bin""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_window_suite" -> (q128WindowSuite _),
     "q129_simjoin_prefix" -> (q129SimJoinPrefix _),
@@ -716,7 +800,9 @@ object Queries9 {
     "q136_weighted_sample" -> (q136WeightedSample _),
     "q137_join_hints" -> (q137JoinHints _),
     "q138_file_sizing" -> (q138FileSizing _),
-    "q139_sql_api" -> (q139SqlApi _)
+    "q139_sql_api" -> (q139SqlApi _),
+    "q140_schema_merge" -> (q140SchemaMerge _),
+    "q141_resample_gapfill" -> (q141ResampleGapfill _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -731,6 +817,8 @@ object Queries9 {
     "q136_weighted_sample" -> q136Sql,
     "q137_join_hints" -> q137Sql,
     "q138_file_sizing" -> q138Sql,
-    "q139_sql_api" -> q139Sql
+    "q139_sql_api" -> q139Sql,
+    "q140_schema_merge" -> q140Sql,
+    "q141_resample_gapfill" -> q141Sql
   )
 }
