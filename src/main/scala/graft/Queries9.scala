@@ -788,6 +788,129 @@ object Queries9 {
       |  COALESCE(a.s0, 0.0) AS sum_value
       |FROM r LEFT JOIN a USING (bin) ORDER BY bin""".stripMargin
 
+  // ---- q142: cache reuse ------------------------------------------------
+
+  /** Explicit dataset caching — the hot-dim / iterative-read pattern: a
+    * filtered projection is persisted, materialized once, and TWO
+    * downstream aggregates consume it; the second one's executed plan
+    * is REQUIRED to read `InMemoryTableScan` (the cache, not the
+    * parquet). At 100 TB you cache the filtered 100 GB working set,
+    * never the raw table — the gate caches the filter+projection
+    * result for exactly that reason. Unpersisted before returning so
+    * repeated bench loops don't accumulate executors-full of old
+    * cache entries. */
+  def q142CacheReuse(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "lineitem")
+      .where($"l_quantity" > 10)
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .persist()
+    try {
+      val qty = base.groupBy($"l_returnflag")
+        .agg(dsum($"l_quantity").as("qty_sum"))
+      qty.count() // materialize the cache
+      val price = base.groupBy($"l_returnflag")
+        .agg(dsum($"l_extendedprice").as("price_sum"))
+      val plan = price.queryExecution.executedPlan.toString()
+      require(plan.contains("InMemoryTableScan"),
+        s"q142: second read did not hit the cache:\n${plan.take(500)}")
+      qty.join(price, "l_returnflag")
+        .select($"l_returnflag", $"qty_sum", $"price_sum")
+        .orderBy($"l_returnflag")
+        // force the join NOW while the cache is live; the returned
+        // frame is re-evaluated later (post-unpersist), where it
+        // recomputes from parquet with identical values
+        .localCheckpoint()
+    } finally base.unpersist()
+  }
+
+  val q142Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS qty_sum,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS price_sum
+      |FROM lineitem WHERE l_quantity > 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---- q143: outer-join matrix ------------------------------------------
+
+  /** The outer-join truth table in one result: two deliberately
+    * part-overlapping populations (orders of every 3rd customer vs
+    * customers outside one residue class) FULL-OUTER joined, with
+    * null-side indicators and null-tolerant aggregates — the join-type
+    * semantics (left-only, right-only, matched) every engine must
+    * agree on exactly. Complements the inner/semi/anti forms gates
+    * q03/q115/q135 exercise. */
+  def q143OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .where($"o_custkey" % 3 === 0)
+      .groupBy($"o_custkey".as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val c = t(s, dir, "customer")
+      .where($"c_custkey" % 3 =!= 1)
+      .select($"c_custkey".as("k"), $"c_nationkey")
+    o.join(c, Seq("k"), "full_outer")
+      .select($"k",
+        $"n_orders".isNotNull.as("has_orders"),
+        $"c_nationkey".isNotNull.as("has_customer"),
+        coalesce($"n_orders", lit(0L)).as("n_orders"),
+        coalesce($"c_nationkey".cast(LongType), lit(-1L))
+          .as("nationkey"))
+      .orderBy($"k")
+  }
+
+  val q143Sql: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders
+      |  WHERE o_custkey % 3 = 0 GROUP BY o_custkey),
+      |c AS (
+      |  SELECT c_custkey AS k, c_nationkey FROM customer
+      |  WHERE c_custkey % 3 <> 1)
+      |SELECT COALESCE(o.k, c.k) AS k,
+      |  o.n_orders IS NOT NULL AS has_orders,
+      |  c.c_nationkey IS NOT NULL AS has_customer,
+      |  COALESCE(o.n_orders, 0) AS n_orders,
+      |  CAST(COALESCE(c.c_nationkey, -1) AS BIGINT) AS nationkey
+      |FROM o FULL OUTER JOIN c ON o.k = c.k
+      |ORDER BY k""".stripMargin
+
+  // ---- q144: explode forms (posexplode_outer) ---------------------------
+
+  /** Generator semantics at the edge: `posexplode_outer` over an array
+    * that is EMPTY for many rows must emit one (null pos, null value)
+    * row per empty input instead of dropping the document — the
+    * difference between explode and explode_outer is exactly the rows
+    * a naive pipeline silently loses. The array here is each doc's
+    * long words (> 7 letters), empty for short-worded docs; the oracle
+    * replays the outer semantics with list_extract over a 1-based
+    * index axis (empty list → index 0 probe → NULL row). */
+  def q144ExplodeForms(s: SparkSession, dir: String): DataFrame = {
+    val words = filter(
+      split(lower($"text"), "[^a-z]+"), w => length(w) > 7)
+    t(s, dir, "documents")
+      .where($"doc_id" < 100)
+      .select($"doc_id", words.as("arr"))
+      .select($"doc_id", posexplode_outer($"arr"))
+      .select($"doc_id", $"pos".cast(LongType).as("pos"),
+        $"col".as("w"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val q144Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(lower(text), '[^a-z]+'),
+      |    w -> length(w) > 7) AS arr
+      |  FROM documents WHERE doc_id < 100),
+      |x AS (
+      |  SELECT doc_id, arr,
+      |    UNNEST(range(greatest(len(arr), 1))) AS i
+      |  FROM d)
+      |SELECT doc_id,
+      |  CASE WHEN len(arr) = 0 THEN NULL ELSE i END AS pos,
+      |  list_extract(arr, CAST(i + 1 AS INT)) AS w
+      |FROM x ORDER BY doc_id, pos""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_window_suite" -> (q128WindowSuite _),
     "q129_simjoin_prefix" -> (q129SimJoinPrefix _),
@@ -802,7 +925,10 @@ object Queries9 {
     "q138_file_sizing" -> (q138FileSizing _),
     "q139_sql_api" -> (q139SqlApi _),
     "q140_schema_merge" -> (q140SchemaMerge _),
-    "q141_resample_gapfill" -> (q141ResampleGapfill _)
+    "q141_resample_gapfill" -> (q141ResampleGapfill _),
+    "q142_cache_reuse" -> (q142CacheReuse _),
+    "q143_outer_join" -> (q143OuterJoin _),
+    "q144_explode_forms" -> (q144ExplodeForms _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -819,6 +945,9 @@ object Queries9 {
     "q138_file_sizing" -> q138Sql,
     "q139_sql_api" -> q139Sql,
     "q140_schema_merge" -> q140Sql,
-    "q141_resample_gapfill" -> q141Sql
+    "q141_resample_gapfill" -> q141Sql,
+    "q142_cache_reuse" -> q142Sql,
+    "q143_outer_join" -> q143Sql,
+    "q144_explode_forms" -> q144Sql
   )
 }
