@@ -911,6 +911,81 @@ object Queries9 {
       |  list_extract(arr, CAST(i + 1 AS INT)) AS w
       |FROM x ORDER BY doc_id, pos""".stripMargin
 
+  // ---- q145: foreachBatch idempotent custom sink -----------------------
+
+  /** The exactly-once recipe for sinks WITHOUT a commit log (q131's
+    * file sink has one; a JDBC table, a KV store, or a plain directory
+    * does not): `foreachBatch` hands the micro-batch AND its batchId
+    * to user code, and idempotence comes from keying the write on the
+    * batchId — here one overwritten directory per batch, so a replayed
+    * batch rewrites its own output instead of duplicating it. Same
+    * stop/restart protocol as q131: run 1 sees half the staged corpus,
+    * a second query on the SAME checkpoint processes the remainder
+    * (batchIds continue across the restart), and the batch-partitioned
+    * sink must hold each row exactly once. */
+  def q145ForeachBatch(parent: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val base = s"/tmp/graft_fb_${System.nanoTime()}"
+    val (stage, srcDir, sink, chk) =
+      (s"$base/stage", s"$base/src", s"$base/sink", s"$base/chk")
+    val ev = Tables(parent, dir, "events")
+    val expected = ev.count()
+    ev.repartition(4).write.parquet(stage)
+    val parts = new java.io.File(stage).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    require(parts.length >= 2, "q145: need >=2 staged files")
+    new java.io.File(srcDir).mkdirs()
+    def arrive(fs: Seq[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Path.of(srcDir, f.getName))
+    }
+    def runToCompletion(): Unit = {
+      val q = spark.readStream
+        .schema(graft.streaming.EventsStream.eventsSchema).parquet(srcDir)
+        .select($"event_id", $"event_type", $"value")
+        .writeStream
+        .foreachBatch { (df: DataFrame, batchId: Long) =>
+          df.write.mode("overwrite").parquet(s"$sink/batch=$batchId")
+          ()
+        }
+        .option("checkpointLocation", chk)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    arrive(parts.take(parts.length / 2))
+    runToCompletion()
+    val afterRun1 = spark.read.parquet(sink).count()
+    arrive(parts.drop(parts.length / 2))
+    runToCompletion()
+    val out = spark.read.parquet(sink)
+    val totalRows = out.count()
+    val distinctIds = out.select($"event_id").distinct().count()
+    val nBatches = out.select($"batch").distinct().count()
+    val res = out.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type").collect().toSeq
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    }
+    rm(new java.io.File(base))
+    require(afterRun1 > 0 && afterRun1 < expected,
+      s"q145: run 1 emitted $afterRun1 of $expected — nothing to " +
+        "recover")
+    require(nBatches >= 2,
+      s"q145: expected batches from both runs, got $nBatches")
+    require(totalRows == expected && distinctIds == expected,
+      s"q145: exactly-once violated — $totalRows rows / $distinctIds " +
+        s"distinct ids vs $expected")
+    parent.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(res).asJava),
+      StructType(Seq(StructField("event_type", StringType),
+        StructField("n", LongType),
+        StructField("sum_value", DoubleType))))
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q128_window_suite" -> (q128WindowSuite _),
     "q129_simjoin_prefix" -> (q129SimJoinPrefix _),
@@ -928,7 +1003,8 @@ object Queries9 {
     "q141_resample_gapfill" -> (q141ResampleGapfill _),
     "q142_cache_reuse" -> (q142CacheReuse _),
     "q143_outer_join" -> (q143OuterJoin _),
-    "q144_explode_forms" -> (q144ExplodeForms _)
+    "q144_explode_forms" -> (q144ExplodeForms _),
+    "q145_foreach_batch" -> (q145ForeachBatch _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -948,6 +1024,9 @@ object Queries9 {
     "q141_resample_gapfill" -> q141Sql,
     "q142_cache_reuse" -> q142Sql,
     "q143_outer_join" -> q143Sql,
-    "q144_explode_forms" -> q144Sql
+    "q144_explode_forms" -> q144Sql,
+    // q145 intentionally shares q131's oracle: same per-type aggregate
+    // contract, different sink mechanism under test
+    "q145_foreach_batch" -> q131Sql
   )
 }
