@@ -96,21 +96,25 @@ object Queries8 {
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
     val eps = 0.002
     def arr(xs: Seq[Double]): Column = array(xs.map(lit): _*)
-    // persist the group-cardinality agg result: the exact percentiles
-    // are the expensive part (full per-group sorted buffers), and the
-    // gate reads them twice — once for the rank-band check, once for
-    // the returned projection. Without the persist the whole agg runs
-    // twice.
+    // ONE exact-percentile aggregate for all 12 quantiles (point +
+    // lo/hi rank bands): each percentile() call builds its own
+    // per-group value buffer, so three calls tripled the dominant
+    // cost. The persist stops the gate's two reads (rank-band check +
+    // returned projection) from running the agg twice.
+    val allPs = ps ++ ps.map(p => math.max(0.0, p - eps)) ++
+      ps.map(p => math.min(1.0, p + eps))
+    val k = ps.length
     val rows = t(s, dir, "lineitem")
       .groupBy($"l_linestatus")
       .agg(
-        percentile($"l_extendedprice", arr(ps)).as("ex"),
+        percentile($"l_extendedprice", arr(allPs)).as("exall"),
         percentile_approx($"l_extendedprice", arr(ps), lit(1000))
-          .as("ap"),
-        percentile($"l_extendedprice",
-          arr(ps.map(p => math.max(0.0, p - eps)))).as("lo"),
-        percentile($"l_extendedprice",
-          arr(ps.map(p => math.min(1.0, p + eps)))).as("hi"))
+          .as("ap"))
+      .select($"l_linestatus",
+        slice($"exall", 1, k).as("ex"),
+        $"ap",
+        slice($"exall", k + 1, k).as("lo"),
+        slice($"exall", 2 * k + 1, k).as("hi"))
       .persist()
     rows.select($"l_linestatus", $"ap", $"lo", $"hi").collect().foreach {
       r =>
