@@ -104,6 +104,53 @@ class Queries9Spec extends SparkSpec {
     assert(cand.size < 21, s"no pruning at all: $cand")
   }
 
+  test("prefix filter is lossless on randomized corpora (3 seeds)") {
+    // deterministic pseudo-random corpora from a small vocab — the
+    // high-overlap regime where a buggy prefix bound would actually
+    // lose pairs; truth = brute force at theta=0.7
+    val vocab = ('a' to 'z').map(c => s"w$c")
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 30L).map { id =>
+        val n = 4 + rnd.nextInt(8)
+        (id, Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+          .distinct.mkString(" "))
+      }.toDF("doc_id", "text")
+      val toks = array_distinct(filter(
+        split(lower(col("text")), "[^a-z0-9]+"), x => x =!= ""))
+      val d = docs.select(col("doc_id"), toks.as("tok"))
+      val a = d.select(col("doc_id").as("ia"), col("tok").as("ta"))
+      val b = d.select(col("doc_id").as("ib"), col("tok").as("tb"))
+      val inter = size(array_intersect(col("ta"), col("tb")))
+      val truth = a.crossJoin(b).where(col("ia") < col("ib"))
+        .where(inter.cast("double") /
+          (size(col("ta")) + size(col("tb")) - inter).cast("double")
+          >= 0.7)
+        .select(col("ia"), col("ib")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val tf = d.select(col("doc_id"), explode(col("tok")).as("token"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val ranked = tf.join(dfreq, "token").groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("df"), col("token"))))
+          .as("ts"))
+        .select(col("doc_id"),
+          transform(col("ts"), st => st.getField("token")).as("stok"))
+      val prefLen = greatest(lit(1),
+        size(col("stok")) - expr("(7 * size(stok) + 9) div 10") +
+          lit(1))
+      val pref = ranked.select(col("doc_id"),
+        explode(slice(col("stok"), lit(1), prefLen)).as("ptok"))
+      val cand = pref.as("a").join(pref.as("b"),
+          col("a.ptok") === col("b.ptok") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(truth.subsetOf(cand),
+        s"seed $seed: prefix filter lost ${truth -- cand}")
+    }
+  }
+
   test("integer prefix-length arithmetic equals true rational ceil") {
     // (7n+9) div 10 must equal ceil(7n/10) exactly for every set size —
     // the soundness bound is a rational, and the integer form carries
