@@ -1312,6 +1312,22 @@ public final class Kernels {
     return s;
   }
 
+  /** Unicode NFC normalization (canonical composition) — the first step
+   * of the standard corpus text-normalization pass. java.text.Normalizer
+   * implements the same Unicode normalization algorithm as DuckDB's
+   * utf8proc-backed nfc_normalize, so the result is engine-portable and
+   * full-oracle verifiable. Fast path: Normalizer.isNormalized is a
+   * cheap scan (ASCII corpora — the common case — never allocate). */
+  public static UTF8String nfcNormalize(UTF8String s) {
+    String str = s.toString();
+    if (java.text.Normalizer.isNormalized(
+        str, java.text.Normalizer.Form.NFC)) {
+      return s;
+    }
+    return UTF8String.fromString(java.text.Normalizer.normalize(
+        str, java.text.Normalizer.Form.NFC));
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits
    * of dot products with pseudo-random hyperplanes derived from seed. */
   public static long hyperplaneLsh(ArrayData v, int bits, long seed) {

@@ -199,6 +199,12 @@ object Functional {
     invoke("wordShingles", ArrayType(StringType, containsNull = false),
       Seq(text, lit(k)), Seq(StringType, IntegerType))
 
+  /** Unicode NFC canonical composition (engine-portable: java.text
+    * .Normalizer and DuckDB's utf8proc agree on the Unicode NFC
+    * algorithm; ASCII fast-path never allocates). */
+  def nfcNormalize(text: Column): Column =
+    invoke("nfcNormalize", StringType, Seq(text))
+
   /** MinHash signature match ratio (estimated Jaccard), fused. */
   def sigMatchRatio(a: Column, b: Column): Column =
     invoke("sigMatchRatio", DoubleType, Seq(a, b))
@@ -375,6 +381,7 @@ object Functional {
       ("sample_hash", "sampleHash", long, Seq(long, long)),
       ("word_shingles", "wordShingles",
         T.ArrayType(str, containsNull = false), Seq(str, int)),
+      ("nfc_normalize", "nfcNormalize", str, Seq(str)),
       ("round_ref", "roundRef", T.DoubleType, Seq(T.DoubleType, int)))
     entries.foreach { case (sqlName, method, dt, params) =>
       Shim.registerKernel(spark, sqlName, K, method, dt, params)

@@ -26,6 +26,20 @@ object TextAnalysis {
   def regexTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
 
+  /** Corpus text normalization — the standard pre-tokenization hygiene
+    * pass (every public pipeline — C4, CCNet, Dolma — runs a variant):
+    * Unicode NFC canonical composition (decomposed accent sequences →
+    * composed forms, so "e"+U+0301 and "é" dedup/tokenize identically),
+    * control characters replaced by spaces, whitespace runs collapsed
+    * to single spaces, ends trimmed. Pure row-local column expression
+    * (codegen'd NFC kernel + two regexes), no shuffle; engine-portable,
+    * so the whole pass is full-oracle verifiable (q148). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(Functional.nfcNormalize(text),
+        "[\\x00-\\x1F\\x7F]", " "),
+      "\\s+", " "))
+
   // ---- language ID ----------------------------------------------------
 
   /** Tiny per-language stopword profiles (public-knowledge function
