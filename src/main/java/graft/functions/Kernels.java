@@ -1328,6 +1328,30 @@ public final class Kernels {
         str, java.text.Normalizer.Form.NFC));
   }
 
+  /** FastSS edit-distance-1 neighborhood (Bocek et al., 2007): the
+   * string itself plus every single-codepoint deletion. Two strings
+   * within Levenshtein distance 1 ALWAYS share a neighborhood key
+   * (substitution at i → both i-deletions equal; insertion → the
+   * longer string's deletion equals the shorter string itself; equal →
+   * identity key), so an equi-join on these keys is a provably
+   * lossless candidate generator for ed≤1 — |s|+1 keys per string,
+   * no cross product. Codepoint-level so surrogate pairs never split. */
+  public static ArrayData editNeighborhood1(UTF8String s) {
+    String str = s.toString();
+    int[] cps = str.codePoints().toArray();
+    UTF8String[] out = new UTF8String[cps.length + 1];
+    out[0] = s;
+    StringBuilder sb = new StringBuilder(str.length());
+    for (int i = 0; i < cps.length; i++) {
+      sb.setLength(0);
+      for (int j = 0; j < cps.length; j++) {
+        if (j != i) sb.appendCodePoint(cps[j]);
+      }
+      out[i + 1] = UTF8String.fromString(sb.toString());
+    }
+    return org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out);
+  }
+
   /** Random-hyperplane LSH bucket id for a float vector: `bits` sign bits
    * of dot products with pseudo-random hyperplanes derived from seed. */
   public static long hyperplaneLsh(ArrayData v, int bits, long seed) {

@@ -32,7 +32,8 @@ object SparkEntry {
     "q14_agg_forms" -> (Queries.q14AggForms _)
   ) ++ Queries2.entries ++ Queries3.entries ++ Queries4.entries ++
     Queries5.entries ++ Queries6.entries ++ Queries7.entries ++
-    Queries8.entries ++ Queries9.entries ++ Queries10.entries
+    Queries8.entries ++ Queries9.entries ++ Queries10.entries ++
+    Queries11.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     "q14_agg_forms" -> Queries.q14Sql
   ) ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++
     Queries5.oracles ++ Queries6.oracles ++ Queries7.oracles ++
-    Queries8.oracles ++ Queries9.oracles ++ Queries10.oracles
+    Queries8.oracles ++ Queries9.oracles ++ Queries10.oracles ++
+    Queries11.oracles
 }

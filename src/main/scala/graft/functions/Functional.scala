@@ -199,6 +199,12 @@ object Functional {
     invoke("wordShingles", ArrayType(StringType, containsNull = false),
       Seq(text, lit(k)), Seq(StringType, IntegerType))
 
+  /** FastSS ed≤1 candidate keys: the string plus every single-codepoint
+    * deletion (provably complete for Levenshtein distance 1). */
+  def editNeighborhood1(text: Column): Column =
+    invoke("editNeighborhood1",
+      ArrayType(StringType, containsNull = false), Seq(text))
+
   /** Unicode NFC canonical composition (engine-portable: java.text
     * .Normalizer and DuckDB's utf8proc agree on the Unicode NFC
     * algorithm; ASCII fast-path never allocates). */
@@ -382,6 +388,8 @@ object Functional {
       ("word_shingles", "wordShingles",
         T.ArrayType(str, containsNull = false), Seq(str, int)),
       ("nfc_normalize", "nfcNormalize", str, Seq(str)),
+      ("edit_neighborhood_1", "editNeighborhood1",
+        T.ArrayType(str, containsNull = false), Seq(str)),
       ("round_ref", "roundRef", T.DoubleType, Seq(T.DoubleType, int)))
     entries.foreach { case (sqlName, method, dt, params) =>
       Shim.registerKernel(spark, sqlName, K, method, dt, params)
