@@ -95,11 +95,18 @@ object Queries12 {
     * DECIMAL. */
   def q160EquiDepth(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
+    // ONE percentile() call for all three borders — each call builds
+    // its own full-column value buffer, so three calls tripled the
+    // dominant cost (the q122 lesson)
     val b = li.agg(
-      round(percentile($"l_extendedprice", lit(0.25)), 4),
-      round(percentile($"l_extendedprice", lit(0.5)), 4),
-      round(percentile($"l_extendedprice", lit(0.75)), 4)).head()
-    val (p25, p50, p75) = (b.getDouble(0), b.getDouble(1), b.getDouble(2))
+      percentile($"l_extendedprice", array(lit(0.25), lit(0.5), lit(0.75)))
+        .as("ps")).head().getSeq[Double](0)
+    // driver-side replica of Spark round(_, 4): HALF_UP over the
+    // shortest decimal repr (BigDecimal.valueOf semantics) — the
+    // contract the DuckDB oracle's round() matched all along
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (p25, p50, p75) = (r4(b(0)), r4(b(1)), r4(b(2)))
     li.groupBy(
         when($"l_extendedprice" <= p25, 0)
           .when($"l_extendedprice" <= p50, 1)
