@@ -357,13 +357,31 @@ object Queries13 {
       |  true AS union_ok, true AS within_3sigma
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q168: transformWithState running aggregate ------------------------
+
+  /** See [[graft.streaming.EventsStream.transformWithStateAgg]] — the
+    * arbitrary-state v2 streaming operator (typed ValueState slots on
+    * RocksDB). The oracle replays the same per-user aggregate + bucket
+    * rollup in batch SQL. */
+  val q168Sql: String =
+    """WITH per_user AS (
+      |  SELECT user_id, count(*) AS n,
+      |    sum(CAST("value" AS DECIMAL(25,4))) AS s
+      |  FROM events WHERE "value" IS NOT NULL GROUP BY 1)
+      |SELECT user_id % 10 AS bucket, count(*) AS n_users,
+      |  CAST(sum(n) AS BIGINT) AS n_events,
+      |  CAST(sum(s) AS DOUBLE) AS sum_value
+      |FROM per_user GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q162_agg_pushdown" -> (q162AggPushdown _),
     "q163_scd2" -> (q163Scd2 _),
     "q164_interpolate" -> (q164Interpolate _),
     "q165_mad_outliers" -> (q165MadOutliers _),
     "q166_target_encode" -> (q166TargetEncode _),
-    "q167_sketch_cube" -> (q167SketchCube _)
+    "q167_sketch_cube" -> (q167SketchCube _),
+    "q168_transform_state" ->
+      (graft.streaming.EventsStream.transformWithStateAgg _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -372,6 +390,7 @@ object Queries13 {
     "q164_interpolate" -> q164Sql,
     "q165_mad_outliers" -> q165Sql,
     "q166_target_encode" -> q166Sql,
-    "q167_sketch_cube" -> q167Sql
+    "q167_sketch_cube" -> q167Sql,
+    "q168_transform_state" -> q168Sql
   )
 }

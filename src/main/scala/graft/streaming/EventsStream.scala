@@ -345,4 +345,90 @@ object EventsStream {
       }
       .toDF("user_id", "n_events", "n_sessions")
   }
+
+  /** Per-user running aggregate through `transformWithState` — the
+    * arbitrary-state v2 operator (Spark 4.x): typed ValueState under
+    * the RocksDB state store (the provider the API requires; also the
+    * production store for 100 TB streams — state spills off-heap and
+    * snapshots to the checkpoint location, so per-key state survives
+    * executor loss). Compared to [[sessionizeStateful]]'s
+    * mapGroupsWithState: named state slots with independent encoders +
+    * TTL, timers decoupled from output mode, and list/map state for
+    * bigger-than-value shapes. State here is O(1)/user: (n, exact
+    * scaled-long sum — element-wise DECIMAL(25,4) HALF_UP, the dsum
+    * convention, so the emitted totals are engine-exact). The output
+    * rolls up to ten user_id buckets, keeping the oracled result
+    * bounded at any SF. */
+  def transformWithStateAgg(parent: SparkSession, dir: String)
+      : DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      "false")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val name = s"graft_tws_${System.nanoTime()}"
+    val src = eventsStream(spark, dir)
+      .where(col("value").isNotNull)
+      .select(col("user_id"), col("value")).as[UserEvent]
+    val out = src.groupByKey(_.user_id)
+      .transformWithState(new UserRunningAgg, TimeMode.None(),
+        OutputMode.Append(),
+        org.apache.spark.sql.Encoders.product[UserAggOut])
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .groupBy(pmod(col("user_id"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"),
+        (sum(col("sum_scaled")) / lit(10000.0)).as("sum_value"))
+      .orderBy("bucket")
+  }
+}
+
+/** Typed rows for [[EventsStream.transformWithStateAgg]]. */
+case class UserEvent(user_id: Long, value: Double)
+case class UserAgg(n: Long, sumScaled: Long)
+case class UserAggOut(user_id: Long, n: Long, sum_scaled: Long)
+
+/** The StatefulProcessor: one ValueState slot per user holding
+  * (count, exact scaled-long sum). handleInputRows folds the batch's
+  * rows into state and emits the running total — on an unbounded
+  * stream each micro-batch re-emits the user's updated aggregate
+  * (append-mode change stream); here the single micro-batch emits the
+  * final value per user exactly once. */
+class UserRunningAgg extends org.apache.spark.sql.streaming
+    .StatefulProcessor[Long, UserEvent, UserAggOut] {
+  import org.apache.spark.sql.streaming.{OutputMode, TimeMode,
+    TimerValues, TTLConfig, ValueState}
+
+  @transient private var st: ValueState[UserAgg] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[UserAgg]("agg",
+      org.apache.spark.sql.Encoders.product[UserAgg], TTLConfig.NONE)
+
+  override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+      timerValues: TimerValues): Iterator[UserAggOut] = {
+    var n = 0L
+    var s = 0L
+    if (st.exists()) { val p = st.get(); n = p.n; s = p.sumScaled }
+    rows.foreach { e =>
+      n += 1
+      // element-wise DECIMAL(25,4) HALF_UP then exact long add — the
+      // dsum convention, order-independent and oracle-exact
+      s += java.math.BigDecimal.valueOf(e.value)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .movePointRight(4).longValueExact()
+    }
+    st.update(UserAgg(n, s))
+    Iterator.single(UserAggOut(key, n, s))
+  }
 }
