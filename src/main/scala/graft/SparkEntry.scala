@@ -33,7 +33,8 @@ object SparkEntry {
   ) ++ Queries2.entries ++ Queries3.entries ++ Queries4.entries ++
     Queries5.entries ++ Queries6.entries ++ Queries7.entries ++
     Queries8.entries ++ Queries9.entries ++ Queries10.entries ++
-    Queries11.entries ++ Queries12.entries ++ Queries13.entries
+    Queries11.entries ++ Queries12.entries ++ Queries13.entries ++
+    Queries14.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
   ) ++ Queries2.oracles ++ Queries3.oracles ++ Queries4.oracles ++
     Queries5.oracles ++ Queries6.oracles ++ Queries7.oracles ++
     Queries8.oracles ++ Queries9.oracles ++ Queries10.oracles ++
-    Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles
+    Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++
+    Queries14.oracles
 }
