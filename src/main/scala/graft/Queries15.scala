@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Round-12 gates past q171: dynamic partition overwrite (q172), the
+  * linear-regression aggregate battery (q173), and the stream-stream
+  * left-semi join (q174). Naming/oracle/float conventions as in
+  * [[Queries]].
+  */
+object Queries15 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(25, 4))).cast(DoubleType)
+
+  // ---- q172: dynamic partition overwrite ---------------------------------
+
+  /** Partition-level idempotent rewrite — INSERT OVERWRITE one
+    * partition without touching its siblings
+    * (`partitionOverwriteMode=dynamic`): the ops pattern behind every
+    * "re-run yesterday's batch" on a 100 TB date-partitioned table,
+    * where STATIC overwrite mode would first TRUNCATE THE WHOLE TABLE.
+    * The gate seeds a type-partitioned events copy, dynamically
+    * overwrites only the `click` partition (values doubled), and
+    * asserts sibling partitions kept their exact file sets (paths
+    * compared, stronger than row counts) while click's files were
+    * replaced. Oracle recomputes the expected final table from the
+    * original events. */
+  def q172DynamicOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = "/tmp/graft_formats/dynover_events"
+    val ev = t(s, dir, "events")
+      .select($"event_id", $"event_type", $"value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    def files(): Map[String, Set[String]] =
+      s.read.parquet(path).inputFiles.toSet
+        .groupBy(f => f.split("/").find(_.startsWith("event_type="))
+          .getOrElse("?"))
+    val before = files()
+    ev.where($"event_type" === "click")
+      .withColumn("value", $"value" * 2.0)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("event_type").parquet(path)
+    val after = files()
+    (before.keySet - "event_type=click").foreach { p =>
+      require(before(p) == after(p),
+        s"q172: sibling partition $p was rewritten by the dynamic " +
+          "overwrite — static-mode truncation semantics leaked")
+    }
+    require(before("event_type=click")
+        .intersect(after("event_type=click")).isEmpty,
+      "q172: click partition kept its old files — overwrite was a no-op")
+    s.read.parquet(path)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .withColumn("siblings_ok", lit(true))
+      .orderBy($"event_type")
+  }
+
+  val q172Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST(CASE WHEN event_type = 'click' THEN "value" * 2.0
+      |    ELSE "value" END AS DECIMAL(25,4))) AS DOUBLE) AS sum_value,
+      |  true AS siblings_ok
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q173: linear-regression aggregate battery -------------------------
+
+  /** Per-group ordinary-least-squares aggregates — slope, intercept,
+    * R², and the co-moment primitives they derive from, all one-pass
+    * partial/final aggregates on the scan (the q170 shape; no per-
+    * group buffers, no second pass). The full regr_* family is what a
+    * feature-engineering pipeline uses for per-segment trend columns
+    * at 100 TB: one shuffle of (group, moments), never the rows. */
+  def q173Regression(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    li.groupBy($"l_returnflag")
+      .agg(regr_count($"l_extendedprice", $"l_quantity").as("n"),
+        round(regr_slope($"l_extendedprice", $"l_quantity"), 6)
+          .as("slope"),
+        round(regr_intercept($"l_extendedprice", $"l_quantity"), 4)
+          .as("icept"),
+        round(regr_r2($"l_extendedprice", $"l_quantity"), 6).as("r2"),
+        round(regr_avgx($"l_extendedprice", $"l_quantity"), 6)
+          .as("avgx"),
+        round(regr_avgy($"l_extendedprice", $"l_quantity"), 4)
+          .as("avgy"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q173Sql: String =
+    """SELECT l_returnflag,
+      |  regr_count(l_extendedprice, l_quantity) AS n,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avgx,
+      |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---- q174: stream-stream left-semi join --------------------------------
+
+  /** Stream-stream LEFT SEMI interval join — "clicks that converted
+    * within the hour", emitting each qualifying click ONCE however
+    * many purchases matched (the dedup the inner join q105 can't give
+    * without a second distinct pass). Both sides are unbounded
+    * streams: watermarks + the time-range condition bound the join
+    * state exactly as in q105/q110; semi rows emit as soon as the
+    * first match arrives. Oracle = batch EXISTS. */
+  def q174StreamSemiJoin(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventsStream.streamSemiJoin(s, dir)
+
+  val q174Sql: String =
+    """SELECT c.event_id AS c_id
+      |FROM events c WHERE c.event_type = 'click' AND EXISTS (
+      |  SELECT 1 FROM events p
+      |  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+      |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
+      |ORDER BY c_id""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_dynamic_overwrite" -> (q172DynamicOverwrite _),
+    "q173_regression" -> (q173Regression _),
+    "q174_stream_semi_join" -> (q174StreamSemiJoin _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q172_dynamic_overwrite" -> q172Sql,
+    "q173_regression" -> q173Sql,
+    "q174_stream_semi_join" -> q174Sql
+  )
+}

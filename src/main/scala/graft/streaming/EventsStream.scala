@@ -346,6 +346,39 @@ object EventsStream {
       .toDF("user_id", "n_events", "n_sessions")
   }
 
+  /** Stream-stream LEFT SEMI interval join — each click emits ONCE if
+    * any same-user purchase lands within the following hour, however
+    * many matched (the built-in dedup the inner join shape needs a
+    * second distinct for). Same watermark + time-range state bounds as
+    * [[streamStreamJoin]]; a semi row emits as soon as its first match
+    * arrives, so the bounded single micro-batch emits the complete
+    * qualifying set without the outer join's sentinel machinery. */
+  def streamSemiJoin(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val name = s"graft_sssemi_${System.nanoTime()}"
+    def side(tp: String, pfx: String): DataFrame =
+      eventsStream(spark, dir)
+        .where(col("event_type") === tp)
+        .select(col("event_id").as(s"${pfx}_id"),
+          col("user_id").as(s"${pfx}_user"),
+          timestamp_micros(expr("ts div 1000")).as(s"${pfx}_time"))
+        .withWatermark(s"${pfx}_time", "1 hour")
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"),
+      "left_semi")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).select(col("c_id")).orderBy("c_id")
+  }
+
   /** Per-user running aggregate through `transformWithState` — the
     * arbitrary-state v2 operator (Spark 4.x): typed ValueState under
     * the RocksDB state store (the provider the API requires; also the
