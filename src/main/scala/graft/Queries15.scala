@@ -123,15 +123,73 @@ object Queries15 {
       |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000)
       |ORDER BY c_id""".stripMargin
 
+  // ---- q175: exact weighted percentiles ----------------------------------
+
+  /** Weighted percentiles, integer-exact: lower ("type 1") weighted
+    * quantile — the smallest value whose cumulative weight reaches
+    * p·W — with thresholds held in INTEGER form (4·cumw ≥ k·W), so no
+    * float crosses an engine boundary. The token-weighted length
+    * statistic of corpus curation ("the median byte sits in a document
+    * of length X"), which plain percentiles get wrong by counting
+    * documents instead of tokens. Shape: one cumulative-sum window per
+    * group + a broadcast totals join; at 100 TB the same contract runs
+    * on the q127 range-sorted layout or a weighted sketch — the
+    * per-group sort here is the exactness price, paid once. */
+  def q175WeightedPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select($"l_returnflag", $"l_extendedprice",
+        $"l_quantity".cast(LongType).as("w"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_returnflag").orderBy($"l_extendedprice")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    // ROWS cumulative sum: ties in l_extendedprice get distinct cumw
+    // values, but "min value with cumw >= threshold" lands on the same
+    // value whatever the intra-tie order — deterministic either way
+    val cum = li.withColumn("cumw", sum($"w").over(win))
+    val tot = li.groupBy($"l_returnflag").agg(sum($"w").as("wtot"))
+    cum.join(broadcast(tot), "l_returnflag")
+      .groupBy($"l_returnflag")
+      .agg(max($"wtot").as("w_total"),
+        min(when($"cumw" * 4 >= $"wtot", $"l_extendedprice")).as("wp25"),
+        min(when($"cumw" * 2 >= $"wtot", $"l_extendedprice")).as("wp50"),
+        min(when($"cumw" * 4 >= $"wtot" * 3, $"l_extendedprice"))
+          .as("wp75"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q175Sql: String =
+    """WITH li AS (
+      |  SELECT l_returnflag, l_extendedprice,
+      |    CAST(l_quantity AS BIGINT) AS w
+      |  FROM lineitem),
+      |cum AS (
+      |  SELECT *, sum(w) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_extendedprice
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw
+      |  FROM li),
+      |tot AS (
+      |  SELECT l_returnflag, sum(w) AS wtot FROM li GROUP BY 1)
+      |SELECT cum.l_returnflag,
+      |  CAST(max(wtot) AS BIGINT) AS w_total,
+      |  min(CASE WHEN cumw * 4 >= wtot THEN l_extendedprice END) AS wp25,
+      |  min(CASE WHEN cumw * 2 >= wtot THEN l_extendedprice END) AS wp50,
+      |  min(CASE WHEN cumw * 4 >= wtot * 3 THEN l_extendedprice END)
+      |    AS wp75
+      |FROM cum JOIN tot USING (l_returnflag)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_dynamic_overwrite" -> (q172DynamicOverwrite _),
     "q173_regression" -> (q173Regression _),
-    "q174_stream_semi_join" -> (q174StreamSemiJoin _)
+    "q174_stream_semi_join" -> (q174StreamSemiJoin _),
+    "q175_weighted_pctl" -> (q175WeightedPercentile _)
   )
 
   val oracles: Map[String, String] = Map(
     "q172_dynamic_overwrite" -> q172Sql,
     "q173_regression" -> q173Sql,
-    "q174_stream_semi_join" -> q174Sql
+    "q174_stream_semi_join" -> q174Sql,
+    "q175_weighted_pctl" -> q175Sql
   )
 }
