@@ -73,6 +73,46 @@ class Queries13Spec extends SparkSpec {
     assert(a1 === 4.0)
   }
 
+  test("q171 nearest-join tie goes to the EARLIER purchase") {
+    // click at t=100; purchases at t=40 and t=160 — both 60 away
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"), col("id"))
+      .rowsBetween(Long.MinValue, -1)
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("t"), col("id"))
+      .rowsBetween(1, Long.MaxValue)
+    val pTs = when(col("et") === "purchase", col("t"))
+    val out = Seq((1L, 40L, 1L, "purchase"), (1L, 100L, 2L, "click"),
+      (1L, 160L, 3L, "purchase"))
+      .toDF("u", "t", "id", "et")
+      .withColumn("prev_p", last(pTs, ignoreNulls = true).over(wA))
+      .withColumn("next_p", first(pTs, ignoreNulls = true).over(wD))
+      .where(col("et") === "click")
+      .withColumn("nearest",
+        when(col("prev_p").isNull, col("next_p"))
+          .when(col("next_p").isNull, col("prev_p"))
+          .when(col("t") - col("prev_p") <= col("next_p") - col("t"),
+            col("prev_p"))
+          .otherwise(col("next_p")))
+      .head()
+    assert(out.getAs[Long]("nearest") === 40L)
+  }
+
+  test("q175 weighted-percentile threshold lands on the exact boundary") {
+    // values 1,2,3 with weights 1,1,2 (W=4): wp50 needs cumw*2 >= 4
+    // → cumw >= 2 → value 2 (cumw 1,2,4); wp75 needs 4cumw >= 12 → 3
+    val df = Seq((1.0, 1L), (2.0, 1L), (3.0, 2L)).toDF("v", "w")
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("v")).rowsBetween(Long.MinValue, 0)
+    val tot = df.agg(sum(col("w"))).head().getLong(0)
+    val cum = df.withColumn("cumw", sum(col("w")).over(win))
+    val r = cum.agg(
+      min(when(col("cumw") * 2 >= tot, col("v"))).as("wp50"),
+      min(when(col("cumw") * 4 >= tot * 3, col("v"))).as("wp75")).head()
+    assert(r.getDouble(0) === 2.0)
+    assert(r.getDouble(1) === 3.0)
+  }
+
   test("HLL union of disjoint partition sketches tracks the direct sketch") {
     val ids = (0L until 5000L).toDF("id")
       .withColumn("part", pmod(col("id"), lit(4)))
