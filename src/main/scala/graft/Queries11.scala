@@ -177,9 +177,14 @@ object Queries11 {
     * exact in DECIMAL(25,4) in both engines. */
   def q154Winsorize(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val bands = li.groupBy($"l_returnflag").agg(
-      round(percentile($"l_extendedprice", lit(0.05)), 4).as("p05"),
-      round(percentile($"l_extendedprice", lit(0.95)), 4).as("p95"))
+    // ONE percentile() call for both borders — separate calls each
+    // build their own per-group value buffer (the q122/q160 lesson)
+    val bands = li.groupBy($"l_returnflag")
+      .agg(percentile($"l_extendedprice", array(lit(0.05), lit(0.95)))
+        .as("ps"))
+      .select($"l_returnflag",
+        round(element_at($"ps", 1), 4).as("p05"),
+        round(element_at($"ps", 2), 4).as("p95"))
     val clip = when($"l_extendedprice" < $"p05", $"p05")
       .when($"l_extendedprice" > $"p95", $"p95")
       .otherwise($"l_extendedprice")
