@@ -302,8 +302,13 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
       else Window.partitionBy(by.map(df(_)): _*)
         .orderBy(order.map(df(_).asc): _*)
     val w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // reference null contract (_accumulate_column, skipna=True,
+    // numerical_column_cpu.py:698-725): a null INPUT row yields a null
+    // OUTPUT row, accumulation resumes on the next non-null — so the
+    // running aggregate (which skips nulls) is masked per-row
     TFrame(valueCols.foldLeft(df)((d, c) =>
-      d.withColumn(s"$c.$opName", op(d(c)).over(w))))
+      d.withColumn(s"$c.$opName",
+        when(d(c).isNotNull, op(d(c)).over(w)))))
   }
 
   /** Column quantile with the reference's 5 interpolation modes

@@ -30,9 +30,11 @@ object namespaces {
       substring(c, start + 1, math.max(stop - start, 0))
 
     /** split on a LITERAL pattern (TorchArrow pat is not a regex —
-      * string_column_cpu.py:222-228). n = max splits. */
+      * string_column_cpu.py:222-228). n = max splits; n <= 0 means
+      * UNLIMITED, matching the reference's velox forward (pinned at
+      * test_string_column.py:99-100: split(".", 0) == full split). */
     def split(pat: String, n: Int = -1): Column =
-      if (n < 0) org.apache.spark.sql.functions
+      if (n <= 0) org.apache.spark.sql.functions
         .split(c, java.util.regex.Pattern.quote(pat))
       else org.apache.spark.sql.functions
         .split(c, java.util.regex.Pattern.quote(pat), n + 1)
