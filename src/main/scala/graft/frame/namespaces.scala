@@ -168,9 +168,23 @@ object namespaces {
     }
 
     /** `**`: int ^ int stays int (torcharrow_pow_int,
-      * numeric_functions.h:103-138). */
+      * numeric_functions.h:103-138); a NEGATIVE integer exponent
+      * raises, as numpy/the reference do
+      * (test_numerical_column.py:425-430). */
     def powInt(other: Column): Column =
-      pow(c.cast(DoubleType), other.cast(DoubleType)).cast(LongType)
+      when(other < 0, raise_error(lit(
+        "Integers to negative integer powers are not allowed")))
+        .otherwise(pow(c.cast(DoubleType), other.cast(DoubleType))
+          .cast(LongType))
+
+    /** Bitwise &, |, ^, ~ on integer columns (Python int semantics,
+      * test_numerical_column.py:640-647). Boolean columns use the
+      * native logical operators (&&, ||, =!=, !) — same truth tables
+      * the reference's bool branch pins at :630-638. */
+    def bitAnd(other: Column): Column = c.bitwiseAND(other)
+    def bitOr(other: Column): Column = c.bitwiseOR(other)
+    def bitXor(other: Column): Column = c.bitwiseXOR(other)
+    def bitNot: Column = bitwise_not(c)
 
     /** round(decimals) with the reference's rint-on-scaled-double
       * half-even semantics (torcharrow_round,

@@ -132,6 +132,75 @@ class ReferenceBatterySpec extends SparkSpec {
       Seq(Seq(0L, 1L, 2L, 3L), Seq(5L, 6L, 7L, 8L), Seq(0L, 1L, 2L)))
   }
 
+  test("bitwise ops battery (test_numerical_column.py:630-647)") {
+    import spark.implicits._
+    // bool forms: native logical operators carry the pinned tables
+    val gh = Seq((true, false), (false, false), (true, true), (false, true))
+      .toDF("g", "h")
+    assert(col0(gh.select(col("g") && col("h"))) ===
+      Seq(false, false, true, false))
+    assert(col0(gh.select(col("g") || col("h"))) ===
+      Seq(true, false, true, true))
+    assert(col0(gh.select(col("g") =!= col("h"))) ===
+      Seq(true, false, false, true))
+    assert(col0(gh.select(!col("g"))) === Seq(false, true, false, true))
+    // int forms: i=[1,2,0], j=[3,2,3]
+    val ij = Seq((1L, 3L), (2L, 2L), (0L, 3L)).toDF("i", "j")
+    assert(col0(ij.select(col("i").arith.bitAnd(col("j")))) ===
+      Seq(1L, 2L, 0L))
+    assert(col0(ij.select(col("i").arith.bitOr(col("j")))) ===
+      Seq(3L, 2L, 3L))
+    assert(col0(ij.select(col("i").arith.bitXor(col("j")))) ===
+      Seq(2L, 0L, 3L))
+    assert(col0(ij.select(org.apache.spark.sql.functions.lit(2L)
+      .arith.bitAnd(col("i")))) === Seq(0L, 2L, 0L))
+    assert(col0(ij.select(col("i").arith.bitNot)) ===
+      Seq(-2L, -3L, -1L))
+  }
+
+  test("python % sign battery + powInt raises on negative exponent " +
+      "(test_numerical_column.py:425-447)") {
+    import spark.implicits._
+    // e=[13,-13,13,-13], f=[3,3,-3,-3] → e % f = [1,2,-2,-1]
+    val ef = Seq((13L, 3L), (-13L, 3L), (13L, -3L), (-13L, -3L))
+      .toDF("e", "f")
+    assert(col0(ef.select(col("e").arith.floormod(col("f")))) ===
+      Seq(1L, 2L, -2L, -1L))
+    // c ** d int stays int: [0,1,3] ** [5,5,6] = [0,1,729]
+    val cd = Seq((0L, 5L), (1L, 5L), (3L, 6L)).toDF("c", "d")
+    assert(col0(cd.select(col("c").arith.powInt(col("d")))) ===
+      Seq(0L, 1L, 729L))
+    val ex = intercept[Exception] {
+      cd.select(col("c").arith.powInt(
+        org.apache.spark.sql.functions.lit(-2L))).collect()
+    }
+    assert(ex.getMessage.contains(
+      "Integers to negative integer powers are not allowed"))
+  }
+
+  test("numpy round battery incl. negative decimals " +
+      "(test_numerical_column.py:586-603)") {
+    import spark.implicits._
+    val vals = Seq(1.1, 1.5, 1.8, 2.5, -1.1, -1.5, -1.8, -2.5,
+      1.12, 1.15, 1.25, 11.1, 11.5, 11.9)
+    val df = vals.toDF("x")
+    def got(d: Int): Seq[Double] =
+      col0(df.select(col("x").arith.round(d))).map(_.asInstanceOf[Double])
+    // np.round: half-even on the scaled double
+    assert(got(0) === Seq(1.0, 2.0, 2.0, 2.0, -1.0, -2.0, -2.0, -2.0,
+      1.0, 1.0, 1.0, 11.0, 12.0, 12.0))
+    val r1 = got(1)
+    val exp1 = Seq(1.1, 1.5, 1.8, 2.5, -1.1, -1.5, -1.8, -2.5,
+      1.1, 1.2, 1.2, 11.1, 11.5, 11.9) // 1.15→1.2 (numpy, not python)
+    r1.zip(exp1).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"round(1): $a vs $b") }
+    val rm1 = got(-1)
+    val expm1 = Seq(0.0, 0.0, 0.0, 0.0, -0.0, -0.0, -0.0, -0.0,
+      0.0, 0.0, 0.0, 10.0, 10.0, 10.0)
+    rm1.zip(expm1).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"round(-1): $a vs $b") }
+  }
+
   test("na handling: fill_null / drop_null / drop_duplicates " +
       "(test_numerical_column.py:485-493)") {
     val cc = TFrame(spark, Seq(
