@@ -201,6 +201,24 @@ class ReferenceBatterySpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-6, s"round(-1): $a vs $b") }
   }
 
+  test("functional slice/array_intersect/width_bucket " +
+      "(transformation/test_functional.py:58-97)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{slice => fslice,
+      array_intersect, width_bucket, lit, array, typedLit}
+    val lists = Seq(Seq(11L, 12L, 13L), Seq(21L, 22L, 23L, 24L, 25L, 26L),
+      Seq(31L, 32L)).toDF("l")
+    assert(col0(lists.select(fslice(col("l"), 2, 3))) ===
+      Seq(Seq(12L, 13L), Seq(22L, 23L, 24L), Seq(31L, 32L).drop(1)))
+    assert(col0(lists.select(
+      array_intersect(col("l"), typedLit(Seq(12L, 22L, 23L, 32L))))) ===
+      Seq(Seq(12L), Seq(22L, 23L), Seq(32L)))
+    val wb = Seq((3.14, 0.0, 4.0, 3L), (2.0, 0.0, 4.0, 3L),
+      (-1.0, 0.0, 3.2, 4L)).toDF("x", "b1", "b2", "n")
+    assert(col0(wb.select(width_bucket(col("x"), col("b1"), col("b2"),
+      col("n")))) === Seq(3L, 2L, 0L))
+  }
+
   test("na handling: fill_null / drop_null / drop_duplicates " +
       "(test_numerical_column.py:485-493)") {
     val cc = TFrame(spark, Seq(
