@@ -179,17 +179,57 @@ object Queries15 {
       |FROM cum JOIN tot USING (l_returnflag)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q176: pushed-down ts-range scan -----------------------------------
+
+  /** The ts-range hot path ([[Tables.eventsRange]]): the range
+    * predicate is applied at the file's NATIVE timestamp granularity
+    * before the ns-normalization projection, so it reaches the parquet
+    * scan as PushedFilters (row-group min/max pruning) — closing the
+    * one pushdown loss the plain normalized loader documents. The gate
+    * asserts the ts filter string is ON the scan node, then aggregates
+    * a one-day window. At 100 TB this is the difference between
+    * reading a day and reading a year. */
+  def q176TsRangeScan(s: SparkSession, dir: String): DataFrame = {
+    val bounds = t(s, dir, "events")
+      .agg(min(expr("ts div 1000")).as("lo")).head()
+    val fromUs = bounds.getLong(0)
+    val untilUs = fromUs + 86400000000L // one day
+    val ranged = Tables.eventsRange(s, dir, fromUs, untilUs)
+    val scans = ranged.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString()).mkString("\n")
+    require(scans.contains("PushedFilters: [IsNotNull(ts)") &&
+      (scans.contains("GreaterThanOrEqual(ts") ||
+        scans.contains("GreaterThan(ts")),
+      s"q176: ts range predicate did not reach the parquet scan:\n" +
+        scans.take(800))
+    ranged.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .withColumn("pushed_ok", lit(true))
+      .orderBy($"event_type")
+  }
+
+  val q176Sql: String =
+    """WITH b AS (SELECT min(epoch_us(ts)) AS lo FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST("value" AS DECIMAL(25,4))) AS DOUBLE) AS sum_value,
+      |  true AS pushed_ok
+      |FROM events, b
+      |WHERE epoch_us(ts) >= lo AND epoch_us(ts) < lo + 86400000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_dynamic_overwrite" -> (q172DynamicOverwrite _),
     "q173_regression" -> (q173Regression _),
     "q174_stream_semi_join" -> (q174StreamSemiJoin _),
-    "q175_weighted_pctl" -> (q175WeightedPercentile _)
+    "q175_weighted_pctl" -> (q175WeightedPercentile _),
+    "q176_ts_range_scan" -> (q176TsRangeScan _)
   )
 
   val oracles: Map[String, String] = Map(
     "q172_dynamic_overwrite" -> q172Sql,
     "q173_regression" -> q173Sql,
     "q174_stream_semi_join" -> q174Sql,
-    "q175_weighted_pctl" -> q175Sql
+    "q175_weighted_pctl" -> q175Sql,
+    "q176_ts_range_scan" -> q176Sql
   )
 }

@@ -40,4 +40,32 @@ object Tables {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events") normalizeEventsTs(df) else df
   }
+
+  /** The hot-path events reader for ts-RANGE queries: filters at the
+    * file's native timestamp granularity BEFORE the ns normalization
+    * projection, so the range predicate pushes into the parquet scan
+    * (PushedFilters + row-group min/max pruning) — the cost the plain
+    * loader's computed-ts column gives up (see [[normalizeEventsTs]]'s
+    * trade-off note). Bounds are MICROseconds since epoch — exact in
+    * both physical layouts (µs native; ns = µs·1000). Returns the same
+    * normalized schema as [[apply]]: ts = long ns. */
+  def eventsRange(spark: SparkSession, dir: String,
+      fromUs: Long, untilUs: Long): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val filtered = raw.schema("ts").dataType match {
+      case LongType => // ns layout: long predicate pushes natively
+        raw.where(col("ts") >= fromUs * 1000L &&
+          col("ts") < untilUs * 1000L)
+      case TimestampNTZType | TimestampType =>
+        // literal NTZ bounds (UTC sessions) fold at plan time, so the
+        // comparison is scan-native and pushes down
+        def ntz(us: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, ((us % 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))
+        raw.where(col("ts") >= ntz(fromUs) && col("ts") < ntz(untilUs))
+      case other => throw new IllegalStateException(
+        s"events.ts: expected long ns or a timestamp, got $other")
+    }
+    normalizeEventsTs(filtered)
+  }
 }
