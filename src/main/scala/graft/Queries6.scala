@@ -790,8 +790,10 @@ object Queries6 {
     * Both zip sides sort on the unique (l_orderkey, l_linenumber) key,
     * making the positional alignment deterministic. */
   def q104FrameArith(s: SparkSession, dir: String): DataFrame = {
+    // no pre-sort: the arithmetic is row-local, and the final orderBy
+    // (kept for the oracle's deterministic row order) is the only sort
+    // the plan needs — the earlier extra global sort was pure waste
     val base = t(s, dir, "lineitem")
-      .orderBy($"l_orderkey", $"l_linenumber")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity",
         $"l_extendedprice")
     val a = graft.frame.TFrame(base)
