@@ -217,12 +217,34 @@ object Queries15 {
       |WHERE epoch_us(ts) >= lo AND epoch_us(ts) < lo + 86400000000
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q177: streaming late-data drop witness ----------------------------
+
+  /** See [[graft.streaming.EventsStream.lateDataDrop]]: a replayed
+    * late batch must be DROPPED by the watermarked aggregation (the
+    * state-bounding contract), witnessed end-to-end with an observe
+    * counter proving arrival. Oracle = batch aggregate over non-late
+    * rows restricted to watermark-closed windows. */
+  val q177Sql: String =
+    """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+      |ok AS (
+      |  SELECT epoch_us(ts) AS tsu, event_type FROM events, m
+      |  WHERE NOT (event_id % 97 = 0
+      |             AND epoch_us(ts) < mx - 10800000000)),
+      |w AS (
+      |  SELECT (tsu // 3600000000) * 3600000000 AS win_us, event_type
+      |  FROM ok, m
+      |  WHERE (tsu // 3600000000 + 1) * 3600000000 <= mx - 3600000000)
+      |SELECT win_us, event_type, count(*) AS n
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q172_dynamic_overwrite" -> (q172DynamicOverwrite _),
     "q173_regression" -> (q173Regression _),
     "q174_stream_semi_join" -> (q174StreamSemiJoin _),
     "q175_weighted_pctl" -> (q175WeightedPercentile _),
-    "q176_ts_range_scan" -> (q176TsRangeScan _)
+    "q176_ts_range_scan" -> (q176TsRangeScan _),
+    "q177_late_data" ->
+      ((s, dir) => graft.streaming.EventsStream.lateDataDrop(s, dir))
   )
 
   val oracles: Map[String, String] = Map(
@@ -230,6 +252,7 @@ object Queries15 {
     "q173_regression" -> q173Sql,
     "q174_stream_semi_join" -> q174Sql,
     "q175_weighted_pctl" -> q175Sql,
-    "q176_ts_range_scan" -> q176Sql
+    "q176_ts_range_scan" -> q176Sql,
+    "q177_late_data" -> q177Sql
   )
 }

@@ -346,6 +346,108 @@ object EventsStream {
       .toDF("user_id", "n_events", "n_sessions")
   }
 
+  /** Late-data DROP semantics, witnessed end-to-end: the property that
+    * bounds every watermarked aggregation's state on an unbounded
+    * stream — rows arriving after the watermark passed their window
+    * are DROPPED, not merged. Two micro-batches from one file-source
+    * directory (maxFilesPerTrigger=1, file order pinned via mtimes):
+    * batch 1 carries everything except a "late" subset (event_id%97=0
+    * with ts at least 3h before the stream max) and advances the
+    * watermark to max−1h; batch 2 replays ONLY the late subset, whose
+    * hourly windows are all finalized by then — every row of it must
+    * be discarded. The emitted result is therefore the batch aggregate
+    * over the NON-late rows restricted to windows closed by the final
+    * watermark — exactly the DuckDB oracle. An in-gate `observe`
+    * metric on the source side counts batch-2 rows to prove they
+    * ARRIVED and were dropped by the operator, not lost upstream. */
+  def lateDataDrop(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val ev = graft.Tables(parent, dir, "events")
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    val h3 = 3L * 3600 * 1000000000L
+    val isLate = expr("event_id % 97 = 0") && col("ts") < maxTs - h3
+    val stage = s"/tmp/graft_late_${System.nanoTime()}"
+    // THREE micro-batches, not two: Spark's late-record FILTER runs one
+    // batch behind its eviction watermark (the filter in batch N uses
+    // the watermark computed after batch N-2), so a late batch
+    // immediately after the bulk batch would still be ACCEPTED. The
+    // middle "carrier" batch (one sentinel row at max ts, a type the
+    // output excludes) lets the filter watermark catch up to max-1h
+    // before the late replay arrives — which is also exactly how a
+    // real stream behaves: time keeps advancing between a backlog and
+    // its late replay. Staged ts is long ns (the normalized contract).
+    ev.where(!isLate).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/b1")
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        -1L, maxTs, -1L, "__wm", 0.0, null)), eventsSchema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/b2")
+    ev.where(isLate).coalesce(1)
+      .write.mode("overwrite").parquet(s"$stage/b3")
+    val dirFile = new java.io.File(stage)
+    def promote(sub: String, dst: String, mtime: Long): Unit = {
+      val f = new java.io.File(s"$stage/$sub").listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val d = new java.io.File(s"$stage/$dst")
+      f.renameTo(d); d.setLastModified(mtime)
+    }
+    // file source processes by (mtime, path): pin batch order
+    promote("b1", "batch1.parquet", 1000000L)
+    promote("b2", "batch2.parquet", 2000000L)
+    promote("b3", "batch3.parquet", 3000000L)
+    val nLate = ev.where(isLate).count()
+    val name = s"graft_late_${System.nanoTime()}"
+    val stream = spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "batch*.parquet")
+      .parquet(stage)
+      .observe("src", count(lit(1)).as("rows_seen"))
+      .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .outputMode("append") // only watermark-finalized windows emit
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dirFile)
+    }
+    val seen = q.recentProgress
+      .flatMap(p => Option(p.observedMetrics.get("src")))
+      .map(_.getAs[Long]("rows_seen")).sum
+    require(seen == ev.count() + 1,
+      s"q177: source observed $seen rows, expected ${ev.count() + 1} — " +
+        "the late batch must ARRIVE and be dropped by the operator")
+    val dropped = q.recentProgress
+      .filter(_.stateOperators.nonEmpty)
+      .map(_.stateOperators(0).numRowsDroppedByWatermark).sum
+    require(nLate > 0, "q177: no late rows at this SF — witness vacuous")
+    // the drop METRIC counts rows reaching the state operator — late
+    // input is ALSO pre-filtered before the map-side partial
+    // aggregation, so what arrives post-shuffle (and is counted) is
+    // one partial row per distinct late (window, type) pair (the
+    // staged late file is one scan partition, so the partial-agg
+    // output is exactly the distinct-pair count)
+    val latePairs = ev.where(isLate)
+      .select(expr("(ts div 1000) div 3600000000").as("w"),
+        col("event_type")).distinct().count()
+    require(dropped == latePairs,
+      s"q177: operator dropped $dropped state-input rows by watermark, " +
+        s"expected one per late (window,type) pair = $latePairs")
+    spark.table(name)
+      .where(col("event_type") =!= "__wm")
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("event_type"), col("n"))
+      .orderBy("win_us", "event_type")
+  }
+
   /** Stream-stream LEFT SEMI interval join — each click emits ONCE if
     * any same-user purchase lands within the following hour, however
     * many matched (the built-in dedup the inner join shape needs a
