@@ -34,7 +34,8 @@ object SparkEntry {
     Queries5.entries ++ Queries6.entries ++ Queries7.entries ++
     Queries8.entries ++ Queries9.entries ++ Queries10.entries ++
     Queries11.entries ++ Queries12.entries ++ Queries13.entries ++
-    Queries14.entries ++ Queries15.entries ++ Queries16.entries
+    Queries14.entries ++ Queries15.entries ++ Queries16.entries ++
+    Queries17.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -57,5 +58,6 @@ object SparkEntry {
     Queries5.oracles ++ Queries6.oracles ++ Queries7.oracles ++
     Queries8.oracles ++ Queries9.oracles ++ Queries10.oracles ++
     Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++
-    Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles
+    Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles ++
+    Queries17.oracles
 }
