@@ -55,6 +55,9 @@ object AsOfJoin {
     *
     * @param leftOn/rightOn  equality key columns (same count/types)
     * @param leftTsCol/rightTsCol  long-valued event-time columns
+    * @param tolerance  optional max staleness (in leftTs units): a match further than
+    *   this behind the left ts yields null instead (pandas
+    *   merge_asof(tolerance=...) semantics)
     *
     * Output = all left columns ++ all right columns (right nullable).
     * Right-side columns are re-aliased internally so self-joins (left
@@ -66,7 +69,10 @@ object AsOfJoin {
       leftOn: Seq[String],
       rightOn: Seq[String],
       leftTsCol: String,
-      rightTsCol: String): DataFrame = {
+      rightTsCol: String,
+      tolerance: Option[Long] = None): DataFrame = {
+    tolerance.foreach(t => require(t >= 0,
+      s"asof: tolerance must be non-negative, got $t"))
     require(leftOn.length == rightOn.length, "key arity mismatch")
     val spark = left.sparkSession
     ensureRegistered(spark)
@@ -89,7 +95,7 @@ object AsOfJoin {
     }
     Shim.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan, lk, rk, ts(lPlan, leftTsCol),
-        ts(rPlan, rightTsCol)))
+        ts(rPlan, rightTsCol), tolerance))
   }
 
   /** Same semantics from built-ins only: tag and union both sides,
@@ -103,7 +109,8 @@ object AsOfJoin {
       leftOn: Seq[String],
       rightOn: Seq[String],
       leftTsCol: String,
-      rightTsCol: String): DataFrame = {
+      rightTsCol: String,
+      tolerance: Option[Long] = None): DataFrame = {
     val rCols = right.columns.toSeq
     val lCols = left.columns.toSeq
     // unified schema: keys, ts, side flag, left payload, right payload
@@ -130,9 +137,20 @@ object AsOfJoin {
     // matches, mirroring rightTs <= leftTs
     val w = Window.partitionBy(keys: _*).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rNorm.unionByName(lNorm, allowMissingColumns = false)
+    val carriedRaw = rNorm.unionByName(lNorm, allowMissingColumns = false)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+    // tolerance: null the carried match when it is too stale (the
+    // carried struct holds the right ts — row-atomic, so the whole
+    // match nulls together, mirroring AsOfJoinExec's emit-time guard)
+    val carried = tolerance match {
+      case Some(tol) => carriedRaw.withColumn("__c",
+        when(col("__ts") - col("__c").getField(rightTsCol)
+          .cast(LongType) <= tol, col("__c"))
+          .otherwise(lit(null).cast(
+            org.apache.spark.sql.types.StructType(right.schema.fields))))
+      case None => carriedRaw
+    }
     carried.select(
       lCols.map(c => col(s"__l_$c").as(c)) ++
         rCols.map(c => col("__c").getField(c).as(c)): _*)

@@ -35,7 +35,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression)
+    rightTs: Expression,
+    tolerance: Option[Long] = None)
   extends LogicalBinaryNode {
 
   override def output: Seq[Attribute] =
@@ -53,20 +54,26 @@ case class AsOfJoinPlan(
 /** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tol) :: Nil
     case _ => Nil
   }
 }
 
-/** Physical backward as-of join: co-partitioned merge, O(1) state. */
+/** Physical backward as-of join: co-partitioned merge, O(1) state.
+  * `tolerance`: when set, a candidate match further than this many ts
+  * units behind the left row yields null instead (pandas
+  * merge_asof(tolerance=...) semantics) — the guard that stops a
+  * year-old quote matching today's trade. Enforced at emit time, so
+  * the merge pass and its O(1) state are unchanged. */
 case class AsOfJoinExec(
     left: SparkPlan,
     right: SparkPlan,
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTs: Expression,
-    rightTs: Expression)
+    rightTs: Expression,
+    tolerance: Option[Long] = None)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -111,9 +118,10 @@ case class AsOfJoinExec(
         private var rHead: InternalRow = _
         private var rHeadKey: UnsafeRow = _
         private var rHeadTs: Long = 0L
-        // latest right row with ts <= current left ts, and its key
+        // latest right row with ts <= current left ts, its key and ts
         private var matchRow: InternalRow = _
         private var matchKey: UnsafeRow = _
+        private var matchTs: Long = 0L
 
         private def fetchRight(): Unit = {
           rHead = null
@@ -149,10 +157,12 @@ case class AsOfJoinExec(
             else if (c == 0 && rHeadTs <= lt) {
               matchRow = rHead // already private copies; move references
               matchKey = rHeadKey
+              matchTs = rHeadTs
               fetchRight()
             } else cont = false
           }
-          val ok = matchRow != null && keyOrd.compare(matchKey, lk) == 0
+          val ok = matchRow != null && keyOrd.compare(matchKey, lk) == 0 &&
+            tolerance.forall(tol => lt - matchTs <= tol)
           joined(l, if (ok) matchRow else nullRight)
           resultProj(joined)
         }

@@ -72,6 +72,39 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a.nonEmpty && a == b)
   }
 
+  test("asof tolerance: boundary match kept at exactly tol, nulled " +
+      "one past it, in BOTH implementations") {
+    // trade 1 at t=10 matches quote at 8 (lag 2); trade 2 at 20
+    // matches quote at 20 (lag 0); trade 3 at 30 matches quote at 29
+    // (lag 1). tol=1: trade 1's match nulls, 2 and 3 survive.
+    val expectedTol = Set(
+      Row(1L, null, null), Row(2L, 20L, 2.0), Row(3L, 29L, 3.0),
+      Row(4L, null, null), Row(5L, null, null), Row(6L, null, null))
+    // trade 5 at 25 vs quote at 16: lag 9 > 1 → nulled too
+    val a = AsOfJoin.asof(trades, quotes, Seq("sym"), Seq("sym"),
+        "t_ts", "q_ts", Some(1L))
+      .select(col("trade_id"), col("q_ts"), col("price")).collect().toSet
+    val b = AsOfJoin.asofComposed(trades, quotes, Seq("sym"), Seq("sym"),
+        "t_ts", "q_ts", Some(1L))
+      .select(col("trade_id"), col("q_ts"), col("price")).collect().toSet
+    assert(a == expectedTol)
+    assert(b == expectedTol)
+    // tol=2 restores trade 1's boundary match (lag == tol matches)
+    val c = AsOfJoin.asof(trades, quotes, Seq("sym"), Seq("sym"),
+        "t_ts", "q_ts", Some(2L))
+      .select(col("trade_id"), col("q_ts"), col("price")).collect().toSet
+    assert(c(Row(1L, 8L, 1.0)))
+    // tolerance 0: only exact-ts matches survive
+    val d = AsOfJoin.asof(trades, quotes, Seq("sym"), Seq("sym"),
+        "t_ts", "q_ts", Some(0L))
+      .select(col("trade_id"), col("q_ts"), col("price")).collect().toSet
+    assert(d(Row(2L, 20L, 2.0)) && d(Row(1L, null, null)))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asof(trades, quotes, Seq("sym"), Seq("sym"),
+        "t_ts", "q_ts", Some(-5L))
+    }
+  }
+
   test("asof plan shows custom exec node and sorted-merge requirements") {
     val plan = AsOfJoin.asof(trades, quotes, Seq("sym"), Seq("sym"),
       "t_ts", "q_ts").queryExecution.executedPlan.toString
