@@ -35,7 +35,8 @@ object SparkEntry {
     Queries8.entries ++ Queries9.entries ++ Queries10.entries ++
     Queries11.entries ++ Queries12.entries ++ Queries13.entries ++
     Queries14.entries ++ Queries15.entries ++ Queries16.entries ++
-    Queries17.entries ++ Queries18.entries ++ Queries19.entries
+    Queries17.entries ++ Queries18.entries ++ Queries19.entries ++
+    Queries20.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -59,5 +60,6 @@ object SparkEntry {
     Queries8.oracles ++ Queries9.oracles ++ Queries10.oracles ++
     Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++
     Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles ++
-    Queries17.oracles ++ Queries18.oracles ++ Queries19.oracles
+    Queries17.oracles ++ Queries18.oracles ++ Queries19.oracles ++
+    Queries20.oracles
 }

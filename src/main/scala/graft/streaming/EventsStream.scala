@@ -32,7 +32,7 @@ object EventsStream {
     * the SAME normalization as the batch loader
     * ([[graft.Tables.normalizeEventsTs]]) so stream and batch share
     * one ts contract: long nanoseconds since epoch. */
-  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val path = new java.io.File(s"$dir/events.parquet")
     val tsType =
       spark.read.parquet(path.getPath).schema("ts").dataType
