@@ -267,7 +267,20 @@ object EventsStream {
     * Verified row-identical to the batch left join (the q110 DuckDB
     * oracle). */
   def streamStreamOuterJoin(parent: SparkSession, dir: String)
-      : DataFrame = {
+      : DataFrame = streamStreamOuterJoinImpl(parent, dir, "left_outer")
+
+  /** Stream-stream FULL OUTER interval join (q214) — q110's machinery
+    * with BOTH null sides: unmatched clicks AND unmatched purchases
+    * materialize on watermark-driven state eviction (each side's
+    * sentinel forces the other side's final flush). The sentinel
+    * filter must be null-safe: a full-outer row can have a NULL
+    * c_user (unmatched purchase) that a plain =!= -1 would silently
+    * drop. */
+  def streamStreamFullOuterJoin(parent: SparkSession, dir: String)
+      : DataFrame = streamStreamOuterJoinImpl(parent, dir, "full_outer")
+
+  private def streamStreamOuterJoinImpl(parent: SparkSession,
+      dir: String, joinType: String): DataFrame = {
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val maxTs = graft.Tables(parent, dir, "events")
@@ -293,7 +306,7 @@ object EventsStream {
       col("c_user") === col("p_user") &&
         col("p_time") >= col("c_time") &&
         col("p_time") <= col("c_time") + expr("INTERVAL 1 HOUR"),
-      "left_outer")
+      joinType)
     val name = s"graft_ss2o_${System.nanoTime()}"
     val q = joined.writeStream
       .outputMode("append")
@@ -311,7 +324,11 @@ object EventsStream {
       rm(new java.io.File(sentDir))
     }
     spark.table(name)
-      .where(col("c_user") =!= -1L) // drop the sentinel click
+      // drop sentinel rows NULL-SAFELY: in full outer, c_user (or
+      // p_user) is null on unmatched rows and `=!= -1` would be null
+      // → silently filtered — the row the join exists to emit
+      .where(coalesce(col("c_user"), lit(0L)) =!= -1L &&
+        coalesce(col("p_user"), lit(0L)) =!= -1L)
       .select(col("c_id"), col("p_id"))
       .orderBy("c_id", "p_id")
   }
