@@ -18,24 +18,34 @@ object Queries27 {
 
   /** `WITH RECURSIVE` (new in Spark 4.x) — two classic shapes in one
     * statement, both replayed verbatim by DuckDB: (a) a month SPINE
-    * generated by recursion from the data's own min/max order dates —
-    * the gap-free calendar axis q141 built with spark.range, now in
-    * pure SQL, LEFT-joined so any zero-order month surfaces as a 0 row,
-    * not an absent row; (b) a
-    * HIERARCHY walk — every customer key ≤ 1023 walks the implicit
-    * binary-heap parent chain (k → k div 2) to the root, yielding
-    * depth = ⌊log₂ k⌋ and the ancestor-sum, an integer-exact
-    * recursion the oracle checks value-for-value. */
+    * from the data's own min/max order dates — the gap-free calendar
+    * axis q141 built with spark.range, now in pure SQL, LEFT-joined
+    * so any zero-order month surfaces as a 0 row, not an absent row;
+    * (b) a HIERARCHY walk — every customer key ≤ 1023 walks the
+    * implicit binary-heap parent chain (k → k div 2) to the root,
+    * yielding depth = ⌊log₂ k⌋ and the ancestor-sum, integer-exact.
+    *
+    * Recursion DEPTH is a count of SEQUENTIAL distributed jobs — the
+    * scale lesson this gate carries: a month-at-a-time spine is ~80
+    * barriers of per-job overhead (measured 13.8 s at sf0.1 for KB of
+    * data), so the spine here seeds all 12 month-of-year rows and
+    * recurses BY YEAR — identical output, ~7 rounds, in band. Shape
+    * recursions wide-and-shallow; depth, not data, is what costs. */
   def q217RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     t(s, dir, "orders").createOrReplaceTempView("q217_ord")
     t(s, dir, "customer").createOrReplaceTempView("q217_cust")
     s.sql(
-      """WITH RECURSIVE months(m) AS (
-        |  SELECT date_trunc('MONTH', min(o_orderdate)) FROM q217_ord
+      """WITH RECURSIVE bounds AS (
+        |  SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+        |    date_trunc('MONTH', max(o_orderdate)) AS hi FROM q217_ord),
+        |months(m) AS (
+        |  SELECT lo + make_interval(0, k) FROM bounds
+        |  LATERAL VIEW explode(sequence(0, 11)) AS k
+        |  WHERE lo + make_interval(0, k) <= hi
         |  UNION ALL
-        |  SELECT m + INTERVAL 1 MONTH FROM months
-        |  WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate))
-        |             FROM q217_ord)),
+        |  SELECT m + INTERVAL 1 YEAR FROM months
+        |  WHERE m + INTERVAL 1 YEAR <=
+        |    (SELECT hi FROM bounds)),
         |per_month AS (
         |  SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n
         |  FROM q217_ord GROUP BY 1),
@@ -59,12 +69,16 @@ object Queries27 {
   }
 
   val q217Sql: String =
-    """WITH RECURSIVE months(m) AS (
-      |  SELECT date_trunc('MONTH', min(o_orderdate)) FROM orders
+    """WITH RECURSIVE bounds AS (
+      |  SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+      |    date_trunc('MONTH', max(o_orderdate)) AS hi FROM orders),
+      |months(m) AS (
+      |  SELECT lo + k * INTERVAL 1 MONTH FROM bounds
+      |  CROSS JOIN (SELECT unnest(range(12)) AS k)
+      |  WHERE lo + k * INTERVAL 1 MONTH <= hi
       |  UNION ALL
-      |  SELECT m + INTERVAL 1 MONTH FROM months
-      |  WHERE m < (SELECT date_trunc('MONTH', max(o_orderdate))
-      |             FROM orders)),
+      |  SELECT m + INTERVAL 1 YEAR FROM months
+      |  WHERE m + INTERVAL 1 YEAR <= (SELECT hi FROM bounds)),
       |per_month AS (
       |  SELECT date_trunc('MONTH', o_orderdate) AS m, count(*) AS n
       |  FROM orders GROUP BY 1),
