@@ -27,8 +27,9 @@ object Queries18 {
     * subset of documents (doc_id % 97 == 0) as one UTF-8 file each,
     * reads them back through binaryFile, and emits per-file
     * (doc_id, n_bytes, md5) — which DuckDB replays from the documents
-    * TABLE, certifying content fidelity byte-for-byte. File count
-    * scales as corpus/97 (fixture-sized); at 100 TB real blob
+    * TABLE, certifying content fidelity byte-for-byte. The fixture
+    * subset is CAPPED (doc_id < 97·1000 → ≤ 1000 files at any SF) so
+    * the staging collect stays driver-safe; at 100 TB real blob
     * ingestion reads existing object-store files — the operator under
     * test is the read, not the staging. */
   def q189BinaryFiles(s: SparkSession, dir: String): DataFrame = {
@@ -36,7 +37,7 @@ object Queries18 {
     val base = new java.io.File(s"/tmp/graft_blobs_$stamp")
     base.mkdirs()
     val docs = t(s, dir, "documents")
-      .where($"doc_id" % 97 === 0)
+      .where($"doc_id" % 97 === 0 && $"doc_id" < 97L * 1000)
       .select($"doc_id", $"text").collect()
     try {
       docs.foreach { r =>
@@ -66,7 +67,8 @@ object Queries18 {
     """SELECT doc_id,
       |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
       |  md5(text) AS h
-      |FROM documents WHERE doc_id % 97 = 0 ORDER BY doc_id""".stripMargin
+      |FROM documents WHERE doc_id % 97 = 0 AND doc_id < 97000
+      |ORDER BY doc_id""".stripMargin
 
   // ---- q190: URL normalization -------------------------------------------
 
