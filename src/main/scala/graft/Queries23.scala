@@ -115,35 +115,45 @@ object Queries23 {
     * provenance (file_name, file_size, row counts per physical file)
     * with NO extra scan: the lineage column every incident
     * investigation wants ("which input file produced this row").
-    * Staged as a 4-file table so the grouping is non-trivial; DuckDB
-    * replays via read_parquet(filename=true) over the SAME staged
-    * files — names and per-file counts must agree engine-to-engine. */
+    * Staged as a 4-file hive layout whose split is an INTEGER
+    * function of the key (k·4 div (max+1)) — deterministic across
+    * rewrites, unlike repartitionByRange's per-write boundary
+    * sampling, so a later re-staging (e.g. the bench re-running this
+    * gate between the driver's verify and its DuckDB compare) cannot
+    * drift the per-file stats. DuckDB replays via
+    * read_parquet(filename=true) over the SAME staged files. */
   def q209FileMetadata(s: SparkSession, dir: String): DataFrame = {
     val stage = "/tmp/graft_fmeta/orders4"
+    val mx = t(s, dir, "orders").agg(max($"o_orderkey")).head().getLong(0)
     t(s, dir, "orders").select($"o_orderkey", $"o_totalprice")
-      .repartitionByRange(4, $"o_orderkey")
-      .write.mode("overwrite").parquet(stage)
+      .withColumn("b", expr(s"(o_orderkey * 4) div ${mx + 1}"))
+      .repartition($"b")
+      .write.mode("overwrite").partitionBy("b").parquet(stage)
     s.read.parquet(stage)
-      .select($"o_orderkey", $"o_totalprice",
+      .select($"o_orderkey", $"b",
         col("_metadata.file_name").as("fname"),
+        col("_metadata.file_path").as("fpath"),
         col("_metadata.file_size").as("fsize"))
-      .groupBy($"fname")
+      .groupBy($"b")
       .agg(count(lit(1)).as("n"), min($"o_orderkey").as("k_min"),
         max($"o_orderkey").as("k_max"),
-        (max($"fsize") > 0).as("size_ok"))
-      .orderBy($"k_min")
-      .select($"n", $"k_min", $"k_max", $"size_ok",
-        // file NAMES are run-dependent (task UUIDs) — certify the
-        // name column by its shape, compare contents by range
-        $"fname".rlike("^part-\\d{5}-.*\\.parquet$").as("name_ok"))
+        (max($"fsize") > 0).as("size_ok"),
+        // one physical file per split + provenance columns sane
+        (countDistinct($"fname") === 1 &&
+          min($"fpath").contains(min($"fname")) &&
+          min($"fname").rlike("^part-\\d{5}-.*\\.parquet$"))
+          .as("name_ok"))
+      .orderBy($"b")
   }
 
   val q209Sql: String =
-    """SELECT count(*) AS n, min(o_orderkey) AS k_min,
+    """SELECT CAST(regexp_extract(filename, 'b=(\d+)', 1) AS BIGINT)
+      |    AS b,
+      |  count(*) AS n, min(o_orderkey) AS k_min,
       |  max(o_orderkey) AS k_max, true AS size_ok, true AS name_ok
-      |FROM read_parquet('/tmp/graft_fmeta/orders4/*.parquet',
+      |FROM read_parquet('/tmp/graft_fmeta/orders4/*/*.parquet',
       |  filename=true)
-      |GROUP BY filename ORDER BY k_min""".stripMargin
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q207_aqe_coalesce" -> (q207AqeCoalesce _),
