@@ -44,8 +44,13 @@ object Queries11 {
         $"doc_id", 8)
       .groupBy($"term")
       .agg(sort_array(collect_list(struct($"rank", $"id"))).as("ps"))
+      // array_join to a flat string: the driver's hasher handles only
+      // scalar columns (round-12 q151 ERRORED on the raw array), and
+      // the joined form carries the same information
       .select($"term",
-        transform($"ps", p => p.getField("id")).as("postings"))
+        array_join(
+          transform($"ps", p => p.getField("id").cast(StringType)),
+          " ").as("postings"))
     val result = stats.join(posts, "term").orderBy($"term")
     val plan = result.queryExecution.executedPlan.toString()
     require(!plan.contains("WindowExec"),
@@ -60,7 +65,8 @@ object Queries11 {
       |      unnest(regexp_split_to_array(trim(text), '\s+')) AS term
       |    FROM documents))
       |SELECT term, count(*) AS df,
-      |  (list(doc_id ORDER BY doc_id))[1:8] AS postings
+      |  array_to_string((list(doc_id ORDER BY doc_id))[1:8], ' ')
+      |    AS postings
       |FROM td GROUP BY term ORDER BY term""".stripMargin
 
   // ---- q152: edit-distance-1 similarity join (FastSS) -------------------
@@ -205,8 +211,8 @@ object Queries11 {
       |    round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
       |  FROM lineitem GROUP BY 1)
       |SELECT l.l_returnflag, count(*) AS n,
-      |  sum(CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95
-      |      THEN 1 ELSE 0 END) AS n_clipped,
+      |  CAST(sum(CASE WHEN l_extendedprice < p05 OR l_extendedprice > p95
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
       |  CAST(sum(CAST(CASE WHEN l_extendedprice < p05 THEN p05
       |                     WHEN l_extendedprice > p95 THEN p95
       |                     ELSE l_extendedprice END

@@ -34,9 +34,12 @@ object Queries12 {
     val rt = from_json(
       to_json(struct($"event_type".as("et"), k.as("k"))), rtSchema)
     t(s, dir, "events")
+      // <=> not ===: a row whose props lacks $.k round-trips k as
+      // NULL on both sides — that is a PRESERVED value, and the
+      // null-unsafe === would silently drop it from n_rt
       .select($"event_type", k.as("k"),
-        (rt.getField("et") === $"event_type" &&
-          rt.getField("k") === k).as("rt_ok"))
+        (rt.getField("et") <=> $"event_type" &&
+          rt.getField("k") <=> k).as("rt_ok"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
         min($"k").as("min_k"), max($"k").as("max_k"),
@@ -46,7 +49,7 @@ object Queries12 {
 
   val q158Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
       |  count(*) AS n_rt

@@ -280,7 +280,8 @@ object Queries16 {
   }
 
   val q181Sql: String =
-    """SELECT lang, count(*) AS n, sum(n_chars) AS chars,
+    """SELECT lang, count(*) AS n,
+      |  CAST(sum(n_chars) AS BIGINT) AS chars,
       |  min(md5(text)) AS h_min, max(md5(text)) AS h_max,
       |  true AS zstd_smaller
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin

@@ -219,8 +219,9 @@ object Queries17 {
         variant_get(v, "$.k", "bigint").as("k"),
         try_variant_get(v, "$.missing", "bigint").as("miss"),
         // SEMANTIC round trip: to_json normalizes whitespace, so
-        // compare re-parsed values, not strings
-        (variant_get(parse_json(to_json(v)), "$.k", "bigint") ===
+        // compare re-parsed values, not strings; <=> keeps a
+        // missing-$.k row counted as PRESERVED (null on both sides)
+        (variant_get(parse_json(to_json(v)), "$.k", "bigint") <=>
           variant_get(v, "$.k", "bigint")).as("rt_ok"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
@@ -234,10 +235,11 @@ object Queries17 {
 
   val q188Sql: String =
     """SELECT event_type, count(*) AS n,
-      |  sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+      |  CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
       |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
       |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k,
-      |  count(*) AS n_miss_null,
+      |  CAST(sum(CASE WHEN props->>'$.missing' IS NULL
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_miss_null,
       |  count(*) AS n_rt
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 

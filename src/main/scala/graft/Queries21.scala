@@ -30,7 +30,10 @@ object Queries21 {
     t(s, dir, "documents")
       .select($"source", $"lang",
         TextAnalysis.tokenCount($"text").cast(LongType).as("nt"),
-        xxhash64($"text").as("fp"))
+        // md5 not xxhash64: a 64-bit collision at corpus scale would
+        // inflate n_dups vs the oracle's content-distinct count; the
+        // 128-bit digest keeps the shuffle narrow AND collision-free
+        md5($"text").as("fp"))
       .groupBy($"source", $"lang")
       .agg(count(lit(1)).as("n_docs"),
         (count(lit(1)) - countDistinct($"fp")).as("n_dups"),
@@ -41,9 +44,9 @@ object Queries21 {
 
   val q201Sql: String =
     """SELECT source, lang, count(*) AS n_docs,
-      |  count(*) - count(DISTINCT text) AS n_dups,
-      |  sum(CAST(len(string_split_regex(trim(text), '\s+'))
-      |    AS BIGINT)) AS tokens,
+      |  CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dups,
+      |  CAST(sum(CAST(len(string_split_regex(trim(text), '\s+'))
+      |    AS BIGINT)) AS BIGINT) AS tokens,
       |  round(quantile_cont(CAST(len(string_split_regex(trim(text),
       |    '\s+')) AS BIGINT), 0.5), 4) AS med_tokens,
       |  round(quantile_cont(CAST(len(string_split_regex(trim(text),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.operators.Skew
+
 /** Round-12 session gates past q213: the stream-stream FULL OUTER
   * interval join (q214), the mask() redaction built-in (q215), and
   * common-neighbor link prediction on the trade graph (q216). Naming/
@@ -78,30 +80,43 @@ object Queries26 {
     * Jaccard overlap — the second-order graph feature behind
     * recommend-a-counterparty. Shape: the (customer, supplier)
     * incidence list self-joins ON CUSTOMER (wedge generation — rows
-    * scale as Σ deg(c)², bounded here by uniform ~40-supplier
-    * baskets; a skewed hub customer would be capped or sampled
-    * first, the q40 maxBucket discipline), then one pair aggregate;
-    * degree table broadcast back. Integer counts, 6-dp Jaccard from
-    * the same integers both engines. Top-20 by (shared desc, pair) —
+    * scale as Σ deg(c)²) — CAPPED at [[wedgeCap]] suppliers per
+    * customer via [[Skew.capGroups]] (the shared q40 maxBucket
+    * discipline), with the honest cost surfaced as a constant
+    * `dropped_wedges` column (Σ C(d,2)−C(cap,2) over capped baskets):
+    * a hub customer at 100 TB bounds the quadratic step at cap²
+    * instead of blowing up the join, and the drop count says exactly
+    * how many candidate wedges that bound removed (0 here — sf
+    * baskets are ~40 < 64 — asserted by the oracle replaying the SAME
+    * cap). Then one pair aggregate; degree table broadcast back.
+    * Degrees come from the UNCAPPED incidence list so jaccard
+    * denominators stay exact. Integer counts, 6-dp Jaccard from the
+    * same integers both engines. Top-20 by (shared desc, pair) —
     * fully deterministic. */
+  val wedgeCap = 64
+
   def q216LinkPrediction(s: SparkSession, dir: String): DataFrame = {
     val cs = t(s, dir, "orders")
       .join(t(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("sk"))
       .distinct()
     val deg = cs.groupBy($"sk").agg(count(lit(1)).as("deg"))
-    val pairs = cs.select($"c", $"sk".as("a"))
-      .join(cs.select($"c", $"sk".as("b")), "c")
+    val cap = Skew.capGroups(cs, Seq("c"), Seq($"sk"), wedgeCap)
+    val basket = cap.kept.select($"c", $"sk")
+    val pairs = basket.select($"c", $"sk".as("a"))
+      .join(basket.select($"c", $"sk".as("b")), "c")
       .where($"a" < $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(broadcast(deg.select($"sk".as("a"), $"deg".as("da"))), "a")
-      .join(broadcast(deg.select($"sk".as("b"), $"deg".as("db"))), "b")
-      .select($"a", $"b", $"shared", $"da", $"db",
-        round($"shared" / ($"da" + $"db" - $"shared"), 6).as("jaccard"))
-      .orderBy($"shared".desc, $"a", $"b")
-      .limit(20)
+    cap.attachDroppedPairs(
+      pairs
+        .join(broadcast(deg.select($"sk".as("a"), $"deg".as("da"))), "a")
+        .join(broadcast(deg.select($"sk".as("b"), $"deg".as("db"))), "b")
+        .select($"a", $"b", $"shared", $"da", $"db",
+          round($"shared" / ($"da" + $"db" - $"shared"), 6).as("jaccard"))
+        .orderBy($"shared".desc, $"a", $"b")
+        .limit(20),
+      name = "dropped_wedges")
   }
 
   val q216Sql: String =
@@ -109,16 +124,27 @@ object Queries26 {
       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sk
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
       |deg AS (SELECT sk, count(*) AS deg FROM cs GROUP BY 1),
+      |basket AS (
+      |  SELECT c, sk FROM (
+      |    SELECT c, sk,
+      |      row_number() OVER (PARTITION BY c ORDER BY sk) AS rn
+      |    FROM cs) WHERE rn <= 64),
+      |drops AS (
+      |  SELECT CAST(coalesce(sum(d*(d-1)/2 - 64*63/2), 0) AS BIGINT)
+      |    AS dropped_wedges
+      |  FROM (SELECT c, count(*) AS d FROM cs GROUP BY 1)
+      |  WHERE d > 64),
       |pairs AS (
       |  SELECT x.sk AS a, y.sk AS b, count(*) AS shared
-      |  FROM cs x JOIN cs y ON x.c = y.c AND x.sk < y.sk
+      |  FROM basket x JOIN basket y ON x.c = y.c AND x.sk < y.sk
       |  GROUP BY 1, 2)
       |SELECT a, b, shared, da.deg AS da, db.deg AS db,
       |  round(shared / CAST(da.deg + db.deg - shared AS DOUBLE), 6)
-      |    AS jaccard
+      |    AS jaccard, dropped_wedges
       |FROM pairs
       |JOIN deg da ON pairs.a = da.sk
       |JOIN deg db ON pairs.b = db.sk
+      |CROSS JOIN drops
       |ORDER BY shared DESC, a, b LIMIT 20""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(

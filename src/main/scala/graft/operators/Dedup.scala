@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -21,20 +20,12 @@ import graft.functions.Functional
   * `dropped_candidates` column — the number of bucket memberships the
   * `maxBucket` cap removed — so a 100 TB run can see the recall the
   * cap cost it instead of candidates silently vanishing at skewed
-  * buckets. 0 means the cap never fired.
+  * buckets. 0 means the cap never fired. The cap+account discipline
+  * itself lives in [[Skew.capGroups]] so non-dedup group-explosion
+  * operators (graph wedge generation, q216) compose the same
+  * primitive.
   */
 object Dedup {
-
-  /** Attach the cap-drop count: rows of `exploded` past `maxBucket` in
-    * their bucket, as a constant `dropped_candidates` column on
-    * `pairs`. The 1-row global count broadcasts; the shuffle under the
-    * bucket window is shared with the candidate branch via exchange
-    * reuse. */
-  private def withDropCount(
-      pairs: DataFrame, exploded: DataFrame, maxBucket: Int): DataFrame =
-    pairs.crossJoin(broadcast(
-      exploded.where(col("__rn") > maxBucket)
-        .agg(count(lit(1)).as("dropped_candidates"))))
 
   /** Exact dedup, keep='first' by `orderCol` (lowest id wins — the
     * distributed-deterministic version of the reference's
@@ -194,9 +185,9 @@ object Dedup {
 
     // bucket join on (band, bandHash); a<b kills self+mirror pairs.
     // Cap pathological buckets to bound the quadratic step.
-    val wB = Window.partitionBy("band", "bandHash").orderBy("id")
-    val ranked = banded.withColumn("__rn", row_number().over(wB))
-    val capped = ranked.where(col("__rn") <= maxBucket)
+    val cap = Skew.capGroups(banded, Seq("band", "bandHash"),
+      Seq(col("id")), maxBucket)
+    val capped = cap.kept
     val l = capped.select(col("band"), col("bandHash"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val r = capped.select(col("band"), col("bandHash"),
@@ -211,7 +202,7 @@ object Dedup {
           .as("est_jaccard"))
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
-    withDropCount(est, ranked, maxBucket)
+    cap.attachDroppedRows(est)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit
@@ -229,9 +220,9 @@ object Dedup {
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
-    val wB = Window.partitionBy("chunk", "chunkVal").orderBy("id")
-    val ranked = chunks.withColumn("__rn", row_number().over(wB))
-    val capped = ranked.where(col("__rn") <= maxBucket)
+    val cap = Skew.capGroups(chunks, Seq("chunk", "chunkVal"),
+      Seq(col("id")), maxBucket)
+    val capped = cap.kept
     val l = capped.select(col("chunk"), col("chunkVal"),
       col("id").as("id_a"), col("sh").as("sh_a"))
     val r = capped.select(col("chunk"), col("chunkVal"),
@@ -242,7 +233,7 @@ object Dedup {
         Functional.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
-    withDropCount(pairs, ranked, maxBucket)
+    cap.attachDroppedRows(pairs)
   }
 
   /** Exact n-gram Jaccard similarity for a candidate pair set
@@ -296,16 +287,15 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val fps = df.select(col(idCol).as("id"),
       explode(Functional.winnow(col(textCol), k, w)).as("fp"))
-    val wB = Window.partitionBy("fp").orderBy("id")
-    val ranked = fps.withColumn("__rn", row_number().over(wB))
-    val capped = ranked.where(col("__rn") <= maxBucket)
+    val cap = Skew.capGroups(fps, Seq("fp"), Seq(col("id")), maxBucket)
+    val capped = cap.kept
     val l = capped.select(col("fp"), col("id").as("id_a"))
     val r = capped.select(col("fp"), col("id").as("id_b"))
     val pairs = l.join(r, Seq("fp"))
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
-    withDropCount(pairs, ranked, maxBucket)
+    cap.attachDroppedRows(pairs)
   }
 
   /** Benchmark decontamination (the GPT-3 Appendix C / Gopher
@@ -453,9 +443,8 @@ object Dedup {
     * refitting. */
   def cosinePairsWithin(
       sig: DataFrame, threshold: Double, maxBucket: Int): DataFrame = {
-    val wB = Window.partitionBy("bucket").orderBy("id")
-    val ranked = sig.withColumn("__rn", row_number().over(wB))
-    val capped = ranked.where(col("__rn") <= maxBucket)
+    val cap = Skew.capGroups(sig, Seq("bucket"), Seq(col("id")), maxBucket)
+    val capped = cap.kept
     val l = capped.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = capped.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = l.join(r, Seq("bucket"))
@@ -464,7 +453,7 @@ object Dedup {
         Functional.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .where(col("cosine") >= threshold)
       .groupBy("id_a", "id_b").agg(max("cosine").as("cosine"))
-    withDropCount(pairs, ranked, maxBucket)
+    cap.attachDroppedRows(pairs)
   }
 
   /** Keep-one-per-group resolution with a QUALITY policy: resolve

@@ -93,16 +93,40 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: cols {sorted(got_cols)} vs {sorted(want_cols)}")
             n_fail += 1; continue
         # type strictness: int-family vs float-family vs string/bool must
-        # agree per column name (python would silently equate 4.0 == 4)
+        # agree per column name (python would silently equate 4.0 == 4).
+        # HUGEINT is deliberately its OWN family: DuckDB surfaces an
+        # un-CAST integer sum() as HUGEINT, which pandas receives as
+        # float — the driver then hash-mismatches against Spark's
+        # BIGINT even though values are equal. Folding it into "int"
+        # here is exactly the masking that shipped five red rows in
+        # round 12 (q154/q158/q181/q188/q201). Oracles must CAST.
         def fam(t):
             t = str(t).upper()
-            if any(x in t for x in ("TINYINT","SMALLINT","INT","BIGINT","HUGEINT")): return "int"
+            if "HUGEINT" in t: return "hugeint(add CAST AS BIGINT)"
+            if any(x in t for x in ("TINYINT","SMALLINT","INT","BIGINT")): return "int"
             if any(x in t for x in ("FLOAT","DOUBLE","REAL","DECIMAL")): return "float"
             if "BOOL" in t: return "bool"
             return t
-        got_types = {d[0]: fam(d[1]) for d in con.sql(
-            f"SELECT * FROM read_parquet({files!r}) LIMIT 0").description}
-        want_types = {d[0]: fam(d[1]) for d in want_rel.description}
+        # the driver's hasher sorts cell values with pandas and cannot
+        # order numpy arrays — array/struct/map output columns ERROR
+        # there even when this checker's list-aware keys handle them
+        # (round-12 q151). Reject them here unless explicitly listed.
+        ARRAY_OK: set = set()  # name -> allow-listed reason goes in SURVEY
+        sp_rel = con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0")
+        nested = [c for c, t in zip(sp_rel.columns, sp_rel.types)
+                  if any(x in str(t).upper()
+                         for x in ("[]", "STRUCT", "MAP", "LIST"))]
+        if nested and name not in ARRAY_OK:
+            print(f"FAIL {name}: nested output columns {nested} — the "
+                  f"driver's hasher cannot sort these; flatten "
+                  f"(array_join / explode) or allow-list with a reason")
+            n_fail += 1; continue
+        # .types not .description — a relation's description reports
+        # the generic 'NUMBER' for every numeric, so the family check
+        # silently passed on HUGEINT-vs-BIGINT before round 13
+        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0")
+        got_types = {c: fam(t) for c, t in zip(got_rel.columns, got_rel.types)}
+        want_types = {c: fam(t) for c, t in zip(want_rel.columns, want_rel.types)}
         tmis = {c: (got_types[c], want_types[c]) for c in got_types
                 if got_types[c] != want_types[c]}
         if tmis:
