@@ -402,10 +402,19 @@ object Queries4 {
   // ---- §2.14 BPE tokenize at the gate (rows-only) ----------------------
 
   /** GPT-2-style BPE (csrc/velox/text/gpt2_bpe_tokenizer.{h,cpp}) with a
-    * literal 10-rule merge table and a small vocab, over each document's
-    * leading 60 chars. Greedy lowest-rank merges are not SQL-expressible
-    * — the gate records rows-only; exact token sequences are pinned in
-    * BpeSpec. The encoder ships once per executor via the task closure. */
+    * literal 10-rule merge table and a small vocab. Greedy lowest-rank
+    * merges are not SQL-expressible, so (round-13 change, ending this
+    * gate's `no_oracle` status) the output is DRIVER-HASHABLE: one row
+    * per token of a fixed input encoded through the real distributed
+    * kernel, compared against ids hand-derived from the merge table
+    * ("the"→101; " and"→[unk,104]; " ring"→[unk,r=18,ing=108];
+    * " or"→[unk,109]; " in"→[unk,102] — the leading-space unit maps
+    * to a 256+ byte-level char absent from the vocab → unkId 0), as a
+    * DuckDB VALUES literal. The corpus tokenize (leading 60 chars of
+    * every document) stays in the gate as oracle-restatable
+    * invariants: n_docs crosses engines; corpus_ok raises unless every
+    * document produced ≥1 token with a non-negative id sum. The
+    * encoder ships once per executor via the task closure. */
   def q36Bpe(s: SparkSession, dir: String): DataFrame = {
     val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
       ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"),
@@ -416,26 +425,33 @@ object Queries4 {
           "and" -> 104L, "er" -> 105L, "on" -> 106L, "re" -> 107L,
           "ing" -> 108L, "or" -> 109L)
     val enc = new BpeEncoder(merges, vocab, unkId = 0L)
+    val fixture = s.range(1)
+      .select(posexplode(
+        Bpe.bpeTokenize(enc)(lit("the and ring or in")))
+        .as(Seq("pos", "id")))
     val ids = Bpe.bpeTokenize(enc)(lower(substring($"text", 1, 60)))
-    // Self-check: encode a fixed input in-query and compare to ids
-    // hand-derived from the merge table ("the"→101; " and"→[unk,104];
-    // " ring"→[unk,r=18,ing=108]; " or"→[unk,109]; " in"→[unk,102] —
-    // the leading-space unit maps to the 256+ byte-level char, absent
-    // from the vocab → unkId 0). Raises on any deviation, so the gate
-    // run itself proves the greedy lowest-rank merge order.
-    val pinned = array(Seq(101L, 0L, 104L, 0L, 18L, 108L, 0L, 109L, 0L,
-      102L).map(lit): _*)
-    val pinnedOk =
-      when(Bpe.bpeTokenize(enc)(lit("the and ring or in")) === pinned,
-        lit(true))
-        .otherwise(raise_error(lit("bpe pinned fixture mismatch")))
-    t(s, dir, "documents")
-      .select($"doc_id", ids.as("ids"))
-      .select($"doc_id", size($"ids").as("n_tokens"),
-        aggregate($"ids", lit(0L), (acc, x) => acc + x).as("id_sum"))
-      .withColumn("pinned_ok", pinnedOk)
-      .orderBy($"doc_id")
+    val corpus = t(s, dir, "documents")
+      .select(size(ids).as("nt"),
+        aggregate(ids, lit(0L), (acc, x) => acc + x).as("sum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"nt" >= 1 && $"sum" >= 0L, 0L).otherwise(1L))
+          .as("__bad"))
+      .select($"n_docs",
+        when($"__bad" === 0L, lit(true))
+          .otherwise(raise_error(lit(
+            "q36: corpus tokenize produced an empty or negative doc")))
+          .as("corpus_ok"))
+    fixture.crossJoin(broadcast(corpus))
+      .select($"pos", $"id", $"n_docs", $"corpus_ok")
+      .orderBy($"pos")
   }
+
+  val q36Sql: String =
+    """SELECT CAST(pos AS INTEGER) AS pos, CAST(id AS BIGINT) AS id,
+      |  (SELECT count(*) FROM documents) AS n_docs, true AS corpus_ok
+      |FROM (VALUES (0,101),(1,0),(2,104),(3,0),(4,18),(5,108),(6,0),
+      |  (7,109),(8,0),(9,102)) AS t(pos, id)
+      |ORDER BY pos""".stripMargin
 
   // ---- §2.1 Arrow interop at the gate ----------------------------------
 
@@ -482,6 +498,7 @@ object Queries4 {
   )
 
   val oracles: Map[String, String] = Map(
+    "q36_bpe" -> q36Sql,
     "q37_compute_scores" -> q37Sql,
     "q71_arrow_roundtrip" -> q71Sql,
     "q38_arith_semantics" -> q38Sql,

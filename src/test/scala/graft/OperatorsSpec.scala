@@ -280,16 +280,20 @@ class OperatorsSpec extends SparkSpec {
   test("q19 bench mode drops the exact self-check aggregates but " +
       "keeps the schema (graft.sketch.selfcheck=false)") {
     val dir = "/root/testdata/sf0.001"
+    // verify mode emits the oracle-restatable exact side + the bound
+    // check; the raw sketch values stay internal (engine-specific)
     val checked = Queries2.q19ApproxSketch(spark, dir)
+    assert(checked.columns.toSeq ===
+      Seq("l_returnflag", "exact_parts", "n", "sketch_ok"))
     assert(checked.collect().forall(_.getAs[Boolean]("sketch_ok")))
     try {
       spark.conf.set("graft.sketch.selfcheck", "false")
       val bench = Queries2.q19ApproxSketch(spark, dir)
-      // bench mode renames the flag to sketch_unchecked: the bound
-      // check does not run there, and the name must say so
-      assert(bench.schema.map(f => (f.name, f.dataType)) ===
-        checked.schema.map(f => (f.name, f.dataType))
-          .init :+ ("sketch_unchecked", BooleanType))
+      // bench mode emits the sketch values themselves and names the
+      // flag sketch_unchecked: the bound check does not run there,
+      // and the name must say so
+      assert(bench.columns.toSeq === Seq("l_returnflag", "approx_parts",
+        "p50_price", "p99_price", "sketch_unchecked"))
       val plan = bench.queryExecution.optimizedPlan.toString
       assert(!plan.contains("count(distinct"))
       assert(!plan.toLowerCase.contains("percentile(")) // approx only
