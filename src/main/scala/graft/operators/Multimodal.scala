@@ -54,12 +54,34 @@ object Multimodal {
   private def be16(b: Array[Byte], i: Int): Int =
     ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
 
+  // RIFF is little-endian throughout (Microsoft/IBM RIFF spec, 1991)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) |
+      ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+
+  private def fourCC(b: Array[Byte], i: Int): String =
+    new String(Array(b(i), b(i + 1), b(i + 2), b(i + 3)),
+      java.nio.charset.StandardCharsets.US_ASCII)
+
   /** REAL header decode — pure JVM, no codec libraries:
     *  - PNG: 8-byte signature, then the IHDR chunk holds width/height
     *    big-endian at offsets 16/20 and color type at 25 (PNG spec §11.2.2).
     *  - JPEG: scan marker segments from SOI for the first SOFn frame
     *    header (C0–CF except C4/C8/CC), which carries height/width/
     *    component count (ITU T.81 §B.2.2).
+    *  - WAV (RIFF/WAVE): chunk-walk from offset 12 for the "fmt "
+    *    chunk (RIFF spec: each chunk = fourCC + LE32 size + data,
+    *    word-aligned); its PCM fields map onto the shared tuple as
+    *    (format="wav", width=sampleRate, height=bitsPerSample,
+    *    channels=numChannels) — the audio analogues of an image's
+    *    dimensions, documented here so consumers read them right.
+    *  - Other RIFF containers (AVI, WEBP) are PROBED: the container
+    *    fourCC is reported lowercased ("avi ", "webp") with zeroed
+    *    dimensions — a real deployment plugs the codec into the same
+    *    slot.
     * Unknown formats fall through to the marked stub. */
   private[graft] def decodeHeader(bytes: Array[Byte])
       : (String, Int, Int, Int) = {
@@ -107,6 +129,29 @@ object Multimodal {
         } else return ("jpeg", 0, 0, 0)
       }
       ("jpeg", 0, 0, 0) // truncated stream: no frame header found
+    } else if (bytes.length >= 12 && bytes(0) == 'R'.toByte &&
+        bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte &&
+        bytes(3) == 'F'.toByte) {
+      val container = fourCC(bytes, 8)
+      if (container == "WAVE") {
+        // chunk walk: fourCC + LE32 size + data, padded to word align
+        var i = 12
+        while (i + 8 <= bytes.length) {
+          val id = fourCC(bytes, i)
+          val size = le32(bytes, i + 4)
+          if (size < 0) return ("wav", 0, 0, 0) // corrupt size field
+          if (id == "fmt ") {
+            if (i + 8 + 16 > bytes.length) return ("wav", 0, 0, 0)
+            val d = i + 8
+            val numChannels = le16(bytes, d + 2)
+            val sampleRate = le32(bytes, d + 4)
+            val bitsPerSample = le16(bytes, d + 14)
+            return ("wav", sampleRate, bitsPerSample, numChannels)
+          }
+          i += 8 + size + (size & 1) // chunks are word-aligned
+        }
+        ("wav", 0, 0, 0) // no fmt chunk found
+      } else (container.toLowerCase.trim, 0, 0, 0) // probe: avi, webp…
     } else fakeDecode(bytes)
   }
 

@@ -106,10 +106,20 @@ object SessionTimers {
       rm(new java.io.File(stage))
     }
     val sink = spark.table(name)
-    val flushed = sink.select(col("user_id")).distinct().count()
-    require(flushed == nUsers,
-      s"q187: timers flushed final sessions for $flushed of $nUsers " +
-        "users — every user's last session must close by TIMER")
+    // witness: every user must have a TIMER-closed session — the
+    // distinct-user count alone would also pass when a user's timer
+    // never fired but a handler-closed mid-stream session emitted them.
+    // (Mid-stream sessions may legitimately close by timer too, when a
+    // real inter-session hole exceeds the batch watermark lag, so the
+    // assertion is >=1 per user, not ==1.)
+    val w = sink.agg(
+      countDistinct(when(col("byTimer"), col("user_id")))
+        .as("users_timer_closed"),
+      countDistinct(col("user_id")).as("users_any")).head()
+    require(w.getLong(0) == nUsers && w.getLong(1) == nUsers,
+      s"q187: timer-closed sessions cover ${w.getLong(0)} of $nUsers " +
+        s"users (any-close covers ${w.getLong(1)}) — every user's " +
+        "final session must close by TIMER")
     sink.where(col("user_id") >= 0) // defensive; sentinels never emit
       .groupBy(col("user_id"))
       .agg(sum(col("n")).as("n_events"),
@@ -118,8 +128,14 @@ object SessionTimers {
   }
 }
 
-/** One closed session: the user and how many events it held. */
-case class ClosedSession(user_id: Long, n: Long)
+/** One closed session: the user, how many events it held, and WHO
+  * closed it — the handler (next event observed a > gap hole) or the
+  * event-time timer (watermark passed the expiry with nothing
+  * arriving). The tag exists for the gate witness: `distinct users`
+  * alone cannot distinguish "every user's final session closed by
+  * timer" from "the user appeared via a handler-closed mid-stream
+  * session while their timer never fired". */
+case class ClosedSession(user_id: Long, n: Long, byTimer: Boolean)
 
 /** Open-session state: last event ts (ns) and events so far. */
 case class OpenSession(lastTsNs: Long, n: Long)
@@ -151,7 +167,7 @@ class SessionCloser extends org.apache.spark.sql.streaming
       else (Long.MinValue, 0L)
     ts.foreach { t =>
       if (n > 0 && t - last > SessionTimers.gapNs) {
-        closed += ClosedSession(key, n)
+        closed += ClosedSession(key, n, byTimer = false)
         n = 0
       }
       n += 1
@@ -178,7 +194,7 @@ class SessionCloser extends org.apache.spark.sql.streaming
       if (o.lastTsNs / 1000000L + SessionTimers.gapMs
           <= timerValues.getCurrentWatermarkInMs) {
         st.clear()
-        Iterator.single(ClosedSession(key, o.n))
+        Iterator.single(ClosedSession(key, o.n, byTimer = true))
       } else Iterator.empty
     } else Iterator.empty
   }

@@ -270,6 +270,45 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(encode(grey, "jpg")) === ("jpeg", 9, 7, 1))
   }
 
+  test("real codec-produced bytes: javax.sound WAV output parses to " +
+      "the encoded sample rate / bit depth / channel count") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    def wav(rate: Float, bits: Int, ch: Int): Array[Byte] = {
+      val fmt = new AudioFormat(rate, bits, ch, true, false)
+      val frames = 25
+      val data = new Array[Byte](frames * fmt.getFrameSize)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.decodeHeader(wav(44100f, 16, 2)) ===
+      ("wav", 44100, 16, 2))
+    assert(Multimodal.decodeHeader(wav(16000f, 8, 1)) ===
+      ("wav", 16000, 8, 1))
+    // hand-built RIFF with a LIST chunk BEFORE fmt: the walk must step
+    // over unknown chunks by their declared (odd, word-padded) size
+    def le32b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte,
+      (v >> 16).toByte, (v >> 24).toByte)
+    def le16b(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val fmtData = le16b(1) ++ le16b(3) ++ le32b(8000) ++
+      le32b(8000 * 3 * 3) ++ le16b(9) ++ le16b(24)
+    val padded = "RIFF".getBytes ++ le32b(0) ++ "WAVE".getBytes ++
+      "LIST".getBytes ++ le32b(3) ++ Array[Byte](1, 2, 3, 0) ++ // pad
+      "fmt ".getBytes ++ le32b(16) ++ fmtData
+    assert(Multimodal.decodeHeader(padded) === ("wav", 8000, 24, 3))
+    // non-WAVE RIFF containers probe to their fourCC, zeroed dims
+    val avi = "RIFF".getBytes ++ le32b(4) ++ "AVI ".getBytes
+    assert(Multimodal.decodeHeader(avi) === ("avi", 0, 0, 0))
+    val webp = "RIFF".getBytes ++ le32b(4) ++ "WEBP".getBytes
+    assert(Multimodal.decodeHeader(webp) === ("webp", 0, 0, 0))
+    // truncated / fmt-less WAV degrades to zeroed fields, never throws
+    val bare = "RIFF".getBytes ++ le32b(4) ++ "WAVE".getBytes
+    assert(Multimodal.decodeHeader(bare) === ("wav", 0, 0, 0))
+  }
+
   test("frame sampling emits n rows per blob") {
     val df = Seq((1L, "x")).toDF("id", "text")
     val out = Multimodal.sampleFrames(

@@ -78,6 +78,41 @@ class Queries17Spec extends SparkSpec {
     assert(r.getBoolean(2))
   }
 
+  test("q158/q188 round-trip flags are null-safe: a props row " +
+      "without $.k still counts as preserved (n_rt == n)") {
+    // the real gates against a fixture corpus whose click group holds
+    // a k-less row — under the old null-unsafe === this row silently
+    // fell out of n_rt, diverging from the oracle's count(*)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_nullk").toString
+    try {
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      Seq(
+        (1L, ts, 10L, "click", 1.0, """{"k": 5}"""),
+        (2L, ts, 11L, "click", 1.0, """{"x": 1}"""), // no $.k
+        (3L, ts, 12L, "view", 2.0, """{"k": 7}"""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value",
+          "props")
+        .write.parquet(s"$dir/events.parquet")
+      for (rows <- Seq(Queries12.q158JsonOps(spark, dir).collect(),
+          Queries17.q188Variant(spark, dir).collect())) {
+        assert(rows.length === 2)
+        rows.foreach { r =>
+          assert(r.getAs[Long]("n_rt") === r.getAs[Long]("n"),
+            s"round trip lost a row in group ${r.getString(0)}")
+        }
+        val click = rows.find(_.getString(0) == "click").get
+        assert(click.getAs[Long]("n") === 2L) // k-less row included
+        assert(click.getAs[Long]("sum_k") === 5L) // null k not summed
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
   test("q187 sentinel convention: negative keys hold no state and " +
       "the ns->ms timer floor keeps expiry within the session gap") {
     // ms-floored expiry is at most 1 ms before lastTs+gap in ns —
