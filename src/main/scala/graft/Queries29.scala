@@ -85,13 +85,54 @@ object Queries29 {
       |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY ALL ORDER BY ALL""".stripMargin
 
+  // ---- q223: audio (WAV) metadata extraction ------------------------------
+
+  /** Real RIFF/WAVE chunk-walk end-to-end — the audio face of q70's
+    * image decode: each document gets a synthesized VALID WAV blob
+    * (seeded PCM sample rate / bit depth / channel count,
+    * [[graft.operators.Multimodal.synthesizeWavBlob]]), decodeMeta
+    * parses the actual bytes back partition-wise (no shuffle until the
+    * tiny grouped aggregate), and the oracle predicts every field
+    * arithmetically from the seed — a green row proves the LE chunk
+    * parser is exact. Format maps onto the shared media_meta tuple as
+    * width=sampleRate, height=bitsPerSample. */
+  def q223AudioMeta(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((id: Long) =>
+      graft.operators.Multimodal.synthesizeWavBlob(id * 1048573L + 13L))
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", synth($"doc_id").as("blob"))
+    graft.operators.Multimodal.decodeMeta(docs)
+      .select($"media_meta.format".as("format"),
+        $"media_meta.width".as("sample_rate"),
+        $"media_meta.height".as("bits"),
+        $"media_meta.channels".as("channels"),
+        $"media_meta.n_bytes".as("n_bytes"))
+      .groupBy($"format", $"channels", $"bits")
+      .agg(count(lit(1)).as("n"),
+        sum($"sample_rate").cast(LongType).as("sum_rate"),
+        sum($"n_bytes").cast(LongType).as("total_bytes"))
+      .orderBy($"channels", $"bits")
+  }
+
+  val q223Sql: String =
+    """WITH d AS (SELECT doc_id * 1048573 + 13 AS seed FROM documents)
+      |SELECT 'wav' AS format,
+      |  CAST(1 + (seed // 1073741824) % 2 AS INTEGER) AS channels,
+      |  CAST(8 * (1 + (seed // 1048576) % 4) AS INTEGER) AS bits,
+      |  count(*) AS n,
+      |  CAST(sum(8000 + (seed // 16) % 40000) AS BIGINT) AS sum_rate,
+      |  CAST(count(*) * 64 AS BIGINT) AS total_bytes
+      |FROM d GROUP BY 1, 2, 3 ORDER BY channels, bits""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q221_stream_static_outer" -> (q221StreamStaticOuter _),
-    "q222_group_by_all" -> (q222GroupByAll _)
+    "q222_group_by_all" -> (q222GroupByAll _),
+    "q223_audio_meta" -> (q223AudioMeta _)
   )
 
   val oracles: Map[String, String] = Map(
     "q221_stream_static_outer" -> q221Sql,
-    "q222_group_by_all" -> q222Sql
+    "q222_group_by_all" -> q222Sql,
+    "q223_audio_meta" -> q223Sql
   )
 }

@@ -205,6 +205,45 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize a REAL RIFF/WAVE byte stream from a seed: valid RIFF
+    * framing, a spec-exact 16-byte PCM "fmt " chunk with seed-derived
+    * sample rate / bit depth / channel count, and a fixed 20-byte
+    * "data" chunk — the audio analogue of [[synthesizeBlob]], so the
+    * gate query exercises the real chunk walk without codec
+    * libraries. Total length is a constant 64 bytes, arithmetic the
+    * oracle can restate. */
+  def synthesizeWavBlob(seed: Long): Array[Byte] = {
+    val sampleRate = 8000 + ((seed >>> 4) % 40000L).toInt
+    val bits = 8 * (1 + ((seed >>> 20) % 4L).toInt) // 8/16/24/32
+    val channels = 1 + ((seed >>> 30) % 2L).toInt   // mono/stereo
+    val dataLen = 20
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    w32(4 + 24 + 8 + dataLen) // RIFF size: WAVE + fmt chunk + data chunk
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    w32(16) // PCM fmt chunk payload
+    w16(1)  // audioFormat = PCM
+    w16(channels)
+    w32(sampleRate)
+    w32(sampleRate * channels * (bits / 8)) // byteRate
+    w16(channels * (bits / 8))              // blockAlign
+    w16(bits)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    w32(dataLen)
+    var x = seed
+    for (_ <- 0 until dataLen) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write((x >>> 56).toInt)
+    }
+    out.toByteArray
+  }
+
   /** Deterministic frame-sampling stub for a video-like blob: selects
     * `n` offsets spread over the payload and fingerprints each "frame";
     * real impl would emit decoded frames. Shape (explode → one row per
