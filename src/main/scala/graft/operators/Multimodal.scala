@@ -129,6 +129,40 @@ object Multimodal {
         } else return ("jpeg", 0, 0, 0)
       }
       ("jpeg", 0, 0, 0) // truncated stream: no frame header found
+    } else if (bytes.length >= 12 && fourCC(bytes, 4) == "ftyp") {
+      // ISO-BMFF (MP4/MOV, ISO 14496-12): a sequence of boxes, each
+      // BE32 size + fourCC. Walk top-level boxes for "moov", then its
+      // children for "trak"/"tkhd" (v0: width/height as 16.16 fixed
+      // point at payload offsets 76/80). mvhd would add timescale/
+      // duration; the shared tuple surfaces the visual dimensions.
+      def findBox(lo: Int, hi: Int, id: String): Int = {
+        var i = lo
+        while (i + 8 <= hi) {
+          val size = be32(bytes, i)
+          if (size < 8) return -1 // size64/corrupt: out of probe scope
+          if (fourCC(bytes, i + 4) == id) return i
+          i += size
+        }
+        -1
+      }
+      val moov = findBox(0, bytes.length, "moov")
+      if (moov < 0) ("mp4", 0, 0, 0)
+      else {
+        val moovEnd = math.min(bytes.length, moov + be32(bytes, moov))
+        val trak = findBox(moov + 8, moovEnd, "trak")
+        if (trak < 0) ("mp4", 0, 0, 0)
+        else {
+          val trakEnd = math.min(moovEnd, trak + be32(bytes, trak))
+          val tkhd = findBox(trak + 8, trakEnd, "tkhd")
+          if (tkhd < 0 || tkhd + 8 + 84 > bytes.length) ("mp4", 0, 0, 0)
+          else {
+            val d = tkhd + 8 + 4 // past size+fourCC+version/flags (v0)
+            val w = be32(bytes, d + 72) >>> 16 // 16.16 fixed point
+            val h = be32(bytes, d + 76) >>> 16
+            ("mp4", w, h, 1)
+          }
+        }
+      }
     } else if (bytes.length >= 12 && bytes(0) == 'R'.toByte &&
         bytes(1) == 'I'.toByte && bytes(2) == 'F'.toByte &&
         bytes(3) == 'F'.toByte) {
@@ -238,6 +272,58 @@ object Multimodal {
     w32(dataLen)
     var x = seed
     for (_ <- 0 until dataLen) {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      out.write((x >>> 56).toInt)
+    }
+    out.toByteArray
+  }
+
+  /** Synthesize a REAL ISO-BMFF (MP4) byte stream from a seed: a valid
+    * `ftyp` box, a `moov` containing a spec-exact v0 `mvhd` and one
+    * `trak`/`tkhd` with seed-derived 16.16 fixed-point visual
+    * dimensions, and a small `mdat` — the video face of
+    * [[synthesizeBlob]]/[[synthesizeWavBlob]], so the gate query
+    * exercises the real box walk without codec libraries. Total length
+    * is a constant 264 bytes, arithmetic the oracle can restate. */
+  def synthesizeMp4Blob(seed: Long): Array[Byte] = {
+    val w = 160 + ((seed >>> 3) % 1760L).toInt   // 160..1919
+    val h = 120 + ((seed >>> 17) % 960L).toInt   // 120..1079
+    val timescale = 600
+    val duration = timescale * (1 + ((seed >>> 27) % 30L).toInt)
+    val out = new java.io.ByteArrayOutputStream()
+    def b32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def zeros(n: Int): Unit = for (_ <- 0 until n) out.write(0)
+    // identity matrix for mvhd/tkhd: 0x10000,0,0, 0,0x10000,0, 0,0,0x40000000
+    def matrix(): Unit = {
+      b32(0x10000); b32(0); b32(0); b32(0); b32(0x10000); b32(0)
+      b32(0); b32(0); b32(0x40000000)
+    }
+    b32(24); cc("ftyp"); cc("isom"); b32(0x200); cc("isom"); cc("mp41")
+    b32(216); cc("moov")
+    b32(108); cc("mvhd"); b32(0)          // version 0 + flags
+    b32(0); b32(0)                        // ctime, mtime
+    b32(timescale); b32(duration)
+    b32(0x10000)                          // rate 1.0
+    out.write(1); out.write(0)            // volume 1.0
+    zeros(10); matrix(); zeros(24)        // reserved, matrix, predefined
+    b32(2)                                // next track id
+    b32(100); cc("trak")
+    b32(92); cc("tkhd"); b32(7)           // version 0, flags: enabled
+    b32(0); b32(0); b32(1); b32(0)        // ctime, mtime, trackID, rsvd
+    b32(duration); zeros(8)
+    out.write(0); out.write(0)            // layer
+    out.write(0); out.write(0)            // alternate group
+    out.write(0); out.write(0)            // volume (video track: 0)
+    out.write(0); out.write(0)            // reserved
+    matrix()
+    b32(w << 16); b32(h << 16)            // 16.16 fixed point
+    b32(24); cc("mdat")
+    var x = seed
+    for (_ <- 0 until 16) {
       x = x * 6364136223846793005L + 1442695040888963407L
       out.write((x >>> 56).toInt)
     }

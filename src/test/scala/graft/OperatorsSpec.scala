@@ -309,6 +309,38 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(bare) === ("wav", 0, 0, 0))
   }
 
+  test("ISO-BMFF (MP4) box walk parses seeded tkhd dimensions and " +
+      "degrades on malformed boxes, never throws") {
+    // synthesized blob round-trips the seed arithmetic through real
+    // ftyp/moov/trak/tkhd bytes (16.16 fixed point widths)
+    def expect(seed: Long) = ("mp4",
+      160 + ((seed >>> 3) % 1760L).toInt,
+      120 + ((seed >>> 17) % 960L).toInt, 1)
+    for (seed <- Seq(0L, 1L, 12345L, 0x7fffffffffffL, 987654321L)) {
+      val blob = Multimodal.synthesizeMp4Blob(seed)
+      assert(blob.length === 264) // constant length the oracle restates
+      assert(Multimodal.decodeHeader(blob) === expect(seed))
+    }
+    // hand-built: a free box BEFORE moov must be stepped over by its
+    // declared BE size; the walk is box-order-agnostic
+    def be32b(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte,
+      (v >> 8).toByte, v.toByte)
+    val base = Multimodal.synthesizeMp4Blob(42L)
+    val ftyp = base.slice(0, 24)
+    val moov = base.slice(24, 240)
+    val withFree = ftyp ++ be32b(16) ++ "free".getBytes ++
+      Array.fill[Byte](8)(0) ++ moov
+    assert(Multimodal.decodeHeader(withFree) ===
+      Multimodal.decodeHeader(base))
+    // ftyp-only / moov-without-trak degrade to zeroed dims
+    assert(Multimodal.decodeHeader(ftyp) === ("mp4", 0, 0, 0))
+    val emptyMoov = ftyp ++ be32b(8) ++ "moov".getBytes
+    assert(Multimodal.decodeHeader(emptyMoov) === ("mp4", 0, 0, 0))
+    // corrupt size field (< 8) stops the walk instead of looping
+    val corrupt = ftyp ++ be32b(3) ++ "moov".getBytes
+    assert(Multimodal.decodeHeader(corrupt) === ("mp4", 0, 0, 0))
+  }
+
   test("frame sampling emits n rows per blob") {
     val df = Seq((1L, "x")).toDF("id", "text")
     val out = Multimodal.sampleFrames(
