@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Round-13 session gates past q236: incremental rollup maintenance
+  * (q237) and Trigger.AvailableNow batch-drain (q238). Naming/oracle/
+  * float conventions as in [[Queries]].
+  */
+object Queries33 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- q237: incremental rollup maintenance -------------------------------
+
+  /** Merge-refresh an aggregate from a delta WITHOUT rescanning the
+    * base — the pay-once pattern behind every nightly rollup at 100 TB:
+    * the base partition (90% of lineitem) is aggregated ONCE into a
+    * groups-sized mergeable state (n / DECIMAL qty / min / max — sums
+    * of sums, mins of mins), written to parquet and read back (state
+    * must survive storage), and the refresh touches ONLY the delta
+    * (10%) plus that state. avg is derived from (qty, n) at output —
+    * the classic non-mergeable-aggregate fix. The oracle aggregates
+    * the FULL table directly: any merge defect (double count, lost
+    * group, decimal drift) hash-mismatches. Refresh cost is
+    * O(delta + |groups|), independent of base size. */
+  def q237IncrementalRollup(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val keys = Seq($"l_returnflag", $"l_linestatus")
+    def partial(df: DataFrame): DataFrame =
+      df.groupBy(keys: _*)
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(DecimalType(25, 4))).as("qty_state"),
+          min($"l_quantity").as("min_q"),
+          max($"l_quantity").as("max_q"))
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_rollup").toString
+    try {
+      // ingest-time: aggregate the base once, persist the tiny state
+      partial(li.where($"l_orderkey" % 10 =!= 0))
+        .coalesce(1).write.mode("overwrite").parquet(s"$stage/state")
+      // refresh-time: delta scan + state merge only
+      val state = s.read.parquet(s"$stage/state")
+      val delta = partial(li.where($"l_orderkey" % 10 === 0))
+      val merged = state.unionByName(delta)
+        .groupBy(keys: _*)
+        .agg(sum($"n").cast(LongType).as("n"),
+          sum($"qty_state").as("qty_merged"),
+          min($"min_q").as("min_q"),
+          max($"max_q").as("max_q"))
+        .select($"l_returnflag", $"l_linestatus", $"n",
+          $"qty_merged".cast(DoubleType).as("qty"),
+          $"min_q", $"max_q",
+          round($"qty_merged".cast(DoubleType) / $"n", 4).as("avg_q"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+      // materialize (groups-sized) before the finally deletes the state
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(merged.collect().toSeq.asJava, merged.schema)
+        .orderBy($"l_returnflag", $"l_linestatus")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(stage))
+    }
+  }
+
+  val q237Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty,
+      |  min(l_quantity) AS min_q, max(l_quantity) AS max_q,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+      |        / count(*), 4) AS avg_q
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---- q238: Trigger.AvailableNow batch-drain -----------------------------
+
+  /** The incremental-batch trigger: AvailableNow processes everything
+    * present at start — honoring source rate limits
+    * (maxFilesPerTrigger=1 → one micro-batch per staged file) — then
+    * STOPS ON ITS OWN (awaitTermination returns, no processAllAvailable
+    * babysitting). This is how a 100 TB ingest runs streaming code on
+    * a batch schedule: same query, same exactly-once sink, finite run.
+    * The multi-batch witness (≥4 progress entries for 4 staged files)
+    * is REQUIRED in-gate; the aggregate must equal the batch oracle
+    * over the same rows. */
+  def q238AvailableNow(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_avnow").toString
+    try {
+      t(spark, dir, "events")
+        .select($"event_type", $"value")
+        .repartition(4)
+        .write.mode("overwrite").parquet(stage)
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val name = s"graft_avnow_${System.nanoTime()}"
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(25, 4))).cast(DoubleType)
+            .as("sum_value"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination() // AvailableNow terminates by itself
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      require(batches >= 4,
+        s"q238: expected >=4 rate-limited micro-batches, saw $batches")
+      spark.table(name).orderBy($"event_type") // memory-sink-backed
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(stage))
+    }
+  }
+
+  val q238Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST("value" AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_incremental_rollup" -> (q237IncrementalRollup _),
+    "q238_available_now" -> (q238AvailableNow _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q237_incremental_rollup" -> q237Sql,
+    "q238_available_now" -> q238Sql
+  )
+}
