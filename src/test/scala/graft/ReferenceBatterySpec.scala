@@ -219,6 +219,29 @@ class ReferenceBatterySpec extends SparkSpec {
       col("n")))) === Seq(3L, 2L, 0L))
   }
 
+  test("fill_null per-dtype battery: one scalar fills int32/int64/" +
+      "float32/float64 columns alike " +
+      "(transformation/test_data_clean_ops.py:39-56)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("int32", IntegerType, nullable = true),
+      StructField("int64", LongType, nullable = true),
+      StructField("float32", FloatType, nullable = true),
+      StructField("float64", DoubleType, nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(null, 1L, 1.0f, 1.0),
+      Row(2, null, 2.0f, 2.0),
+      Row(3, 3L, null, 3.0),
+      Row(4, 4L, 4.0f, null))
+    val f = TFrame(spark.createDataFrame(rows, schema)).fillNull(42L)
+    val got = f.df.collect().map(_.toSeq)
+    assert(got.map(_(0)).toSeq === Seq(42, 2, 3, 4))
+    assert(got.map(_(1)).toSeq === Seq(1L, 42L, 3L, 4L))
+    assert(got.map(_(2)).toSeq === Seq(1.0f, 2.0f, 42.0f, 4.0f))
+    assert(got.map(_(3)).toSeq === Seq(1.0, 2.0, 3.0, 42.0))
+  }
+
   test("na handling: fill_null / drop_null / drop_duplicates " +
       "(test_numerical_column.py:485-493)") {
     val cc = TFrame(spark, Seq(
