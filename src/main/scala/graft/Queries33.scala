@@ -132,13 +132,40 @@ object Queries33 {
       |    AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q239: bitwise aggregates -------------------------------------------
+
+  /** bit_and / bit_or / bit_xor aggregates — exact, fixed-size,
+    * mergeable (the algebraic cousins of q213's bitmap distinct):
+    * bit_or accumulates a presence mask, bit_xor a parity check, both
+    * map-side combinable so the shuffle carries ONE long per group.
+    * Parity matters because flag-mask rollups silently corrupt if an
+    * engine treats the aggregate as nullable-skipping differently. */
+  def q239BitAggs(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("q239_e")
+    s.sql(
+      """SELECT event_type, count(*) AS n,
+        |  bit_and(user_id) AS mask_and,
+        |  bit_or(user_id) AS mask_or,
+        |  bit_xor(user_id) AS parity
+        |FROM q239_e GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q239Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  bit_and(user_id) AS mask_and,
+      |  bit_or(user_id) AS mask_or,
+      |  bit_xor(user_id) AS parity
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
-    "q238_available_now" -> (q238AvailableNow _)
+    "q238_available_now" -> (q238AvailableNow _),
+    "q239_bit_aggs" -> (q239BitAggs _)
   )
 
   val oracles: Map[String, String] = Map(
     "q237_incremental_rollup" -> q237Sql,
-    "q238_available_now" -> q238Sql
+    "q238_available_now" -> q238Sql,
+    "q239_bit_aggs" -> q239Sql
   )
 }
