@@ -15,7 +15,11 @@ object Queries32 {
 
   // ---- q234: observed metrics (Dataset.observe) ---------------------------
 
-  /** Pipeline observability without a second scan: `observe` attaches
+  /** Pipeline observability without a second scan (q126's observe
+    * witness, upgraded: there the metrics back an in-gate require and
+    * the output only carries `observed_ok`; HERE the observed VALUES
+    * are output columns the DuckDB oracle hashes — the driver itself
+    * falsifies the metric arithmetic): `observe` attaches
     * accumulator-backed metrics (row count, quantity total, discount
     * counter) to the SAME pass that computes the grouped aggregate —
     * at 100 TB the alternative is re-scanning the table for every
