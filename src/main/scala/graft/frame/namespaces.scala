@@ -108,9 +108,12 @@ object namespaces {
   final class MapOps(private val c: Column) extends AnyVal {
     def keys: Column = map_keys(c)
     def values: Column = map_values(c)
-    /** dict.get(key, fill) (imap_column.py:82-91). */
+    /** dict.get(key, fill) (imap_column.py:82-91). The fill applies to
+      * a MISSING KEY only; a null map row stays null
+      * (test_map_column.py:61-66: get("de", 0) over
+      * [{abc:123},{de:45,fg:67},None] is [0, 45, None]). */
     def get(key: Column, fill: Column): Column =
-      coalesce(element_at(c, key), fill)
+      when(c.isNull, lit(null)).otherwise(coalesce(element_at(c, key), fill))
   }
 
   /** §2.9 arithmetic with the reference's semantics where Spark differs. */

@@ -242,6 +242,29 @@ class ReferenceBatterySpec extends SparkSpec {
     assert(got.map(_(3)).toSeq === Seq(1.0, 2.0, 3.0, 42.0))
   }
 
+  test("maps keys/values/get battery over a null map row " +
+      "(test_map_column.py:61-66)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.lit
+    val schema = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("m", MapType(StringType, LongType), nullable = true)))
+    val rows = java.util.Arrays.asList(
+      Row(0, Map("abc" -> 123L)),
+      Row(1, Map("de" -> 45L, "fg" -> 67L)),
+      Row(2, null))
+    val df = spark.createDataFrame(rows, schema).orderBy("i")
+    val m = df("m")
+    assert(col0(df.select(m.maps.keys)) ===
+      Seq(Seq("abc"), Seq("de", "fg"), null))
+    assert(col0(df.select(m.maps.values)) ===
+      Seq(Seq(123L), Seq(45L, 67L), null))
+    // fill applies to a MISSING KEY; the null map row stays null
+    assert(col0(df.select(m.maps.get(lit("de"), lit(0L)))) ===
+      Seq(0L, 45L, null))
+  }
+
   test("na handling: fill_null / drop_null / drop_duplicates " +
       "(test_numerical_column.py:485-493)") {
     val cc = TFrame(spark, Seq(
