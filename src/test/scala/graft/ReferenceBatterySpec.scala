@@ -242,6 +242,23 @@ class ReferenceBatterySpec extends SparkSpec {
     assert(got.map(_(3)).toSeq === Seq(1.0, 2.0, 3.0, 42.0))
   }
 
+  test("list.slice over null elements, Python start:end semantics " +
+      "(transformation/test_list.py:45-59)") {
+    import org.apache.spark.sql.functions.col
+    val df = TFrame(spark, Seq("a" -> Seq(
+      Seq[Any](1L, 2L, null, 3L),
+      Seq[Any](4L, null, 5L),
+      Seq[Any](1L, 2L, 3L, 4L, 5L)))).df
+    val a = col("a")
+    assert(col0(df.select(a.list.slice(1, 3))) ===
+      Seq(Seq(2L, null), Seq(null, 5L), Seq(2L, 3L)))
+    // stop past the end truncates like Python, never errors
+    assert(col0(df.select(a.list.slice(2, 4))) ===
+      Seq(Seq(null, 3L), Seq(5L), Seq(3L, 4L)))
+    assert(col0(df.select(a.list.slice(0, 2))) ===
+      Seq(Seq(1L, 2L), Seq(4L, null), Seq(1L, 2L)))
+  }
+
   test("maps keys/values/get battery over a null map row " +
       "(test_map_column.py:61-66)") {
     import org.apache.spark.sql.Row
