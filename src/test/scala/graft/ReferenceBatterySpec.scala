@@ -242,6 +242,26 @@ class ReferenceBatterySpec extends SparkSpec {
     assert(got.map(_(3)).toSeq === Seq(1.0, 2.0, 3.0, 42.0))
   }
 
+  test("str pattern-matching battery: startswith/endswith/find over " +
+      "empty and too-short strings (test_string_column.py:251-275)") {
+    import org.apache.spark.sql.functions.col
+    val s = Seq("hello.this", "is.interesting.", "this.is_24",
+      "paradise", "h", "")
+    val df = TFrame(spark,
+      Seq("s" -> s, "i" -> s.indices.map(_.toLong))).df.orderBy("i")
+    val c = col("s")
+    assert(col0(df.select(c.str.startswith("h"))) ===
+      Seq(true, false, false, false, true, false))
+    assert(col0(df.select(c.str.endswith("this"))) ===
+      Seq(true, false, false, false, false, false))
+    // CPython str.find: -1 when absent, including needle longer than
+    // the string and the empty string
+    assert(col0(df.select(c.str.find("this"))) ===
+      Seq(6, -1, 0, -1, -1, -1))
+    assert(col0(df.select(c.str.replace("this", "that"))) ===
+      s.map(_.replace("this", "that")))
+  }
+
   test("list.slice over null elements, Python start:end semantics " +
       "(transformation/test_list.py:45-59)") {
     import org.apache.spark.sql.functions.col
