@@ -34,4 +34,34 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q210 hashing-trick features are identical across runs") {
     twice("q210_hashing_trick")
   }
+
+  // round-13 session gates whose output involves engine-internal
+  // state (staged files, streaming drain, GCM's random IV, the
+  // sketch's internal ordering) — re-run identity pins the claim
+  // that none of it leaks into the result
+  test("q225 entity resolution is identical across runs") {
+    twice("q225_entity_resolution")
+  }
+
+  test("q228 capped triangle counts are identical across runs") {
+    twice("q228_triangles")
+  }
+
+  test("q233 approx_top_k output is identical across runs") {
+    twice("q233_approx_top_k")
+  }
+
+  test("q236 AES round-trip output is identical across runs " +
+      "(random GCM IVs never surface)") {
+    twice("q236_aes_roundtrip")
+  }
+
+  test("q237 incremental rollup is identical across runs " +
+      "(staged state re-created bit-identically)") {
+    twice("q237_incremental_rollup")
+  }
+
+  test("q238 AvailableNow drain is identical across runs") {
+    twice("q238_available_now")
+  }
 }
