@@ -6,8 +6,9 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Round-13 session gates past q236: incremental rollup maintenance
-  * (q237) and Trigger.AvailableNow batch-drain (q238). Naming/oracle/
-  * float conventions as in [[Queries]].
+  * (q237), Trigger.AvailableNow batch-drain (q238), bitwise aggregates
+  * (q239), and higher central moments (q240). Naming/oracle/float
+  * conventions as in [[Queries]].
   */
 object Queries33 {
 
@@ -157,15 +158,59 @@ object Queries33 {
       |  bit_xor(user_id) AS parity
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q240: higher central moments ---------------------------------------
+
+  /** skewness / kurtosis / var_pop / stddev_pop per group — the
+    * distribution-shape aggregates a data-quality report needs beyond
+    * mean/std (q165's MAD flags outliers; these CHARACTERIZE the tail
+    * that produces them). Spark computes population g1 / excess g2 via
+    * single-pass streaming moments; the oracle restates them two-pass
+    * from central-moment averages — rounding absorbs the FP
+    * summation-order difference between the two algorithms (variance
+    * is ~1e9 here, so it is SCALED to millions before the 6-decimal
+    * round — rounding a 1e9 value at 4 decimals would demand 13
+    * significant digits of cross-algorithm agreement), same
+    * convention as the regr_* gate (q174). */
+  def q240Moments(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(var_pop($"l_extendedprice") / 1e6, 6).as("var_p_m"),
+        round(stddev_pop($"l_extendedprice"), 2).as("std_p"),
+        round(skewness($"l_extendedprice"), 6).as("skew"),
+        round(kurtosis($"l_extendedprice"), 6).as("kurt"))
+      .orderBy($"l_returnflag")
+  }
+
+  val q240Sql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS rf, avg(l_extendedprice) AS mu
+      |  FROM lineitem GROUP BY 1),
+      |m AS (
+      |  SELECT l_returnflag AS rf, count(*) AS n,
+      |    avg(pow(l_extendedprice - mu, 2)) AS m2,
+      |    avg(pow(l_extendedprice - mu, 3)) AS m3,
+      |    avg(pow(l_extendedprice - mu, 4)) AS m4
+      |  FROM lineitem JOIN g ON l_returnflag = g.rf
+      |  GROUP BY 1)
+      |SELECT rf AS l_returnflag, n,
+      |  round(m2 / 1e6, 6) AS var_p_m,
+      |  round(sqrt(m2), 2) AS std_p,
+      |  round(m3 / pow(m2, 1.5), 6) AS skew,
+      |  round(m4 / (m2 * m2) - 3, 6) AS kurt
+      |FROM m ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
     "q238_available_now" -> (q238AvailableNow _),
-    "q239_bit_aggs" -> (q239BitAggs _)
+    "q239_bit_aggs" -> (q239BitAggs _),
+    "q240_moments" -> (q240Moments _)
   )
 
   val oracles: Map[String, String] = Map(
     "q237_incremental_rollup" -> q237Sql,
     "q238_available_now" -> q238Sql,
-    "q239_bit_aggs" -> q239Sql
+    "q239_bit_aggs" -> q239Sql,
+    "q240_moments" -> q240Sql
   )
 }
