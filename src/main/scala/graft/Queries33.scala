@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 /** Round-13 session gates past q236: incremental rollup maintenance
   * (q237), Trigger.AvailableNow batch-drain (q238), bitwise aggregates
-  * (q239), and higher central moments (q240). Naming/oracle/float
+  * (q239), higher central moments (q240), and the streaming state-store reader (q241). Naming/oracle/float
   * conventions as in [[Queries]].
   */
 object Queries33 {
@@ -200,17 +200,81 @@ object Queries33 {
       |  round(m4 / (m2 * m2) - 3, 6) AS kurt
       |FROM m ORDER BY 1""".stripMargin
 
+  // ---- q241: state-store reader -------------------------------------------
+
+  /** Streaming-state observability (Spark 4 State Data Source): run a
+    * checkpointed streaming aggregate, STOP it, then read the RocksDB/
+    * HDFS state store back as a DataFrame — the gate reconstructs the
+    * per-key aggregate FROM THE CHECKPOINTED BUFFERS (key.event_type,
+    * value.count, value.sum) and the batch oracle must match it
+    * value-for-value. This is how a 100 TB pipeline debugs a stateful
+    * job without replaying it: state is data, queryable offline. The
+    * drain reuses q238's AvailableNow shape. */
+  def q241StateReader(parent: SparkSession, dir: String): DataFrame = {
+    val spark = parent.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_stsrc").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stckpt").toString
+    try {
+      t(spark, dir, "events")
+        .select($"event_type", $"value")
+        .repartition(2)
+        .write.mode("overwrite").parquet(stage)
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("value", DoubleType)))
+      val name = s"graft_st_${System.nanoTime()}"
+      val agg = spark.readStream.schema(schema).parquet(stage)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(25, 4))).as("sv"))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the sink result is NOT used: the claim is about the state files
+      val out = spark.read.format("statestore").load(ckpt)
+        .select($"key.event_type".as("event_type"),
+          $"value.count".as("n"),
+          $"value.sum".cast(DoubleType).as("sum_value"))
+        .orderBy($"event_type")
+      // materialize before the finally deletes the checkpoint
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
+        .orderBy($"event_type")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(stage)); rm(new java.io.File(ckpt))
+    }
+  }
+
+  val q241Sql: String =
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(CAST("value" AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_value
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
     "q238_available_now" -> (q238AvailableNow _),
     "q239_bit_aggs" -> (q239BitAggs _),
-    "q240_moments" -> (q240Moments _)
+    "q240_moments" -> (q240Moments _),
+    "q241_state_reader" -> (q241StateReader _)
   )
 
   val oracles: Map[String, String] = Map(
     "q237_incremental_rollup" -> q237Sql,
     "q238_available_now" -> q238Sql,
     "q239_bit_aggs" -> q239Sql,
-    "q240_moments" -> q240Sql
+    "q240_moments" -> q240Sql,
+    "q241_state_reader" -> q241Sql
   )
 }
