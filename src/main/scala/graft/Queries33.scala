@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 /** Round-13 session gates past q236: incremental rollup maintenance
   * (q237), Trigger.AvailableNow batch-drain (q238), bitwise aggregates
-  * (q239), higher central moments (q240), and the streaming state-store reader (q241). Naming/oracle/float
+  * (q239), higher central moments (q240), the streaming state-store reader (q241), and timezone conversion (q242). Naming/oracle/float
   * conventions as in [[Queries]].
   */
 object Queries33 {
@@ -262,12 +262,53 @@ object Queries33 {
       |    AS sum_value
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q242: timezone conversion ------------------------------------------
+
+  /** Timezone-aware processing under the UTC session contract: the
+    * instant column converts to WALL TIME per business zone with
+    * from_utc_timestamp (IANA rules, DST included) — the
+    * local-business-hours rollup every global events pipeline runs.
+    * Conversion is a row-local expression (scan-side); the tiny
+    * (zone x hour) aggregate is the only shuffle. Each zone is a
+    * LITERAL (computed as three columns in one scan, then stacked):
+    * a column-valued zone forces the per-row ZoneId-lookup slow path
+    * (~3x here) because codegen cannot specialize the rules — the
+    * same lesson as non-foldable format strings. The oracle replays
+    * with DuckDB's two-step timezone() (naive->UTC instant->zone wall),
+    * which is session-timezone-independent — both engines consult the
+    * same IANA database, so a hash mismatch means a real rule/offset
+    * divergence. */
+  def q242Timezones(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").createOrReplaceTempView("q242_e")
+    s.sql(
+      """SELECT tz, lhour, count(*) AS n
+        |FROM (
+        |  SELECT stack(3,
+        |    'America/New_York',
+        |    hour(from_utc_timestamp(t, 'America/New_York')),
+        |    'Asia/Tokyo', hour(from_utc_timestamp(t, 'Asia/Tokyo')),
+        |    'Europe/Paris', hour(from_utc_timestamp(t, 'Europe/Paris'))
+        |  ) AS (tz, lhour)
+        |  FROM (SELECT timestamp_micros(ts DIV 1000) AS t FROM q242_e))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  }
+
+  val q242Sql: String =
+    """SELECT tz, CAST(hour(timezone(tz, timezone('UTC', ts))) AS INTEGER)
+      |    AS lhour,
+      |  count(*) AS n
+      |FROM events
+      |CROSS JOIN (SELECT unnest(['America/New_York', 'Asia/Tokyo',
+      |  'Europe/Paris']) AS tz) z
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
     "q238_available_now" -> (q238AvailableNow _),
     "q239_bit_aggs" -> (q239BitAggs _),
     "q240_moments" -> (q240Moments _),
-    "q241_state_reader" -> (q241StateReader _)
+    "q241_state_reader" -> (q241StateReader _),
+    "q242_timezones" -> (q242Timezones _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -275,6 +316,7 @@ object Queries33 {
     "q238_available_now" -> q238Sql,
     "q239_bit_aggs" -> q239Sql,
     "q240_moments" -> q240Sql,
-    "q241_state_reader" -> q241Sql
+    "q241_state_reader" -> q241Sql,
+    "q242_timezones" -> q242Sql
   )
 }
