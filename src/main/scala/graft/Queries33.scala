@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 /** Round-13 session gates past q236: incremental rollup maintenance
   * (q237), Trigger.AvailableNow batch-drain (q238), bitwise aggregates
-  * (q239), higher central moments (q240), the streaming state-store reader (q241), and timezone conversion (q242). Naming/oracle/float
+  * (q239), higher central moments (q240), the streaming state-store reader (q241), timezone conversion (q242), and the binary-encoding battery (q243). Naming/oracle/float
   * conventions as in [[Queries]].
   */
 object Queries33 {
@@ -302,13 +302,46 @@ object Queries33 {
       |  'Europe/Paris']) AS tz) z
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q243: binary-encoding battery --------------------------------------
+
+  /** Digest/encoding parity battery — sha2-256 hex digests, base64
+    * round-trip, integer hex, printf formatting — the row-local
+    * encodings an interchange layer leans on (content-addressed ids,
+    * wire formats, stable file names). All codegen scan-side
+    * expressions; a single-character divergence (case, padding,
+    * truncation) moves the min() representatives or n_rt. hex is
+    * lower()ed on both sides so the claim is about the DIGITS, not a
+    * case convention. */
+  def q243Encoding(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("q243_c")
+    s.sql(
+      """SELECT c_nationkey, count(*) AS n,
+        |  sum(CASE WHEN CAST(unbase64(base64(CAST(c_name AS BINARY)))
+        |        AS STRING) <=> c_name THEN 1 ELSE 0 END) AS n_rt,
+        |  min(sha2(c_name, 256)) AS first_digest,
+        |  min(lower(hex(c_custkey))) AS first_hex,
+        |  min(format_string('%05d:%s', c_custkey, c_mktsegment))
+        |    AS first_fmt
+        |FROM q243_c GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val q243Sql: String =
+    """SELECT c_nationkey, count(*) AS n,
+      |  CAST(sum(CASE WHEN from_base64(base64(c_name::BLOB))::VARCHAR
+      |        = c_name THEN 1 ELSE 0 END) AS BIGINT) AS n_rt,
+      |  min(sha256(c_name)) AS first_digest,
+      |  min(lower(hex(c_custkey))) AS first_hex,
+      |  min(printf('%05d:%s', c_custkey, c_mktsegment)) AS first_fmt
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
     "q238_available_now" -> (q238AvailableNow _),
     "q239_bit_aggs" -> (q239BitAggs _),
     "q240_moments" -> (q240Moments _),
     "q241_state_reader" -> (q241StateReader _),
-    "q242_timezones" -> (q242Timezones _)
+    "q242_timezones" -> (q242Timezones _),
+    "q243_encoding" -> (q243Encoding _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -317,6 +350,7 @@ object Queries33 {
     "q239_bit_aggs" -> q239Sql,
     "q240_moments" -> q240Sql,
     "q241_state_reader" -> q241Sql,
-    "q242_timezones" -> q242Sql
+    "q242_timezones" -> q242Sql,
+    "q243_encoding" -> q243Sql
   )
 }
