@@ -99,7 +99,12 @@ object Queries31 {
     * deterministic binary-min representative). Mixed-case forms are
     * synthesized 3 ways from c_custkey so every group genuinely mixes
     * case. The oracle restates the semantics with DuckDB's lower()
-    * grouping — identical groups, counts, and representatives. */
+    * grouping — identical groups, counts, and representatives.
+    * Plan note: collated keys compile to SortAggregate (not
+    * HashAggregate) with collation-aware hashpartitioning — partial
+    * aggregation is still map-side, so ONE row per group per task
+    * crosses the single exchange; the sort-vs-hash difference only
+    * matters within a task. */
   def q231Collation(s: SparkSession, dir: String): DataFrame = {
     val m = t(s, dir, "customer").select(
       when($"c_custkey" % 3 === 0, upper($"c_mktsegment"))
