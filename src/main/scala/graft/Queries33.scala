@@ -209,7 +209,8 @@ object Queries33 {
     * value.count, value.sum) and the batch oracle must match it
     * value-for-value. This is how a 100 TB pipeline debugs a stateful
     * job without replaying it: state is data, queryable offline. The
-    * drain reuses q238's AvailableNow shape. */
+    * drain reuses q238's AvailableNow shape; the state-metadata
+    * source first certifies WHICH stores the checkpoint holds. */
   def q241StateReader(parent: SparkSession, dir: String): DataFrame = {
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -238,6 +239,15 @@ object Queries33 {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // catalog witness: the checkpoint self-describes its operators
+      // (state-metadata source) — REQUIRE the expected aggregation
+      // store before reading its contents
+      val meta = spark.read.format("state-metadata").load(ckpt)
+        .select($"operatorName", $"stateStoreName").collect()
+      require(meta.exists(r => r.getString(0) == "stateStoreSave" &&
+        r.getString(1) == "default"),
+        s"q241: state-metadata missing the aggregation store: " +
+          meta.mkString(","))
       // the sink result is NOT used: the claim is about the state files
       val out = spark.read.format("statestore").load(ckpt)
         .select($"key.event_type".as("event_type"),
