@@ -257,10 +257,7 @@ object Queries11 {
     val res = out.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
       .orderBy($"event_type").collect().toSeq
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(base))
+    Fs.rmTree(new java.io.File(base))
     require(nBatches >= 3,
       s"q155: rate limit ignored — backfill ran in $nBatches batches")
     require(totalRows == expected,

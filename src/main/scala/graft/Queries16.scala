@@ -212,10 +212,7 @@ object Queries16 {
         .orderBy($"o_orderpriority")
     } finally {
       sA.sql(s"DROP TABLE IF EXISTS $tbl")
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(loc))
+      Fs.rmTree(new java.io.File(loc))
     }
   }
 
@@ -272,10 +269,7 @@ object Queries16 {
       s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
         .orderBy($"lang")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(base))
+      Fs.rmTree(new java.io.File(base))
     }
   }
 
@@ -339,10 +333,7 @@ object Queries16 {
       .start()
     try q.processAllAvailable() finally {
       q.stop()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(stage))
+      Fs.rmTree(new java.io.File(stage))
     }
     val sink = spark.table(name)
     val emitted = sink.count()

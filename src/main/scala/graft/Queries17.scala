@@ -133,10 +133,7 @@ object Queries17 {
       import scala.jdk.CollectionConverters._
       s.createDataFrame(out.collect().toSeq.asJava, out.schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(path))
+      Fs.rmTree(new java.io.File(path))
     }
   }
 

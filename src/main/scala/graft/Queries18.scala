@@ -311,10 +311,7 @@ object Queries18 {
       s.createDataFrame(out.collect().toSeq.asJava, out.schema)
         .orderBy($"l_orderkey")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(path))
+      Fs.rmTree(new java.io.File(path))
     }
   }
 

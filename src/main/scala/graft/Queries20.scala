@@ -190,10 +190,7 @@ object Queries20 {
       parent.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
         .orderBy($"event_type")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(s"/tmp/graft_psink_$stamp"))
+      Fs.rmTree(new java.io.File(s"/tmp/graft_psink_$stamp"))
     }
   }
 

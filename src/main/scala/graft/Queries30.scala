@@ -289,10 +289,7 @@ object Queries30 {
       s.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
         .orderBy($"lang")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(stage))
+      Fs.rmTree(new java.io.File(stage))
     }
   }
 

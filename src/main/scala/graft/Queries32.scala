@@ -82,7 +82,11 @@ object Queries32 {
     * formatted string, time_trunc('HOUR') grouping, TIME min/max
     * ordering — all cast back to strings on output so the driver can
     * hash them. Oracle restates with DuckDB's native TIME/strftime. */
-  def q235TimeType(s: SparkSession, dir: String): DataFrame = {
+  def q235TimeType(parent: SparkSession, dir: String): DataFrame = {
+    // child session so the flag cannot leak into sibling gates (the
+    // queries Map is unordered — a shared-session conf would make
+    // other gates' environment depend on iteration order)
+    val s = parent.newSession()
     s.conf.set("spark.sql.timeType.enabled", "true")
     t(s, dir, "events").createOrReplaceTempView("q235_e")
     s.sql(

@@ -56,16 +56,13 @@ object Queries33 {
           $"qty_merged".cast(DoubleType).as("qty"),
           $"min_q", $"max_q",
           round($"qty_merged".cast(DoubleType) / $"n", 4).as("avg_q"))
-        .orderBy($"l_returnflag", $"l_linestatus")
-      // materialize (groups-sized) before the finally deletes the state
+      // materialize (groups-sized) before the finally deletes the state;
+      // the post-collect orderBy is the load-bearing output sort
       import scala.jdk.CollectionConverters._
       s.createDataFrame(merged.collect().toSeq.asJava, merged.schema)
         .orderBy($"l_returnflag", $"l_linestatus")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(stage))
+      Fs.rmTree(new java.io.File(stage))
     }
   }
 
@@ -120,10 +117,7 @@ object Queries33 {
         s"q238: expected >=4 rate-limited micro-batches, saw $batches")
       spark.table(name).orderBy($"event_type") // memory-sink-backed
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(stage))
+      Fs.rmTree(new java.io.File(stage))
     }
   }
 
@@ -253,16 +247,13 @@ object Queries33 {
         .select($"key.event_type".as("event_type"),
           $"value.count".as("n"),
           $"value.sum".cast(DoubleType).as("sum_value"))
-        .orderBy($"event_type")
-      // materialize before the finally deletes the checkpoint
+      // materialize before the finally deletes the checkpoint; the
+      // post-collect orderBy is the load-bearing output sort
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(out.collect().toSeq.asJava, out.schema)
         .orderBy($"event_type")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(stage)); rm(new java.io.File(ckpt))
+      Fs.rmTree(new java.io.File(stage)); Fs.rmTree(new java.io.File(ckpt))
     }
   }
 

@@ -286,10 +286,7 @@ object Queries9 {
     val res = out.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
       .orderBy($"event_type").collect().toSeq
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(base))
+    Fs.rmTree(new java.io.File(base))
     require(afterRun1 > 0 && afterRun1 < expected,
       s"q131: run 1 emitted $afterRun1 of $expected rows — the restart " +
         "had nothing to recover")
@@ -966,10 +963,7 @@ object Queries9 {
     val res = out.groupBy($"event_type")
       .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
       .orderBy($"event_type").collect().toSeq
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-    }
-    rm(new java.io.File(base))
+    Fs.rmTree(new java.io.File(base))
     require(afterRun1 > 0 && afterRun1 < expected,
       s"q145: run 1 emitted $afterRun1 of $expected — nothing to " +
         "recover")

@@ -139,7 +139,10 @@ object Multimodal {
         var i = lo
         while (i + 8 <= hi) {
           val size = be32(bytes, i)
-          if (size < 8) return -1 // size64/corrupt: out of probe scope
+          // size<8: size64/corrupt, out of probe scope. size>hi-i: box
+          // overruns the buffer — also guards the Int overflow a
+          // crafted size like 0x7FFFFFFF would cause in `i += size`
+          if (size < 8 || size > hi - i) return -1
           if (fourCC(bytes, i + 4) == id) return i
           i += size
         }

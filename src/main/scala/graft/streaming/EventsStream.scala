@@ -318,10 +318,7 @@ object EventsStream {
       // the memory sink holds the rows; the per-run sentinel dir is
       // dead weight — delete it so repeated bench loops don't
       // accumulate orphans under /tmp
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(sentDir))
+      graft.Fs.rmTree(new java.io.File(sentDir))
     }
     spark.table(name)
       // drop sentinel rows NULL-SAFELY: in full outer, c_user (or
@@ -431,10 +428,7 @@ object EventsStream {
       .start()
     try q.processAllAvailable() finally {
       q.stop()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(dirFile)
+      graft.Fs.rmTree(dirFile)
     }
     val seen = q.recentProgress
       .flatMap(p => Option(p.observedMetrics.get("src")))

@@ -100,10 +100,7 @@ object SessionTimers {
       .start()
     try q.processAllAvailable() finally {
       q.stop()
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-      }
-      rm(new java.io.File(stage))
+      graft.Fs.rmTree(new java.io.File(stage))
     }
     val sink = spark.table(name)
     // witness: every user must have a TIMER-closed session — the

@@ -339,6 +339,11 @@ class OperatorsSpec extends SparkSpec {
     // corrupt size field (< 8) stops the walk instead of looping
     val corrupt = ftyp ++ be32b(3) ++ "moov".getBytes
     assert(Multimodal.decodeHeader(corrupt) === ("mp4", 0, 0, 0))
+    // crafted size 0x7FFFFFFF must not overflow the cursor into a
+    // negative index (the `i += size` wraparound class)
+    val overflow = be32b(0x7fffffff) ++ "ftyp".getBytes ++
+      Array.fill[Byte](8)(0)
+    assert(Multimodal.decodeHeader(overflow) === ("mp4", 0, 0, 0))
   }
 
   test("frame sampling emits n rows per blob") {
