@@ -103,7 +103,7 @@ object Queries30 {
         concat(substring2($"name", lit(1), pos - 1), lit("q"),
           substring2($"name", pos + 1, length($"name"))).as("name"))
     val corpus = base.unionByName(variants)
-    def blocked(key: Column, tag: String): DataFrame = {
+    def blocked(key: Column): DataFrame = {
       val keyed = corpus.select(key.as("bk"), $"id", $"name")
       val cap = Skew.capGroups(keyed, Seq("bk"), Seq($"id"), 64)
       val l = cap.kept.select($"bk", $"id".as("id_a"), $"name".as("n_a"))
@@ -113,10 +113,10 @@ object Queries30 {
     }
     val cands = blocked(
         concat(length($"name").cast(StringType), lit("|"),
-          substring($"name", 1, 2)), "head")
+          substring($"name", 1, 2)))
       .unionByName(blocked(
         concat(length($"name").cast(StringType), lit("|"),
-          substring2($"name", length($"name") - 1, lit(2))), "tail"))
+          substring2($"name", length($"name") - 1, lit(2)))))
       .distinct()
     val matches = cands
       .select($"id_a", $"id_b",
@@ -125,12 +125,16 @@ object Queries30 {
     // planted containment: every variant must match its source
     val planted = matches
       .where($"id_b" >= 1000000L && $"id_b" - 1000000L === $"id_a")
-    val nVariants = variants.count()
+    // recall floor as a LAZY in-query invariant (no job at gate
+    // construction — SchemaContractSpec derives schemas without
+    // running work): both counts are 1-row aggregates compared in
+    // the expression layer
     val check = planted.agg(count(lit(1)).as("__found"))
-      .select(when($"__found" === nVariants, lit(true))
+      .crossJoin(variants.agg(count(lit(1)).as("__planted")))
+      .select(when($"__found" === $"__planted", lit(true))
         .otherwise(raise_error(concat(
           lit("q225: planted recall "), $"__found".cast(StringType),
-          lit(s" of $nVariants")))).as("recall_ok"))
+          lit(" of "), $"__planted".cast(StringType)))).as("recall_ok"))
     matches.crossJoin(broadcast(check))
       .orderBy($"id_a", $"id_b")
   }
@@ -199,11 +203,16 @@ object Queries30 {
           ($"violations" === 0L).as("passed"))
     val pkUnique = row("orders_pk_unique",
       count(lit(1)) - countDistinct($"o_orderkey"), count(lit(1)), orders)
-    val fk = row("lineitem_fk_orders",
-      count(lit(1)), count(lit(1)),
-      li.select($"l_orderkey")
-        .join(orders.select($"o_orderkey"),
-          $"l_orderkey" === $"o_orderkey", "left_anti"))
+    // violations come from the anti-join; checked is the number of
+    // rows the constraint COVERS (all of lineitem) — reporting the
+    // anti-join count for both would make checked==violations always
+    val fk = li.select($"l_orderkey")
+      .join(orders.select($"o_orderkey"),
+        $"l_orderkey" === $"o_orderkey", "left_anti")
+      .agg(count(lit(1)).cast(LongType).as("violations"))
+      .crossJoin(li.agg(count(lit(1)).cast(LongType).as("checked")))
+      .select(lit("lineitem_fk_orders").as("check_name"),
+        $"violations", $"checked", ($"violations" === 0L).as("passed"))
     val qtyRange = row("lineitem_qty_in_1_50",
       sum(when($"l_quantity".between(1, 50), 0L).otherwise(1L)),
       count(lit(1)), li)
@@ -227,7 +236,8 @@ object Queries30 {
       |  FROM orders
       |  UNION ALL
       |  SELECT 'lineitem_fk_orders',
-      |    CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT),
+      |    CAST(count(*) AS BIGINT),
+      |    (SELECT count(*) FROM lineitem),
       |    count(*) = 0
       |  FROM lineitem l WHERE NOT EXISTS
       |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
@@ -294,7 +304,8 @@ object Queries30 {
   }
 
   val q227Sql: String =
-    """SELECT CASE WHEN doc_id % 2 = 1 THEN lang
+    """SELECT CASE WHEN doc_id % 2 = 1 THEN coalesce(lang,
+      |    '__pre_evolution')
       |  ELSE '__pre_evolution' END AS lang,
       |  count(*) AS n,
       |  CAST(sum(n_chars) AS BIGINT) AS chars,
@@ -312,7 +323,7 @@ object Queries30 {
     * The closing edge check is one more equi-join against the FULL
     * edge set (cheap: wedges are bounded). The oracle replays edge
     * derivation, the identical row_number cap, and both joins. Output:
-    * one summary row — nodes, edges, capped wedges, triangles, and the
+    * one summary row — edges, capped wedges, triangles, and the
     * honest dropped count. */
   def q228Triangles(s: SparkSession, dir: String): DataFrame = {
     val items = t(s, dir, "lineitem")
@@ -329,8 +340,7 @@ object Queries30 {
       .select($"a", $"b", $"c")
     val tris = wedges.join(edges.toDF("b", "c"), Seq("b", "c"),
       "left_semi")
-    val summary = edges.agg(
-        countDistinct($"a").as("__na"), count(lit(1)).as("n_edges"))
+    val summary = edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(wedges.agg(count(lit(1)).as("n_wedges")))
       .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
       .select($"n_edges", $"n_wedges", $"n_triangles")

@@ -176,7 +176,11 @@ object Multimodal {
         while (i + 8 <= bytes.length) {
           val id = fourCC(bytes, i)
           val size = le32(bytes, i + 4)
-          if (size < 0) return ("wav", 0, 0, 0) // corrupt size field
+          // corrupt size: negative, or a declared size that overruns
+          // the buffer — the latter also guards the Int overflow a
+          // crafted 0x7FFFFFF0 would cause in the cursor advance
+          if (size < 0 || size > bytes.length - i - 8)
+            return ("wav", 0, 0, 0)
           if (id == "fmt ") {
             if (i + 8 + 16 > bytes.length) return ("wav", 0, 0, 0)
             val d = i + 8

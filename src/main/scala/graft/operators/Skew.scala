@@ -49,10 +49,13 @@ object Skew {
       * the OUTPUT is pairs, not memberships. */
     def droppedPairs(name: String = "dropped_pairs"): DataFrame = {
       val d = col("d")
-      // d·(d−1) is even, so the halving is exact — but Spark's `/` on
-      // longs returns DOUBLE; keep the arithmetic integral end-to-end
-      val lost = ((d * (d - 1) -
-        lit(maxPerKey.toLong) * (maxPerKey - 1)) / 2).cast("long")
+      // d·(d−1) − k·(k−1) is even and non-negative (d > maxPerKey on
+      // the branch that uses it), so a right shift halves it EXACTLY
+      // in long arithmetic. Spark's `/` on longs returns DOUBLE, which
+      // loses integer exactness past 2^53 — precisely the hub-group
+      // regime this accounting exists for.
+      val lost = shiftright(
+        d * (d - 1) - lit(maxPerKey.toLong) * (maxPerKey - 1), 1)
       ranked.groupBy(keys.map(col): _*)
         .agg(max(col("__rn")).cast("long").as("d"))
         .select(when(d > maxPerKey, lost).otherwise(0L).as("p"))

@@ -307,6 +307,11 @@ class OperatorsSpec extends SparkSpec {
     // truncated / fmt-less WAV degrades to zeroed fields, never throws
     val bare = "RIFF".getBytes ++ le32b(4) ++ "WAVE".getBytes
     assert(Multimodal.decodeHeader(bare) === ("wav", 0, 0, 0))
+    // crafted chunk size 0x7FFFFFF0 must not overflow the cursor into
+    // a negative index (the `i += 8 + size` wraparound class)
+    val huge = "RIFF".getBytes ++ le32b(0) ++ "WAVE".getBytes ++
+      "JUNK".getBytes ++ le32b(0x7ffffff0)
+    assert(Multimodal.decodeHeader(huge) === ("wav", 0, 0, 0))
   }
 
   test("ISO-BMFF (MP4) box walk parses seeded tkhd dimensions and " +

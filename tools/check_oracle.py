@@ -124,8 +124,7 @@ def main(sf_dir, out_dir):
         # .types not .description — a relation's description reports
         # the generic 'NUMBER' for every numeric, so the family check
         # silently passed on HUGEINT-vs-BIGINT before round 13
-        got_rel = con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0")
-        got_types = {c: fam(t) for c, t in zip(got_rel.columns, got_rel.types)}
+        got_types = {c: fam(t) for c, t in zip(sp_rel.columns, sp_rel.types)}
         want_types = {c: fam(t) for c, t in zip(want_rel.columns, want_rel.types)}
         tmis = {c: (got_types[c], want_types[c]) for c in got_types
                 if got_types[c] != want_types[c]}
