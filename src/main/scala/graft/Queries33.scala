@@ -7,7 +7,7 @@ import org.apache.spark.sql.types._
 
 /** Round-13 session gates past q236: incremental rollup maintenance
   * (q237), Trigger.AvailableNow batch-drain (q238), bitwise aggregates
-  * (q239), higher central moments (q240), the streaming state-store reader (q241), timezone conversion (q242), and the binary-encoding battery (q243). Naming/oracle/float
+  * (q239), higher central moments (q240), the streaming state-store reader (q241), timezone conversion (q242), the binary-encoding battery (q243), and parquet bloom filters (q244). Naming/oracle/float
   * conventions as in [[Queries]].
   */
 object Queries33 {
@@ -335,6 +335,80 @@ object Queries33 {
       |  min(printf('%05d:%s', c_custkey, c_mktsegment)) AS first_fmt
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q244: parquet bloom filters at rest --------------------------------
+
+  /** Bloom filters in the parquet footer — the at-rest point-lookup
+    * accelerator beside q181's codecs and q138's file sizing: with
+    * `parquet.bloom.filter.enabled#col`, a reader probing
+    * `col = x` skips whole row groups whose filter excludes x, without
+    * any sort or partitioning on col. The gate stages 4 files with a
+    * bloom on the high-NDV o_orderkey and then CERTIFIES THE FOOTERS:
+    * every file must carry a bloom for o_orderkey (offset >= 0) and
+    * must NOT carry one for the dictionary-encoded o_orderstatus (the
+    * writer is selective — a fully dict-encoded column already filters
+    * exactly, so a bloom would be pure bytes). Data round-trip is
+    * oracled from the source table. */
+  def q244ParquetBloom(s: SparkSession, dir: String): DataFrame = {
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_bloom").toString
+    try {
+      t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus",
+          $"o_totalprice")
+        .repartition(4)
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey",
+          "2000000")
+        .parquet(stage)
+      // footer witness (driver-side, bounded: 4 files)
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      import scala.jdk.CollectionConverters._
+      val files = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val perFile = files.map { f =>
+        val rd = ParquetFileReader.open(HadoopInputFile.fromPath(
+          new Path(f.getPath), new Configuration()))
+        try {
+          val cols = rd.getFooter.getBlocks.get(0).getColumns.asScala
+          def off(name: String): Long = cols
+            .find(_.getPath.toString == s"[$name]")
+            .map(_.getBloomFilterOffset).getOrElse(-1L)
+          (off("o_orderkey") >= 0, off("o_orderstatus") < 0)
+        } finally rd.close()
+      }
+      require(perFile.forall(_._1),
+        s"q244: ${perFile.count(!_._1)} files missing the o_orderkey bloom")
+      require(perFile.forall(_._2),
+        "q244: dict-encoded o_orderstatus unexpectedly carries a bloom")
+      val agg = s.read.parquet(stage).agg(
+        count(lit(1)).cast(LongType).as("n_rows"),
+        sum($"o_totalprice".cast(DecimalType(25, 4))).cast(DoubleType)
+          .as("sum_price"),
+        countDistinct($"o_orderkey").cast(LongType).as("n_keys"))
+        .withColumn("n_files", lit(files.length.toLong))
+        .withColumn("n_bloom_files",
+          lit(perFile.count(_._1).toLong))
+      import scala.jdk.CollectionConverters.{SeqHasAsJava => _, _}
+      val rows = agg.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), agg.schema)
+    } finally {
+      Fs.rmTree(new java.io.File(stage))
+    }
+  }
+
+  val q244Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE)
+      |    AS sum_price,
+      |  count(DISTINCT o_orderkey) AS n_keys,
+      |  CAST(4 AS BIGINT) AS n_files,
+      |  CAST(4 AS BIGINT) AS n_bloom_files
+      |FROM orders""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
     "q238_available_now" -> (q238AvailableNow _),
@@ -342,7 +416,8 @@ object Queries33 {
     "q240_moments" -> (q240Moments _),
     "q241_state_reader" -> (q241StateReader _),
     "q242_timezones" -> (q242Timezones _),
-    "q243_encoding" -> (q243Encoding _)
+    "q243_encoding" -> (q243Encoding _),
+    "q244_parquet_bloom" -> (q244ParquetBloom _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -352,6 +427,7 @@ object Queries33 {
     "q240_moments" -> q240Sql,
     "q241_state_reader" -> q241Sql,
     "q242_timezones" -> q242Sql,
-    "q243_encoding" -> q243Sql
+    "q243_encoding" -> q243Sql,
+    "q244_parquet_bloom" -> q244Sql
   )
 }
