@@ -64,4 +64,8 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q238 AvailableNow drain is identical across runs") {
     twice("q238_available_now")
   }
+
+  test("q244 bloom-staged aggregate is identical across runs") {
+    twice("q244_parquet_bloom")
+  }
 }
