@@ -1,13 +1,14 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 /** Round-13 session gates past q236: incremental rollup maintenance
   * (q237), Trigger.AvailableNow batch-drain (q238), bitwise aggregates
-  * (q239), higher central moments (q240), the streaming state-store reader (q241), timezone conversion (q242), the binary-encoding battery (q243), and parquet bloom filters (q244). Naming/oracle/float
+  * (q239), higher central moments (q240), the streaming state-store reader (q241), timezone conversion (q242), the binary-encoding battery (q243), parquet bloom filters (q244), and the warehouse capstone (q245). Naming/oracle/float
   * conventions as in [[Queries]].
   */
 object Queries33 {
@@ -409,6 +410,74 @@ object Queries33 {
       |  CAST(4 AS BIGINT) AS n_bloom_files
       |FROM orders""".stripMargin
 
+  // ---- q245: warehouse capstone -------------------------------------------
+
+  /** The round's warehouse operators CHAINED, so interface drift is
+    * what the oracle catches (the q220 capstone pattern, warehouse
+    * face): orders update-log -> SCD2 change detection (q224's
+    * lag/filter/lead shape) -> CURRENT state per customer -> dimension
+    * enrichment (LEFT JOIN, misses bucketed — q221's accounting) ->
+    * uniqueness DQ invariant (q226's shape, REQUIRED in-gate) ->
+    * (status, segment) rollup. One window shuffle + one broadcastable
+    * dim join + one groups-sized aggregate; the DuckDB oracle replays
+    * the ENTIRE chain in one statement. */
+  def q245WarehouseCapstone(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"custkey").orderBy($"eff", $"ver")
+    val upd = t(s, dir, "orders")
+      .select($"o_custkey".as("custkey"),
+        $"o_orderdate".cast(TimestampType).as("eff"),
+        $"o_orderkey".as("ver"), $"o_orderstatus".as("status"),
+        $"o_totalprice".as("price"))
+    val scd = upd
+      .withColumn("__prev", lag($"status", 1).over(w))
+      .where($"__prev".isNull || $"__prev" =!= $"status")
+      .withColumn("__next_eff", lead($"eff", 1).over(w))
+    val current = scd.where($"__next_eff".isNull)
+      .select($"custkey", $"status")
+    val dim = t(s, dir, "customer")
+      .where($"c_custkey" % 2 === 0) // deliberately incomplete dim
+      .select($"c_custkey", $"c_mktsegment")
+    val enriched = current.join(broadcast(dim),
+        $"custkey" === $"c_custkey", "left_outer")
+      .select($"custkey", $"status",
+        coalesce($"c_mktsegment", lit("__miss")).as("segment"))
+    // DQ invariant: SCD2 current state is one row per customer
+    val dq = enriched.agg(
+        (count(lit(1)) - countDistinct($"custkey")).as("__dups"))
+      .select(when($"__dups" === 0L, lit(true))
+        .otherwise(raise_error(concat(lit("q245: current-state dups "),
+          $"__dups".cast(StringType)))).as("dq_ok"))
+    enriched.groupBy($"status", $"segment")
+      .agg(count(lit(1)).as("n_customers"))
+      .crossJoin(broadcast(dq))
+      .orderBy($"status", $"segment")
+  }
+
+  val q245Sql: String =
+    """WITH upd AS (
+      |  SELECT o_custkey AS custkey, o_orderdate AS eff,
+      |    o_orderkey AS ver, o_orderstatus AS status
+      |  FROM orders),
+      |ch AS (
+      |  SELECT *, lag(status) OVER
+      |    (PARTITION BY custkey ORDER BY eff, ver) AS prev
+      |  FROM upd),
+      |scd AS (
+      |  SELECT custkey, eff, ver, status,
+      |    lead(eff) OVER (PARTITION BY custkey ORDER BY eff, ver)
+      |      AS next_eff
+      |  FROM ch WHERE prev IS NULL OR prev <> status),
+      |cur AS (SELECT custkey, status FROM scd WHERE next_eff IS NULL),
+      |enr AS (
+      |  SELECT custkey, status,
+      |    coalesce(c_mktsegment, '__miss') AS segment
+      |  FROM cur LEFT JOIN (
+      |    SELECT c_custkey, c_mktsegment FROM customer
+      |    WHERE c_custkey % 2 = 0) d
+      |  ON custkey = d.c_custkey)
+      |SELECT status, segment, count(*) AS n_customers, true AS dq_ok
+      |FROM enr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
     "q238_available_now" -> (q238AvailableNow _),
@@ -417,7 +486,8 @@ object Queries33 {
     "q241_state_reader" -> (q241StateReader _),
     "q242_timezones" -> (q242Timezones _),
     "q243_encoding" -> (q243Encoding _),
-    "q244_parquet_bloom" -> (q244ParquetBloom _)
+    "q244_parquet_bloom" -> (q244ParquetBloom _),
+    "q245_warehouse_capstone" -> (q245WarehouseCapstone _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,6 +498,7 @@ object Queries33 {
     "q241_state_reader" -> q241Sql,
     "q242_timezones" -> q242Sql,
     "q243_encoding" -> q243Sql,
-    "q244_parquet_bloom" -> q244Sql
+    "q244_parquet_bloom" -> q244Sql,
+    "q245_warehouse_capstone" -> q245Sql
   )
 }
