@@ -242,6 +242,33 @@ class ReferenceBatterySpec extends SparkSpec {
     assert(got.map(_(3)).toSeq === Seq(1.0, 2.0, 3.0, 42.0))
   }
 
+  test("str concat + three-valued comparison battery: null propagates " +
+      "through +, ==, < (test_string_column.py:183-224)") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val s1 = Seq[Any]("abc", "de", "", "f", null)
+    val s2 = Seq[Any]("12", "567", "77", null, "55")
+    val df = TFrame(spark, Seq("a" -> s1, "b" -> s2,
+      "i" -> s1.indices.map(_.toLong))).df.orderBy("i")
+    // c1 + c2: null if either side is null
+    assert(col0(df.select(concat(col("a"), col("b")))) ===
+      Seq("abc12", "de567", "77", null, null))
+    // c1 + "_suffix" / "prefix_" + c1
+    assert(col0(df.select(concat(col("a"), lit("_suffix")))) ===
+      Seq("abc_suffix", "de_suffix", "_suffix", "f_suffix", null))
+    assert(col0(df.select(concat(lit("prefix_"), col("a")))) ===
+      Seq("prefix_abc", "prefix_de", "prefix_", "prefix_f", null))
+    // comparisons are three-valued: null operand -> null result
+    val d = Seq[Any]("abc", "77", "", null, "55")
+    val cmp = TFrame(spark, Seq("c" -> s1, "d" -> d,
+      "i" -> s1.indices.map(_.toLong))).df.orderBy("i")
+    assert(col0(cmp.select(col("c") === col("d"))) ===
+      Seq(true, false, true, null, null))
+    assert(col0(cmp.select(col("c") < col("d"))) ===
+      Seq(false, false, false, null, null))
+    assert(col0(cmp.select(col("c") === lit("de"))) ===
+      Seq(false, true, false, false, null))
+  }
+
   test("str pattern-matching battery: startswith/endswith/find over " +
       "empty and too-short strings (test_string_column.py:251-275)") {
     import org.apache.spark.sql.functions.col
