@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 
 /** Round-13 session gates past q236: incremental rollup maintenance
   * (q237), Trigger.AvailableNow batch-drain (q238), bitwise aggregates
-  * (q239), higher central moments (q240), the streaming state-store reader (q241), timezone conversion (q242), the binary-encoding battery (q243), parquet bloom filters (q244), and the warehouse capstone (q245). Naming/oracle/float
+  * (q239), higher central moments (q240), the streaming state-store reader (q241), timezone conversion (q242), the binary-encoding battery (q243), parquet bloom filters (q244), the warehouse capstone (q245), and SQL pipe syntax (q246). Naming/oracle/float
   * conventions as in [[Queries]].
   */
 object Queries33 {
@@ -478,6 +478,40 @@ object Queries33 {
       |SELECT status, segment, count(*) AS n_customers, true AS dq_ok
       |FROM enr GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---- q246: SQL pipe syntax ----------------------------------------------
+
+  /** Spark 4's SQL pipe syntax (`FROM t |> WHERE |> EXTEND |>
+    * AGGREGATE |> ORDER BY`) — operator-order-as-written resolution of
+    * the same logical plan the nested standard form builds. Parity
+    * matters for migration the same way GROUP BY ALL (q222) does: a
+    * resolution difference between the pipelined and nested forms
+    * would silently change results when a query is mechanically
+    * rewritten. The oracle is the STANDARD-SQL restatement in DuckDB,
+    * so a green row certifies the pipe chain resolves to exactly the
+    * classic semantics. */
+  def q246PipeSyntax(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").createOrReplaceTempView("q246_li")
+    s.sql(
+      """FROM q246_li
+        ||> WHERE l_quantity < 30
+        ||> EXTEND CAST(l_extendedprice * (1 - l_discount)
+        |     AS DECIMAL(25,4)) AS disc_price
+        ||> AGGREGATE count(*) AS n,
+        |     CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE)
+        |       AS qty,
+        |     CAST(sum(disc_price) AS DOUBLE) AS revenue
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  val q246Sql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS qty,
+      |  CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(25,4))) AS DOUBLE) AS revenue
+      |FROM lineitem WHERE l_quantity < 30
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q237_incremental_rollup" -> (q237IncrementalRollup _),
     "q238_available_now" -> (q238AvailableNow _),
@@ -487,7 +521,8 @@ object Queries33 {
     "q242_timezones" -> (q242Timezones _),
     "q243_encoding" -> (q243Encoding _),
     "q244_parquet_bloom" -> (q244ParquetBloom _),
-    "q245_warehouse_capstone" -> (q245WarehouseCapstone _)
+    "q245_warehouse_capstone" -> (q245WarehouseCapstone _),
+    "q246_pipe_syntax" -> (q246PipeSyntax _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -499,6 +534,7 @@ object Queries33 {
     "q242_timezones" -> q242Sql,
     "q243_encoding" -> q243Sql,
     "q244_parquet_bloom" -> q244Sql,
-    "q245_warehouse_capstone" -> q245Sql
+    "q245_warehouse_capstone" -> q245Sql,
+    "q246_pipe_syntax" -> q246Sql
   )
 }
