@@ -12,7 +12,8 @@ import org.apache.spark.sql.types._
   * [[Multimodal.decodeHeader]]; pinned against javax.imageio-encoded
   * fixture bytes in OperatorsSpec); full pixel decode / feature
   * extraction would plug a codec library into the same mapPartitions
-  * slot. Unknown formats fall to a clearly-marked deterministic stub.
+  * slot. Unknown formats emit NULL metadata fields (a deterministic
+  * fake exists behind a test-only flag).
   * The pipeline shape is the 100 TB design: `mapPartitions` processes
   * whole partitions without per-row UDF overhead and without shuffling,
   * and the metadata struct is a first-class Catalyst column usable in
@@ -20,11 +21,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // width/height/channels are nullable: NULL means "format not decoded"
+  // (unknown bytes), distinct from 0 = "known format, field absent/corrupt"
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("format", StringType, nullable = false),
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
     StructField("n_bytes", LongType, nullable = false)))
 
   /** Attach a binary media column (here: the utf-8 text bytes stand in
@@ -33,9 +36,13 @@ object Multimodal {
       : DataFrame =
     df.withColumn(blobCol, col(payloadCol).cast(BinaryType))
 
-  /** STUB fallback for UNKNOWN formats only: a real deployment would
-    * route these to a codec library. Deterministic fake derived from
-    * the byte content so tests are stable. */
+  /** TEST-ONLY stub for UNKNOWN formats, reachable solely via
+    * `decodeMeta(fakeUnknownDims = true)`: a real deployment routes
+    * unknowns to a codec library, and the production path emits NULL
+    * metadata fields so a downstream filter can never mistake stub
+    * fiction for decoded fact. Deterministic fake derived from the
+    * byte content so tests that need stable fake dimensions have
+    * them. */
   private def fakeDecode(bytes: Array[Byte]): (String, Int, Int, Int) = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -82,7 +89,9 @@ object Multimodal {
     *    fourCC is reported lowercased ("avi ", "webp") with zeroed
     *    dimensions — a real deployment plugs the codec into the same
     *    slot.
-    * Unknown formats fall through to the marked stub. */
+    * Unknown formats report ("unknown", 0, 0, 0); [[decodeMeta]] maps
+    * those fields to NULL so consumers cannot mistake them for decoded
+    * dimensions. */
   private[graft] def decodeHeader(bytes: Array[Byte])
       : (String, Int, Int, Int) = {
     if (bytes.length >= 26 && (bytes(0) & 0xff) == 0x89 &&
@@ -157,12 +166,23 @@ object Multimodal {
         else {
           val trakEnd = math.min(moovEnd, trak + be32(bytes, trak))
           val tkhd = findBox(trak + 8, trakEnd, "tkhd")
-          if (tkhd < 0 || tkhd + 8 + 84 > bytes.length) ("mp4", 0, 0, 0)
+          if (tkhd < 0 || tkhd + 9 > bytes.length) ("mp4", 0, 0, 0)
           else {
-            val d = tkhd + 8 + 4 // past size+fourCC+version/flags (v0)
-            val w = be32(bytes, d + 72) >>> 16 // 16.16 fixed point
-            val h = be32(bytes, d + 76) >>> 16
-            ("mp4", w, h, 1)
+            val d = tkhd + 8 + 4 // past size+fourCC+version/flags
+            // v1 widens ctime/mtime/duration to 64-bit, pushing the
+            // matrix (and width/height) 12 bytes deeper (ISO 14496-12
+            // §8.3.2.2); any other version is out of probe scope
+            val off = (bytes(tkhd + 8) & 0xff) match {
+              case 0 => 72
+              case 1 => 84
+              case _ => -1
+            }
+            if (off < 0 || d + off + 8 > bytes.length) ("mp4", 0, 0, 0)
+            else {
+              val w = be32(bytes, d + off) >>> 16 // 16.16 fixed point
+              val h = be32(bytes, d + off + 4) >>> 16
+              ("mp4", w, h, 1)
+            }
           }
         }
       }
@@ -182,7 +202,11 @@ object Multimodal {
           if (size < 0 || size > bytes.length - i - 8)
             return ("wav", 0, 0, 0)
           if (id == "fmt ") {
-            if (i + 8 + 16 > bytes.length) return ("wav", 0, 0, 0)
+            // a declared fmt size < 16 passes the buffer-length guard
+            // but its "PCM fields" would be the NEXT chunk's bytes —
+            // degrade instead of misreading
+            if (size < 16 || i + 8 + 16 > bytes.length)
+              return ("wav", 0, 0, 0)
             val d = i + 8
             val numChannels = le16(bytes, d + 2)
             val sampleRate = le32(bytes, d + 4)
@@ -193,12 +217,16 @@ object Multimodal {
         }
         ("wav", 0, 0, 0) // no fmt chunk found
       } else (container.toLowerCase.trim, 0, 0, 0) // probe: avi, webp…
-    } else fakeDecode(bytes)
+    } else ("unknown", 0, 0, 0) // decodeMeta maps these fields to NULL
   }
 
   /** Batched partition-wise metadata extraction over the blob column:
-    * one pass per partition, no shuffle, output schema = input + meta. */
-  def decodeMeta(df: DataFrame, blobCol: String = "blob"): DataFrame = {
+    * one pass per partition, no shuffle, output schema = input + meta.
+    * Unknown formats emit NULL width/height/channels (never fabricated
+    * numbers) unless `fakeUnknownDims` — a TEST-ONLY flag that routes
+    * unknowns through the deterministic [[fakeDecode]] stub. */
+  def decodeMeta(df: DataFrame, blobCol: String = "blob",
+      fakeUnknownDims: Boolean = false): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("media_meta", mediaMetaSchema, nullable = true))
     val blobIdx = df.schema.fieldIndex(blobCol)
@@ -208,7 +236,12 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](blobIdx)
         val meta = if (bytes == null) null else {
           val (fmt, w, h, c) = decodeHeader(bytes)
-          Row(fmt, w, h, c, bytes.length.toLong)
+          if (fmt == "unknown") {
+            if (fakeUnknownDims) {
+              val (ff, fw, fh, fc) = fakeDecode(bytes)
+              Row(ff, fw, fh, fc, bytes.length.toLong)
+            } else Row("unknown", null, null, null, bytes.length.toLong)
+          } else Row(fmt, w, h, c, bytes.length.toLong)
         }
         Row.fromSeq(r.toSeq :+ meta)
       }

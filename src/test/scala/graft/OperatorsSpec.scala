@@ -181,18 +181,29 @@ class OperatorsSpec extends SparkSpec {
     assert(got.forall(s => s >= 0.0 && s <= 1.0))
   }
 
-  test("multimodal decode plumbing: schema + determinism") {
+  test("multimodal decode plumbing: schema, null-for-unknown, " +
+      "test-only fake flag") {
     val df = Seq((1L, "payload one"), (2L, "payload two")).toDF("id", "text")
     val out = Multimodal.decodeMeta(Multimodal.withBlob(df, "text"))
     assert(out.schema.fieldNames.contains("media_meta"))
-    val metaOnly = out.select(col("id"), col("media_meta"))
-    val r1 = metaOnly.orderBy("id").collect()
-    val r2 = metaOnly.orderBy("id").collect()
-    assert(r1.map(_.toString) === r2.map(_.toString)) // deterministic stub
+    val r1 = out.select(col("id"), col("media_meta")).orderBy("id").collect()
     val meta = r1.head.getStruct(r1.head.fieldIndex("media_meta"))
-    assert(meta.getAs[Int]("width") >= 64)
-    // raw text bytes are no known image format → the marked stub path
+    // raw text bytes are no known format → NULL dims, never fabricated
     assert(meta.getAs[String]("format") === "unknown")
+    assert(meta.isNullAt(meta.fieldIndex("width")))
+    assert(meta.isNullAt(meta.fieldIndex("height")))
+    assert(meta.isNullAt(meta.fieldIndex("channels")))
+    assert(meta.getAs[Long]("n_bytes") === "payload one".length.toLong)
+    // the deterministic fake survives ONLY behind the explicit flag
+    val fake = Multimodal.decodeMeta(Multimodal.withBlob(df, "text"),
+      fakeUnknownDims = true)
+      .select(col("id"), col("media_meta"))
+    val f1 = fake.orderBy("id").collect()
+    val f2 = fake.orderBy("id").collect()
+    assert(f1.map(_.toString) === f2.map(_.toString)) // deterministic stub
+    val fm = f1.head.getStruct(f1.head.fieldIndex("media_meta"))
+    assert(fm.getAs[String]("format") === "unknown")
+    assert(fm.getAs[Int]("width") >= 64)
   }
 
   test("real PNG IHDR / JPEG SOF header decode") {
