@@ -27,8 +27,13 @@ object Queries31 {
     * image/audio/video multimodal story on the shared media_meta
     * tuple. */
   def q229Mp4Probe(s: SparkSession, dir: String): DataFrame = {
+    // 1048573 multiplier (same as q223/q70): doc_id * 1048573 + 29
+    // stays inside signed 64-bit for any doc_id < 2^63/1048573 ≈ 8.8e12
+    // — the 2654435761 Knuth constant previously here overflowed at
+    // doc_id ≥ ~3.47e9, where Spark wraps silently but the DuckDB
+    // oracle's BIGINT raises, diverging gate and oracle at target scale
     val synth = udf((id: Long) =>
-      graft.operators.Multimodal.synthesizeMp4Blob(id * 2654435761L + 29L))
+      graft.operators.Multimodal.synthesizeMp4Blob(id * 1048573L + 29L))
     val docs = t(s, dir, "documents")
       .select($"doc_id", synth($"doc_id").as("blob"))
     graft.operators.Multimodal.decodeMeta(docs)
@@ -46,7 +51,7 @@ object Queries31 {
   }
 
   val q229Sql: String =
-    """WITH d AS (SELECT doc_id * 2654435761 + 29 AS seed FROM documents),
+    """WITH d AS (SELECT doc_id * 1048573 + 29 AS seed FROM documents),
       |m AS (SELECT 160 + (seed // 8) % 1760 AS w,
       |             120 + (seed // 131072) % 960 AS h FROM d)
       |SELECT 'mp4' AS format, CAST(w // 480 AS INTEGER) AS w_class,

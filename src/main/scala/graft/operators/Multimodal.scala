@@ -36,8 +36,9 @@ object Multimodal {
       : DataFrame =
     df.withColumn(blobCol, col(payloadCol).cast(BinaryType))
 
-  /** TEST-ONLY stub for UNKNOWN formats, reachable solely via
-    * `decodeMeta(fakeUnknownDims = true)`: a real deployment routes
+  /** TEST-ONLY stub for UNKNOWN formats, reachable solely via the
+    * package-private `decodeMetaImpl(_, _, fakeUnknownDims = true)`
+    * (never from the public API): a real deployment routes
     * unknowns to a codec library, and the production path emits NULL
     * metadata fields so a downstream filter can never mistake stub
     * fiction for decoded fact. Deterministic fake derived from the
@@ -177,7 +178,13 @@ object Multimodal {
               case 1 => 84
               case _ => -1
             }
-            if (off < 0 || d + off + 8 > bytes.length) ("mp4", 0, 0, 0)
+            // the tkhd's DECLARED size must itself cover the matrix
+            // tail (12-byte header + off + 8 bytes of w/h): a short
+            // declared size would otherwise pass the buffer-length
+            // guard and read the next sibling box's bytes — the same
+            // misread class as a WAV `fmt ` chunk declaring < 16
+            if (off < 0 || d + off + 8 > bytes.length ||
+                be32(bytes, tkhd) < 12 + off + 8) ("mp4", 0, 0, 0)
             else {
               val w = be32(bytes, d + off) >>> 16 // 16.16 fixed point
               val h = be32(bytes, d + off + 4) >>> 16
@@ -222,11 +229,19 @@ object Multimodal {
 
   /** Batched partition-wise metadata extraction over the blob column:
     * one pass per partition, no shuffle, output schema = input + meta.
-    * Unknown formats emit NULL width/height/channels (never fabricated
-    * numbers) unless `fakeUnknownDims` — a TEST-ONLY flag that routes
-    * unknowns through the deterministic [[fakeDecode]] stub. */
-  def decodeMeta(df: DataFrame, blobCol: String = "blob",
-      fakeUnknownDims: Boolean = false): DataFrame = {
+    * Unknown formats emit NULL width/height/channels — never fabricated
+    * numbers. The fabricating [[fakeDecode]] path exists only behind
+    * the package-private [[decodeMetaImpl]] so no production caller
+    * can reach it. */
+  def decodeMeta(df: DataFrame, blobCol: String = "blob"): DataFrame =
+    decodeMetaImpl(df, blobCol, fakeUnknownDims = false)
+
+  /** TEST-ONLY entry: `fakeUnknownDims = true` routes unknown formats
+    * through the deterministic [[fakeDecode]] stub instead of NULLs.
+    * Package-private on purpose — see the ADVICE note on keeping the
+    * fabricating path unreachable from the public API. */
+  private[graft] def decodeMetaImpl(df: DataFrame, blobCol: String,
+      fakeUnknownDims: Boolean): DataFrame = {
     val outSchema = StructType(df.schema.fields :+
       StructField("media_meta", mediaMetaSchema, nullable = true))
     val blobIdx = df.schema.fieldIndex(blobCol)

@@ -195,8 +195,8 @@ class OperatorsSpec extends SparkSpec {
     assert(meta.isNullAt(meta.fieldIndex("channels")))
     assert(meta.getAs[Long]("n_bytes") === "payload one".length.toLong)
     // the deterministic fake survives ONLY behind the explicit flag
-    val fake = Multimodal.decodeMeta(Multimodal.withBlob(df, "text"),
-      fakeUnknownDims = true)
+    val fake = Multimodal.decodeMetaImpl(Multimodal.withBlob(df, "text"),
+      "blob", fakeUnknownDims = true)
       .select(col("id"), col("media_meta"))
     val f1 = fake.orderBy("id").collect()
     val f2 = fake.orderBy("id").collect()
@@ -360,6 +360,20 @@ class OperatorsSpec extends SparkSpec {
     val overflow = be32b(0x7fffffff) ++ "ftyp".getBytes ++
       Array.fill[Byte](8)(0)
     assert(Multimodal.decodeHeader(overflow) === ("mp4", 0, 0, 0))
+    // a tkhd DECLARING size < 92 (v0) passes findBox (size >= 8) but
+    // its "width/height" would be the next sibling's bytes — the
+    // declared-size guard must degrade instead of misreading (same
+    // class as the WAV `fmt ` size < 16 guard). tkhd sits at byte 148
+    // in the synthesized blob; patch its BE32 size in place.
+    val shortTkhd = base.clone()
+    be32b(20).copyToArray(shortTkhd, 148)
+    assert(Multimodal.decodeHeader(shortTkhd) === ("mp4", 0, 0, 0))
+    // a version-1 tkhd needs declared size >= 104; the synthesized
+    // v0 box declares 92, so flipping only the version byte must
+    // degrade — pre-guard code read w/h from the mdat payload here
+    val v1Short = base.clone()
+    v1Short(148 + 8) = 1
+    assert(Multimodal.decodeHeader(v1Short) === ("mp4", 0, 0, 0))
   }
 
   test("frame sampling emits n rows per blob") {

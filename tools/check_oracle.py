@@ -110,16 +110,16 @@ def main(sf_dir, out_dir):
         # the driver's hasher sorts cell values with pandas and cannot
         # order numpy arrays — array/struct/map output columns ERROR
         # there even when this checker's list-aware keys handle them
-        # (round-12 q151). Reject them here unless explicitly listed.
-        ARRAY_OK: set = set()  # name -> allow-listed reason goes in SURVEY
+        # (round-12 q151). Reject unconditionally: an allow-list here
+        # would pass gates the driver can never hash.
         sp_rel = con.sql(f"SELECT * FROM read_parquet({files!r}) LIMIT 0")
         nested = [c for c, t in zip(sp_rel.columns, sp_rel.types)
                   if any(x in str(t).upper()
                          for x in ("[]", "STRUCT", "MAP", "LIST"))]
-        if nested and name not in ARRAY_OK:
+        if nested:
             print(f"FAIL {name}: nested output columns {nested} — the "
                   f"driver's hasher cannot sort these; flatten "
-                  f"(array_join / explode) or allow-list with a reason")
+                  f"(array_join / explode) before emitting")
             n_fail += 1; continue
         # .types not .description — a relation's description reports
         # the generic 'NUMBER' for every numeric, so the family check
