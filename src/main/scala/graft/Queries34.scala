@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.BpeTrain
+import graft.operators.{Packing, Sampling, TextAnalysis}
+
+/** Round-15 gates: oracle-restatable invariants split OUT of the
+  * `no_oracle` gates q97/q95/q108 so the DuckDB hash covers their
+  * conservation/normalization arithmetic (the q31/q36/q61 precedent —
+  * the engine-defined part stays self-checked in the original gate,
+  * the cross-engine-restatable part becomes hashed data here).
+  * Naming/oracle/float conventions as in [[Queries]].
+  */
+object Queries34 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  // ---- q247: packing conservation, hashed ---------------------------------
+
+  /** The oracle-restatable half of q97's self-checks: run the SAME
+    * packing pipeline (splitmix64 shuffle order, fixed 8 range
+    * partitions, greedy ≤256-token packing) and emit the conservation
+    * totals as DATA — packed token total, docs packed (distinct and
+    * raw row count), and the count of over-budget multi-doc sequences.
+    * DuckDB restates each straight from `documents` with the
+    * q30-proven tokenization: conservation says packing moved every
+    * doc exactly once and invented/lost no tokens, so the packed
+    * totals MUST equal the corpus totals computed without running the
+    * packer at all. A green hash proves it cross-engine; q97 keeps the
+    * engine-defined per-sequence rows and raise_error checks. */
+  def q247PackConserve(s: SparkSession, dir: String): DataFrame = {
+    val maxTok = 256
+    val docs = t(s, dir, "documents")
+      .select($"doc_id", TextAnalysis.tokenCount($"text").cast(LongType)
+        .as("n_tokens"))
+    val ordered = docs
+      .withColumn("__k", Sampling.shuffleKey($"doc_id", 31L))
+      .repartitionByRange(8, $"__k", $"doc_id")
+      .sortWithinPartitions($"__k", $"doc_id")
+    val packed = Packing.packGreedy(ordered, "doc_id", "n_tokens", maxTok)
+    val overBudget = packed.groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+      .agg(sum(when($"seq_tokens" > maxTok && $"n_docs" > 1, 1L)
+        .otherwise(0L)).as("n_over_budget"))
+    packed
+      .agg(sum($"n_tokens").cast(LongType).as("total_tokens"),
+        count_distinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(overBudget))
+  }
+
+  val q247Sql: String =
+    """SELECT
+      |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+      |    AS total_tokens,
+      |  count(*) AS n_docs,
+      |  count(*) AS n_rows,
+      |  CAST(0 AS BIGINT) AS n_over_budget
+      |FROM documents""".stripMargin
+
+  // ---- q248: DSIR gram totals, hashed --------------------------------------
+
+  /** The oracle-restatable half of q95's DSIR fit: per-document gram
+    * counts (unigrams + bigrams over the whitespace tokenization —
+    * 2m−1 for m ≥ 2 tokens) for the first 100 corpus docs, plus the
+    * TOTAL gram counts of the target and corpus sides — the exact
+    * denominators (tTot, rTot) of the fitted probability tables.
+    * Spark computes them through the real `dsirBuckets` windowing
+    * (the expression the fit and the scorer both consume); DuckDB
+    * recomputes them from the raw text and the q95 fixture literals
+    * without any hashing. A green hash proves the gram windowing that
+    * feeds every DSIR weight is exact cross-engine; what stays
+    * engine-defined in q95 is only the xxhash64 bucket assignment. */
+  def q248DsirGrams(s: SparkSession, dir: String): DataFrame = {
+    val (target, corpus) = Queries6.dsirFixture(s, dir)
+    val nB = 4096
+    def grams(df: DataFrame) =
+      df.select(size(TextAnalysis.dsirBuckets($"text", nB))
+        .cast(LongType).as("g"))
+    val tTot = grams(target).agg(sum($"g").as("t_tot"))
+    val rTot = grams(corpus).agg(sum($"g").as("r_tot"))
+    corpus.where($"doc_id" < 100)
+      .select($"doc_id",
+        size(TextAnalysis.dsirBuckets($"text", nB)).cast(LongType)
+          .as("n_grams"))
+      .crossJoin(broadcast(tTot))
+      .crossJoin(broadcast(rTot))
+      .orderBy($"doc_id")
+  }
+
+  /** The three target texts and two planted texts are the q95 fixture
+    * literals ([[Queries6.dsirTargetTexts]]/[[Queries6.dsirPlantedTexts]])
+    * restated VERBATIM — 2·len−1 grams each (all have ≥ 2 tokens). */
+  val q248Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    len(string_split_regex(trim(text), '\s+')) AS m
+      |  FROM documents),
+      |tgt AS (SELECT * FROM (VALUES
+      |  ('qqalpha qqbeta qqgamma qqdelta qqepsilon qqalpha qqbeta'),
+      |  ('qqgamma qqdelta qqalpha qqepsilon qqbeta qqgamma'),
+      |  ('qqdelta qqepsilon qqgamma qqalpha qqbeta qqdelta')) AS t(text)),
+      |pl AS (SELECT * FROM (VALUES
+      |  ('qqalpha qqbeta qqgamma qqdelta qqepsilon'),
+      |  ('qqepsilon qqdelta qqgamma qqbeta qqalpha qqalpha qqbeta'))
+      |  AS t(text)),
+      |tt AS (SELECT CAST(sum(
+      |    2 * len(string_split_regex(trim(text), '\s+')) - 1) AS BIGINT)
+      |  AS t_tot FROM tgt),
+      |rt AS (SELECT CAST(
+      |    (SELECT sum(2 * m - 1) FROM w) +
+      |    (SELECT sum(2 * len(string_split_regex(trim(text), '\s+')) - 1)
+      |     FROM pl) AS BIGINT) AS r_tot)
+      |SELECT doc_id, CAST(2 * m - 1 AS BIGINT) AS n_grams, t_tot, r_tot
+      |FROM w, tt, rt WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  // ---- q249: BPE training frame, hashed ------------------------------------
+
+  /** The oracle-restatable frame of q108's BPE training: the distinct
+    * whitespace-word count actually fed to the trainer (DuckDB
+    * recomputes it from `documents` — a real cross-engine check of the
+    * training input), the merge count (the numMerges=60 parameter,
+    * reached because the corpus has ≥ 60 mergeable pairs), and the
+    * vocabulary size (byte-level base 256 + one NEW token per merge;
+    * the gate raises if any merge product collided with an existing
+    * token, which would silently shrink the vocab). q108 keeps the
+    * engine-defined ranked merge table and the losslessness check. */
+  def q249BpeFrame(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val (ranks, vocab) = BpeTrain.trainFromCorpus(docs, "text",
+      numMerges = 60)
+    val ranksOk = ranks.values.toSeq.sorted == (0 until ranks.size) &&
+      ranks.keys.forall { case (l, r) => vocab.contains(l + r) }
+    val nWords = docs
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .where(length($"w") > 0)
+      .agg(count_distinct($"w").as("n_words"))
+    nWords.select(
+      lit(ranks.size.toLong).as("n_merges"),
+      when(lit(vocab.size) === lit(256 + ranks.size) && lit(ranksOk),
+          lit(vocab.size.toLong))
+        .otherwise(raise_error(lit(
+          "q249: merge-token collision or non-contiguous ranks — " +
+            s"vocab=${vocab.size} merges=${ranks.size}")))
+        .as("vocab_size"),
+      $"n_words")
+  }
+
+  val q249Sql: String =
+    """SELECT CAST(60 AS BIGINT) AS n_merges,
+      |  CAST(316 AS BIGINT) AS vocab_size,
+      |  (SELECT count(DISTINCT w) FROM (
+      |     SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+      |     FROM documents) t
+      |   WHERE len(w) > 0) AS n_words""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_pack_conserve" -> (q247PackConserve _),
+    "q248_dsir_grams" -> (q248DsirGrams _),
+    "q249_bpe_frame" -> (q249BpeFrame _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q247_pack_conserve" -> q247Sql,
+    "q248_dsir_grams" -> q248Sql,
+    "q249_bpe_frame" -> q249Sql
+  )
+}

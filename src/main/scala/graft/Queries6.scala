@@ -466,21 +466,38 @@ object Queries6 {
     * Scale shape: fit = two bounded count scans (the table is
     * nBuckets doubles, broadcast as a literal); scoring = one
     * codegen'd scan, O(1) lookup per gram; nothing shuffles. */
-  def q95Dsir(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+  /** The q95 fixture, shared with q248's oracled gram-count gate: the
+    * 3-doc TARGET over a vocabulary the synthetic corpus never uses,
+    * and the corpus = documents ∪ two planted in-domain docs. The
+    * LITERAL TEXTS here are restated verbatim in q248's oracle SQL —
+    * any edit must change both. */
+  private[graft] val dsirTargetTexts = Seq(
+    "qqalpha qqbeta qqgamma qqdelta qqepsilon qqalpha qqbeta",
+    "qqgamma qqdelta qqalpha qqepsilon qqbeta qqgamma",
+    "qqdelta qqepsilon qqgamma qqalpha qqbeta qqdelta")
+
+  private[graft] def dsirPlantedTexts: Seq[(Long, String)] = {
     val vocab = Seq("qqalpha", "qqbeta", "qqgamma", "qqdelta", "qqepsilon")
-    val target = Seq(
-      "qqalpha qqbeta qqgamma qqdelta qqepsilon qqalpha qqbeta",
-      "qqgamma qqdelta qqalpha qqepsilon qqbeta qqgamma",
-      "qqdelta qqepsilon qqgamma qqalpha qqbeta qqdelta")
+    Seq((Queries2.plantBase, vocab.mkString(" ")),
+      (Queries2.plantBase + 1,
+        (vocab.reverse ++ vocab.take(2)).mkString(" ")))
+  }
+
+  /** (target, corpus) frames for the DSIR gates. */
+  private[graft] def dsirFixture(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val target = dsirTargetTexts
       .zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-    val planted = Seq(
-      (Queries2.plantBase, vocab.mkString(" ")),
-      (Queries2.plantBase + 1, (vocab.reverse ++ vocab.take(2)).mkString(" ")))
-      .toDF("doc_id", "text")
+    val planted = dsirPlantedTexts.toDF("doc_id", "text")
     val corpus = t(s, dir, "documents").select($"doc_id", $"text")
       .unionByName(planted)
+    (target, corpus)
+  }
+
+  def q95Dsir(s: SparkSession, dir: String): DataFrame = {
+    val (target, corpus) = dsirFixture(s, dir)
     val nB = 4096
     val table = TextAnalysis.dsirLogRatios(target, corpus, "text", nB)
     val scored = corpus.select($"doc_id",
