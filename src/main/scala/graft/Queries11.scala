@@ -237,7 +237,7 @@ object Queries11 {
     import org.apache.spark.sql.streaming.Trigger
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val base = s"/tmp/graft_backfill_${System.nanoTime()}"
+    val base = Fs.scratchDir("backfill")
     val (srcDir, sink, chk) = (s"$base/src", s"$base/sink", s"$base/chk")
     val ev = Tables(parent, dir, "events")
     val expected = ev.count()

@@ -299,7 +299,7 @@ object Queries16 {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       "false")
     val ev = Tables(parent, dir, "events")
-    val stage = s"/tmp/graft_upd_${System.nanoTime()}"
+    val stage = Fs.scratchDir("upd")
     ev.where($"event_id" % 2 === 0).coalesce(1)
       .write.mode("overwrite").parquet(s"$stage/b1")
     ev.where($"event_id" % 2 === 1).coalesce(1)

@@ -139,9 +139,9 @@ object Queries20 {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
       "false")
-    val stamp = java.lang.Long.toHexString(System.nanoTime())
-    val sinkDir = s"/tmp/graft_psink_$stamp/out"
-    val ckpt = s"/tmp/graft_psink_$stamp/ckpt"
+    val base = Fs.scratchDir("psink")
+    val sinkDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
     val src = graft.streaming.EventsStream.eventsStream(spark, dir)
     val q = src
       .select($"event_id", $"event_type", $"value")
@@ -190,7 +190,7 @@ object Queries20 {
       parent.createDataFrame(agg.collect().toSeq.asJava, agg.schema)
         .orderBy($"event_type")
     } finally {
-      Fs.rmTree(new java.io.File(s"/tmp/graft_psink_$stamp"))
+      Fs.rmTree(new java.io.File(base))
     }
   }
 

@@ -38,8 +38,7 @@ object Queries33 {
           sum($"l_quantity".cast(DecimalType(25, 4))).as("qty_state"),
           min($"l_quantity").as("min_q"),
           max($"l_quantity").as("max_q"))
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_rollup").toString
+    val stage = Fs.scratchDir("rollup")
     try {
       // ingest-time: aggregate the base once, persist the tiny state
       partial(li.where($"l_orderkey" % 10 =!= 0))
@@ -89,8 +88,7 @@ object Queries33 {
   def q238AvailableNow(parent: SparkSession, dir: String): DataFrame = {
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_avnow").toString
+    val stage = Fs.scratchDir("avnow")
     try {
       t(spark, dir, "events")
         .select($"event_type", $"value")
@@ -209,10 +207,8 @@ object Queries33 {
   def q241StateReader(parent: SparkSession, dir: String): DataFrame = {
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_stsrc").toString
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_stckpt").toString
+    val stage = Fs.scratchDir("stsrc")
+    val ckpt = Fs.scratchDir("stckpt")
     try {
       t(spark, dir, "events")
         .select($"event_type", $"value")
@@ -350,8 +346,7 @@ object Queries33 {
     * exactly, so a bloom would be pure bytes). Data round-trip is
     * oracled from the source table. */
   def q244ParquetBloom(s: SparkSession, dir: String): DataFrame = {
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_bloom").toString
+    val stage = Fs.scratchDir("bloom")
     try {
       t(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey", $"o_orderstatus",

@@ -252,7 +252,7 @@ object Queries9 {
     import org.apache.spark.sql.streaming.Trigger
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val base = s"/tmp/graft_recovery_${System.nanoTime()}"
+    val base = Fs.scratchDir("recovery")
     val (stage, srcDir, sink, chk) =
       (s"$base/stage", s"$base/src", s"$base/sink", s"$base/chk")
     val ev = Tables(parent, dir, "events")
@@ -924,7 +924,7 @@ object Queries9 {
     import org.apache.spark.sql.streaming.Trigger
     val spark = parent.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val base = s"/tmp/graft_fb_${System.nanoTime()}"
+    val base = Fs.scratchDir("fb")
     val (stage, srcDir, sink, chk) =
       (s"$base/stage", s"$base/src", s"$base/sink", s"$base/chk")
     val ev = Tables(parent, dir, "events")

@@ -285,7 +285,7 @@ object EventsStream {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val maxTs = graft.Tables(parent, dir, "events")
       .agg(max(col("ts"))).head().getLong(0)
-    val sentDir = s"/tmp/graft_ss_sentinel_${System.nanoTime()}"
+    val sentDir = graft.Fs.scratchDir("ss_sentinel")
     val margin = 30L * 24 * 3600 * 1000000000L // 30 days in ns
     parent.createDataFrame(
       java.util.Arrays.asList(
@@ -381,7 +381,7 @@ object EventsStream {
     val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
     val h3 = 3L * 3600 * 1000000000L
     val isLate = expr("event_id % 97 = 0") && col("ts") < maxTs - h3
-    val stage = s"/tmp/graft_late_${System.nanoTime()}"
+    val stage = graft.Fs.scratchDir("late")
     // THREE micro-batches, not two: Spark's late-record FILTER runs one
     // batch behind its eviction watermark (the filter in batch N uses
     // the watermark computed after batch N-2), so a late batch

@@ -52,7 +52,7 @@ object SessionTimers {
     val nUsers = ev.select(col("user_id")).distinct().count()
     val b1 = minTs + (maxTs - minTs) / 3
     val b2 = minTs + 2 * ((maxTs - minTs) / 3)
-    val stage = s"/tmp/graft_timers_${System.nanoTime()}"
+    val stage = graft.Fs.scratchDir("timers")
     def dump(df: DataFrame, sub: String): Unit =
       df.coalesce(1).write.mode("overwrite").parquet(s"$stage/$sub")
     dump(ev.where(col("ts") < b1), "b1")
