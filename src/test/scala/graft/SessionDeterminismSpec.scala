@@ -68,4 +68,35 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q244 bloom-staged aggregate is identical across runs") {
     twice("q244_parquet_bloom")
   }
+
+  /** Same gate under DIFFERENT session parallelism — the stronger
+    * claim the round-15 oracle-split gates make: their hashed output
+    * must be byte-stable whatever spark.sql.shuffle.partitions is,
+    * because the driver's verify session and a production cluster
+    * will not share a parallelism setting. q247 in particular rides
+    * the q97 packing pipeline whose determinism comes from the FIXED
+    * 8-partition range layout, not the session default. */
+  private def acrossParallelism(name: String): Unit = {
+    val f = SparkEntry.queries(name)
+    val narrow = spark.newSession()
+    narrow.conf.set("spark.sql.shuffle.partitions", "2")
+    val wide = spark.newSession()
+    wide.conf.set("spark.sql.shuffle.partitions", "17")
+    val a = f(narrow, dir).collect().toSeq.map(_.toString).sorted
+    val b = f(wide, dir).collect().toSeq.map(_.toString).sorted
+    assert(a.nonEmpty, s"$name: empty result")
+    assert(a == b, s"$name: parallelism 2 vs 17 diverged")
+  }
+
+  test("q247 packing conservation is parallelism-invariant") {
+    acrossParallelism("q247_pack_conserve")
+  }
+
+  test("q248 DSIR gram totals are parallelism-invariant") {
+    acrossParallelism("q248_dsir_grams")
+  }
+
+  test("q249 BPE training frame is parallelism-invariant") {
+    acrossParallelism("q249_bpe_frame")
+  }
 }
