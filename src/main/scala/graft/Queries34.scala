@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -158,15 +158,113 @@ object Queries34 {
       |     FROM documents) t
       |   WHERE len(w) > 0) AS n_words""".stripMargin
 
+  // ---- q250: Gopher duplicate-segment counts, hashed -----------------------
+
+  /** The oracle-restatable third of q79's Gopher repetition signals:
+    * the line- and paragraph-level duplicate statistics, emitted as
+    * EXACT INTEGER numerators/denominators per document (duplicates =
+    * occurrences beyond first; "chars" = UTF-8 bytes; empty segments
+    * skipped; lines split on \n, paragraphs on runs of 2+ \n with
+    * single newlines kept inside the paragraph — the documented kernel
+    * choices). DuckDB restates all eight counters straight from the
+    * raw text. The gate ALSO runs the real fused kernel
+    * (repetitionSignals) per doc and raises unless slots 0-3 equal the
+    * integer ratios exactly (same IEEE quotient of the same integers)
+    * — so a green hash proves the kernel's segment splitting, dup
+    * accounting, and byte counting on the whole corpus, not just the
+    * q79 fixture. The n-gram slots (4-12) stay engine-defined (hashed
+    * word identity). Integer output sidesteps float-rounding hazards
+    * entirely. Scale shape: one explode + keyed aggregate per segment
+    * kind — the text leaves the scan only as (doc_id, segment) pairs,
+    * and the kernel pass is scan-side. */
+  def q250DupSegments(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    def stats(pattern: String, pfx: String) = {
+      val segs = docs.select($"doc_id",
+        explode(filter(split($"text", pattern), x => octet_length(x) > 0))
+          .as("seg"))
+      segs.groupBy($"doc_id", $"seg")
+        .agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as(s"n_$pfx"),
+          sum($"c" - 1).as(s"dup_$pfx"),
+          sum($"c" * octet_length($"seg")).cast(LongType)
+            .as(s"tot_${pfx}_bytes"),
+          sum(($"c" - 1) * octet_length($"seg")).cast(LongType)
+            .as(s"dup_${pfx}_bytes"))
+    }
+    val ints = stats("\n", "line").join(stats("\n{2,}", "para"),
+      Seq("doc_id"))
+    val kernel = docs.select($"doc_id",
+      TextAnalysis.repetitionSignals($"text").as("r"))
+    // kernel slots 0-3 must equal the SAME-IEEE-quotient of the
+    // integers — dup/n and dupBytes/totBytes with identical operands
+    // on both sides, so strict equality is the correct tolerance
+    def ratio(num: Column, den: Column): Column =
+      when(den === 0L, lit(0.0))
+        .otherwise(num.cast(DoubleType) / den.cast(DoubleType))
+    val bad = ints.join(kernel, Seq("doc_id"))
+      .agg(sum(when(
+        $"r.dup_line_frac" === ratio($"dup_line", $"n_line") &&
+        $"r.dup_line_char_frac" ===
+          ratio($"dup_line_bytes", $"tot_line_bytes") &&
+        $"r.dup_para_frac" === ratio($"dup_para", $"n_para") &&
+        $"r.dup_para_char_frac" ===
+          ratio($"dup_para_bytes", $"tot_para_bytes"), 0L)
+        .otherwise(1L)).as("__bad"))
+    val check = bad.select(when($"__bad" === 0L, lit(true))
+      .otherwise(raise_error(concat(
+        lit("q250: kernel segment stats diverge from integer replay ("),
+        $"__bad".cast(StringType), lit(" docs)")))).as("kernel_ok"))
+    ints.select($"doc_id", $"n_line", $"dup_line",
+        $"tot_line_bytes", $"dup_line_bytes",
+        $"n_para", $"dup_para", $"tot_para_bytes", $"dup_para_bytes")
+      .crossJoin(broadcast(check))
+      .orderBy($"doc_id")
+  }
+
+  val q250Sql: String =
+    """WITH l AS (
+      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS seg
+      |  FROM documents),
+      |lg AS (
+      |  SELECT doc_id, seg, count(*) AS c, strlen(seg) AS b
+      |  FROM l WHERE seg <> '' GROUP BY doc_id, seg),
+      |la AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_line,
+      |    CAST(sum(c - 1) AS BIGINT) AS dup_line,
+      |    CAST(sum(c * b) AS BIGINT) AS tot_line_bytes,
+      |    CAST(sum((c - 1) * b) AS BIGINT) AS dup_line_bytes
+      |  FROM lg GROUP BY doc_id),
+      |p AS (
+      |  SELECT doc_id, unnest(string_split_regex(text, '\n\n+')) AS seg
+      |  FROM documents),
+      |pg AS (
+      |  SELECT doc_id, seg, count(*) AS c, strlen(seg) AS b
+      |  FROM p WHERE seg <> '' GROUP BY doc_id, seg),
+      |pa AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_para,
+      |    CAST(sum(c - 1) AS BIGINT) AS dup_para,
+      |    CAST(sum(c * b) AS BIGINT) AS tot_para_bytes,
+      |    CAST(sum((c - 1) * b) AS BIGINT) AS dup_para_bytes
+      |  FROM pg GROUP BY doc_id)
+      |SELECT la.doc_id, la.n_line, la.dup_line, la.tot_line_bytes,
+      |  la.dup_line_bytes, pa.n_para, pa.dup_para, pa.tot_para_bytes,
+      |  pa.dup_para_bytes, true AS kernel_ok
+      |FROM la JOIN pa USING (doc_id)
+      |ORDER BY la.doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_pack_conserve" -> (q247PackConserve _),
     "q248_dsir_grams" -> (q248DsirGrams _),
-    "q249_bpe_frame" -> (q249BpeFrame _)
+    "q249_bpe_frame" -> (q249BpeFrame _),
+    "q250_dup_segments" -> (q250DupSegments _)
   )
 
   val oracles: Map[String, String] = Map(
     "q247_pack_conserve" -> q247Sql,
     "q248_dsir_grams" -> q248Sql,
-    "q249_bpe_frame" -> q249Sql
+    "q249_bpe_frame" -> q249Sql,
+    "q250_dup_segments" -> q250Sql
   )
 }
