@@ -51,8 +51,15 @@ object Bench {
     val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2._1).sum
+    // ambient-load witness: rounds 13-14 shipped benches contaminated
+    // by sandbox load that was invisible in the JSON — record the
+    // 1-minute load average at finish (own run included) so a reading
+    // far above nproc-busy-by-this-bench flags itself
+    val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val load = os.getSystemLoadAverage
+    val nproc = os.getAvailableProcessors
     // a failed query must be visible in the JSON, never silently timed
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_avg_1m":$load,"nproc":$nproc}""")
     spark.stop()
   }
 }
