@@ -41,7 +41,11 @@ object Queries34 {
       .withColumn("__k", Sampling.shuffleKey($"doc_id", 31L))
       .repartitionByRange(8, $"__k", $"doc_id")
       .sortWithinPartitions($"__k", $"doc_id")
+    // localCheckpoint: packed feeds both the conservation totals and
+    // the over-budget aggregate — without it each consumer re-runs the
+    // scan + range shuffle + greedy fold
     val packed = Packing.packGreedy(ordered, "doc_id", "n_tokens", maxTok)
+      .localCheckpoint()
     val overBudget = packed.groupBy($"seq_id")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
       .agg(sum(when($"seq_tokens" > maxTok && $"n_docs" > 1, 1L)
@@ -179,22 +183,34 @@ object Queries34 {
     * and the kernel pass is scan-side. */
   def q250DupSegments(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    def stats(pattern: String, pfx: String) = {
-      val segs = docs.select($"doc_id",
-        explode(filter(split($"text", pattern), x => octet_length(x) > 0))
-          .as("seg"))
-      segs.groupBy($"doc_id", $"seg")
-        .agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").as(s"n_$pfx"),
-          sum($"c" - 1).as(s"dup_$pfx"),
-          sum($"c" * octet_length($"seg")).cast(LongType)
-            .as(s"tot_${pfx}_bytes"),
-          sum(($"c" - 1) * octet_length($"seg")).cast(LongType)
-            .as(s"dup_${pfx}_bytes"))
-    }
-    val ints = stats("\n", "line").join(stats("\n{2,}", "para"),
-      Seq("doc_id"))
+    // ONE corpus scan: both segment kinds ride the same explode as
+    // tagged structs, then conditional aggregation splits them back
+    // into the 8 counters — vs the naive 4-subtree form that scanned
+    // documents once per (kind, consumer) pair
+    def tagged(pattern: String, kind: String): Column =
+      transform(filter(split($"text", pattern), x => octet_length(x) > 0),
+        x => struct(lit(kind).as("kind"), x.as("seg")))
+    val segs = docs.select($"doc_id",
+        explode(concat(tagged("\n", "l"), tagged("\n{2,}", "p"))).as("ks"))
+      .select($"doc_id", $"ks.kind".as("kind"), $"ks.seg".as("seg"))
+    def side(kind: String, expr: Column): Column =
+      sum(when($"kind" === kind, expr).otherwise(0L)).cast(LongType)
+    // localCheckpoint: ints feeds BOTH the gate output and the kernel
+    // cross-check aggregate — without it each consumer re-runs the
+    // explode + two shuffles (the q96 multi-consumer discipline)
+    val ints = segs.groupBy($"doc_id", $"kind", $"seg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(
+        side("l", $"c").as("n_line"),
+        side("l", $"c" - 1).as("dup_line"),
+        side("l", $"c" * octet_length($"seg")).as("tot_line_bytes"),
+        side("l", ($"c" - 1) * octet_length($"seg")).as("dup_line_bytes"),
+        side("p", $"c").as("n_para"),
+        side("p", $"c" - 1).as("dup_para"),
+        side("p", $"c" * octet_length($"seg")).as("tot_para_bytes"),
+        side("p", ($"c" - 1) * octet_length($"seg")).as("dup_para_bytes"))
+      .localCheckpoint()
     val kernel = docs.select($"doc_id",
       TextAnalysis.repetitionSignals($"text").as("r"))
     // kernel slots 0-3 must equal the SAME-IEEE-quotient of the
