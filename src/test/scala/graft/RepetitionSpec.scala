@@ -82,6 +82,99 @@ class RepetitionSpec extends SparkSpec {
     assert(got("prose") === true)
   }
 
+  /** Slot-for-slot naive reference implementation of the documented
+    * kernel semantics (string maps and position scans instead of
+    * fused hashing) — the property check below pins ALL 13 slots on
+    * randomized texts, where the hand-derived fixtures above pin only
+    * the families they were built for. ASCII inputs only (the naive
+    * byte math assumes 1 byte/char). */
+  private def naive(text: String): Seq[Double] = {
+    def segStats(segs0: Seq[String]): (Double, Double) = {
+      val segs = segs0.filter(_.nonEmpty)
+      if (segs.isEmpty) (0.0, 0.0)
+      else {
+        val seen = scala.collection.mutable.Map.empty[String, Int]
+        var dup = 0L; var dupB = 0L; var tot = 0L
+        segs.foreach { g =>
+          val c = seen.getOrElse(g, 0) + 1; seen(g) = c
+          tot += g.length
+          if (c > 1) { dup += 1; dupB += g.length }
+        }
+        (dup.toDouble / segs.length, dupB.toDouble / tot)
+      }
+    }
+    val (dl, dlb) = segStats(text.split("\n", -1).toSeq)
+    val (dp, dpb) = segStats(text.split("\n{2,}", -1).toSeq)
+    val words = text.split("[ \t\n\r\f]+", -1).filter(_.nonEmpty)
+    val totalB = words.map(_.length.toLong).sum
+    val grams: Seq[Double] =
+      if (totalB == 0) Seq.fill(9)(0.0)
+      else {
+        val top = (2 to 4).map { g =>
+          val m = words.length - g + 1
+          if (m < 2) 0.0
+          else {
+            val cnt = scala.collection.mutable.Map.empty[Seq[String], Int]
+            val tuples = (0 until m).map(w => words.slice(w, w + g).toSeq)
+            tuples.foreach(t => cnt(t) = cnt.getOrElse(t, 0) + 1)
+            val best = tuples.map(t =>
+              if (cnt(t) >= 2) cnt(t).toLong * t.map(_.length).sum else 0L)
+              .max
+            // count*bytes overcounts on overlapping occurrences; the
+            // kernel saturates the fraction at 1 (documented choice)
+            math.min(1.0, best.toDouble / totalB)
+          }
+        }
+        val dup = (5 to 10).map { g =>
+          val m = words.length - g + 1
+          if (m < 2) 0.0
+          else {
+            val cnt = scala.collection.mutable.Map.empty[Seq[String], Int]
+            val tuples = (0 until m).map(w => words.slice(w, w + g).toSeq)
+            tuples.foreach(t => cnt(t) = cnt.getOrElse(t, 0) + 1)
+            val covered = Array.fill(words.length)(false)
+            (0 until m).foreach { w =>
+              if (cnt(tuples(w)) >= 2)
+                (w until w + g).foreach(covered(_) = true)
+            }
+            words.indices.map(i =>
+              if (covered(i)) words(i).length.toLong else 0L)
+              .sum.toDouble / totalB
+          }
+        }
+        top ++ dup
+      }
+    Seq(dl, dlb, dp, dpb) ++ grams
+  }
+
+  test("property: all 13 slots equal the naive reference on " +
+      "400 randomized texts") {
+    val rnd = new scala.util.Random(20260814L)
+    // small alphabet with UNEQUAL byte lengths (exercises the
+    // byte-weighting) + separators that create lines and paragraphs
+    val alphabet = Vector("aa", "b", "ccc", "dd", "e")
+    val seps = Vector(" ", " ", " ", "\n", "\n\n", "  ", "\t")
+    val texts = (0 until 400).map { _ =>
+      val n = rnd.nextInt(28)
+      val sb = new StringBuilder
+      (0 until n).foreach { i =>
+        if (i > 0) sb.append(seps(rnd.nextInt(seps.length)))
+        sb.append(alphabet(rnd.nextInt(alphabet.length)))
+      }
+      sb.toString
+    }
+    val got = texts.toDF("t")
+      .select(Functional.repetitionSignals(col("t")))
+      .collect().map(_.getSeq[Double](0))
+    texts.zip(got).foreach { case (text, g) =>
+      val want = naive(text)
+      g.zip(want).zipWithIndex.foreach { case ((gv, wv), slot) =>
+        assert(math.abs(gv - wv) < 1e-12,
+          s"slot $slot: got $gv want $wv on ${text.replace("\n", "\\n")}")
+      }
+    }
+  }
+
   test("struct view exposes named slots matching the raw array") {
     val row = Seq("x y\nx y\nz w").toDF("t")
       .select(TextAnalysis.repetitionSignals(col("t")).as("r"))
