@@ -253,6 +253,51 @@ class KernelsSpec extends SparkSpec {
     assert(winnowSet("abcdefghij", 8, 16).size === 1)
   }
 
+  /** Naive winnowing reference: from-scratch k-gram hashes (no rolling
+    * update) + a plain scan for the RIGHTMOST unsigned window minimum
+    * + record-on-position-change + sorted distinct — the documented
+    * kernel semantics, re-derived without the incremental machinery.
+    * Pins the rolling-hash subtract-oldest update and the monotonic
+    * deque against brute force on randomized inputs. */
+  private def naiveWinnow(s: String, k: Int, w: Int): Seq[Long] = {
+    val b = s.getBytes("UTF-8")
+    val m = b.length - k + 1
+    if (m <= 0) return Seq.empty
+    val B = 0x100000001b3L
+    val grams = (0 until m).map { i =>
+      var h = 0L
+      for (j <- i until i + k) h = h * B + (b(j) & 0xffL)
+      Kernels.twangMix64(h)
+    }
+    val win = math.min(w, m)
+    var lastPick = -1
+    val sel = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (i <- (win - 1) until m) {
+      var best = i - win + 1
+      for (j <- (i - win + 1) to i) { // rightmost min: >= moves it right
+        if (java.lang.Long.compareUnsigned(grams(j), grams(best)) <= 0)
+          best = j
+      }
+      if (best != lastPick) { lastPick = best; sel += grams(best) }
+    }
+    sel.distinct.sorted.toSeq
+  }
+
+  test("winnow: property — kernel equals the naive reference on " +
+      "300 randomized (text, k, w) cases") {
+    val rnd = new scala.util.Random(0x5EED15L)
+    for (case_ <- 0 until 300) {
+      val n = rnd.nextInt(120)
+      // small alphabet forces k-gram hash ties inside windows — the
+      // rightmost-min tie-break is exactly what naive must replicate
+      val text = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val k = 1 + rnd.nextInt(6)
+      val w = 1 + rnd.nextInt(10)
+      assert(winnowSet(text, k, w) === naiveWinnow(text, k, w),
+        s"case $case_: k=$k w=$w n=$n text=$text")
+    }
+  }
+
   test("winnow is SQL-callable after registerAll") {
     Functional.registerAll(spark)
     val got = spark.sql(
