@@ -16,27 +16,53 @@ private[graft] object Fs {
   }
 
   /** Root for gate-staged scratch (staged inputs, streaming
-    * checkpoints, sinks). Prefers tmpfs (/dev/shm) when writable: the
-    * gates' recovery/state semantics are identical on any local fs,
-    * and the disk-fsync tax of a disk-backed /tmp is pure harness
-    * cost — a real deployment checkpoints to distributed storage, not
-    * the bench machine's scratch disk. Override with
-    * GRAFT_SCRATCH_DIR. */
-  lazy val scratchRoot: String =
-    (sys.env.get("GRAFT_SCRATCH_DIR").toSeq ++
-      Seq("/dev/shm", System.getProperty("java.io.tmpdir", "/tmp")))
-      .find { p =>
+    * checkpoints, sinks). Prefers tmpfs (/dev/shm) when writable AND
+    * roomy (≥ 4 GiB usable — a Docker-default 64 MB shm must not
+    * swallow at-scale staging): the gates' recovery/state semantics
+    * are identical on any local fs, and the disk-fsync tax of a
+    * disk-backed /tmp is pure harness cost — a real deployment
+    * checkpoints to distributed storage, not the bench machine's
+    * scratch disk. GRAFT_SCRATCH_DIR overrides unconditionally (the
+    * dir is created if absent; an unusable override is a loud error,
+    * never a silent fallback). */
+  lazy val scratchRoot: String = {
+    def usable(f: java.io.File): Boolean = f.isDirectory && f.canWrite
+    sys.env.get("GRAFT_SCRATCH_DIR") match {
+      case Some(p) =>
         val f = new java.io.File(p)
-        f.isDirectory && f.canWrite
-      }
-      .getOrElse("/tmp")
+        f.mkdirs()
+        require(usable(f), s"GRAFT_SCRATCH_DIR=$p is not a writable dir")
+        f.getAbsolutePath
+      case None =>
+        val shm = new java.io.File("/dev/shm")
+        val minShm = 4L << 30
+        if (usable(shm) && shm.getUsableSpace >= minShm) "/dev/shm"
+        else {
+          val tmp = new java.io.File(
+            System.getProperty("java.io.tmpdir", "/tmp"))
+          if (usable(tmp)) tmp.getAbsolutePath else "/tmp"
+        }
+    }
+  }
+
+  private val scratchSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** A fresh unique scratch dir under [[scratchRoot]]; caller removes
-    * it with [[rmTree]] when the gate finishes. */
+    * it with [[rmTree]] when the gate finishes. Names carry nanoTime +
+    * a process-wide counter (two same-prefix calls in one nanoTime
+    * tick must not collide) and creation is verified — a pre-existing
+    * same-name dir (stale crash leftover in a world-writable root) is
+    * never silently reused. */
   def scratchDir(prefix: String): String = {
-    val d = new java.io.File(scratchRoot,
-      s"graft_${prefix}_${System.nanoTime()}")
-    d.mkdirs()
-    d.getAbsolutePath
+    var attempt = 0
+    while (true) {
+      val d = new java.io.File(scratchRoot, s"graft_${prefix}_" +
+        s"${System.nanoTime()}_${scratchSeq.incrementAndGet()}")
+      if (d.mkdirs()) return d.getAbsolutePath
+      attempt += 1
+      require(attempt < 100,
+        s"scratchDir: cannot create a fresh dir under $scratchRoot")
+    }
+    throw new IllegalStateException("unreachable")
   }
 }

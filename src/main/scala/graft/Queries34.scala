@@ -239,36 +239,44 @@ object Queries34 {
       .orderBy($"doc_id")
   }
 
+  /** Shaped like the Spark side — one tagged union of both segment
+    * kinds, conditional aggregation — so a doc with segments of only
+    * ONE kind (e.g. text "\n": a paragraph but no non-empty line)
+    * appears on both sides with zeros for the missing kind, where an
+    * INNER JOIN of per-kind aggregates would have dropped it from the
+    * oracle only. */
   val q250Sql: String =
-    """WITH l AS (
-      |  SELECT doc_id, unnest(string_split(text, chr(10))) AS seg
+    """WITH segs AS (
+      |  SELECT doc_id, 'l' AS kind,
+      |    unnest(string_split(text, chr(10))) AS seg
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, 'p' AS kind,
+      |    unnest(string_split_regex(text, '\n\n+')) AS seg
       |  FROM documents),
-      |lg AS (
-      |  SELECT doc_id, seg, count(*) AS c, strlen(seg) AS b
-      |  FROM l WHERE seg <> '' GROUP BY doc_id, seg),
-      |la AS (
-      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_line,
-      |    CAST(sum(c - 1) AS BIGINT) AS dup_line,
-      |    CAST(sum(c * b) AS BIGINT) AS tot_line_bytes,
-      |    CAST(sum((c - 1) * b) AS BIGINT) AS dup_line_bytes
-      |  FROM lg GROUP BY doc_id),
-      |p AS (
-      |  SELECT doc_id, unnest(string_split_regex(text, '\n\n+')) AS seg
-      |  FROM documents),
-      |pg AS (
-      |  SELECT doc_id, seg, count(*) AS c, strlen(seg) AS b
-      |  FROM p WHERE seg <> '' GROUP BY doc_id, seg),
-      |pa AS (
-      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_para,
-      |    CAST(sum(c - 1) AS BIGINT) AS dup_para,
-      |    CAST(sum(c * b) AS BIGINT) AS tot_para_bytes,
-      |    CAST(sum((c - 1) * b) AS BIGINT) AS dup_para_bytes
-      |  FROM pg GROUP BY doc_id)
-      |SELECT la.doc_id, la.n_line, la.dup_line, la.tot_line_bytes,
-      |  la.dup_line_bytes, pa.n_para, pa.dup_para, pa.tot_para_bytes,
-      |  pa.dup_para_bytes, true AS kernel_ok
-      |FROM la JOIN pa USING (doc_id)
-      |ORDER BY la.doc_id""".stripMargin
+      |g AS (
+      |  SELECT doc_id, kind, seg, count(*) AS c, strlen(seg) AS b
+      |  FROM segs WHERE seg <> '' GROUP BY doc_id, kind, seg)
+      |SELECT doc_id,
+      |  CAST(sum(CASE WHEN kind = 'l' THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_line,
+      |  CAST(sum(CASE WHEN kind = 'l' THEN c - 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_line,
+      |  CAST(sum(CASE WHEN kind = 'l' THEN c * b ELSE 0 END) AS BIGINT)
+      |    AS tot_line_bytes,
+      |  CAST(sum(CASE WHEN kind = 'l' THEN (c - 1) * b ELSE 0 END)
+      |    AS BIGINT) AS dup_line_bytes,
+      |  CAST(sum(CASE WHEN kind = 'p' THEN c ELSE 0 END) AS BIGINT)
+      |    AS n_para,
+      |  CAST(sum(CASE WHEN kind = 'p' THEN c - 1 ELSE 0 END) AS BIGINT)
+      |    AS dup_para,
+      |  CAST(sum(CASE WHEN kind = 'p' THEN c * b ELSE 0 END) AS BIGINT)
+      |    AS tot_para_bytes,
+      |  CAST(sum(CASE WHEN kind = 'p' THEN (c - 1) * b ELSE 0 END)
+      |    AS BIGINT) AS dup_para_bytes,
+      |  true AS kernel_ok
+      |FROM g GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_pack_conserve" -> (q247PackConserve _),

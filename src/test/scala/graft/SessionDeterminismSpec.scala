@@ -99,4 +99,8 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q249 BPE training frame is parallelism-invariant") {
     acrossParallelism("q249_bpe_frame")
   }
+
+  test("q250 duplicate-segment counters are parallelism-invariant") {
+    acrossParallelism("q250_dup_segments")
+  }
 }

@@ -12,7 +12,8 @@ import json, sys
 def load(p):
     with open(p) as f:
         d = json.load(f)
-    return d["queries"], d.get("value"), d.get("failed", [])
+    # "value" is required: a queries-only JSON is not a Bench sample
+    return d["queries"], d["value"], d.get("failed", [])
 
 
 def main():
@@ -21,9 +22,12 @@ def main():
     ratio = float(sys.argv[4]) if len(sys.argv) > 4 else 2.0
     q1, t1, f1 = load(s1p)
     q2, t2, f2 = load(s2p)
-    if f1 or f2:
-        print(f"FAILURES present: s1={f1} s2={f2}", file=sys.stderr)
-    common = sorted(set(q1) & set(q2))
+    failed = sorted(set(f1) | set(f2))
+    if failed:
+        print(f"FAILURES present: s1={f1} s2={f2} — these queries are "
+              f"EXCLUDED from the band set (a time-to-exception is not "
+              f"a band)", file=sys.stderr)
+    common = sorted((set(q1) & set(q2)) - set(failed))
     only = sorted(set(q1) ^ set(q2))
     if only:
         print(f"WARNING: queries not in both samples: {only}",
@@ -31,7 +35,7 @@ def main():
     pm = {k: min(q1[k], q2[k]) for k in common}
     out = {"metric": "pair_min_total", "value": sum(pm.values()),
            "unit": "sec", "queries": pm,
-           "samples": [t1, t2], "n": len(pm)}
+           "samples": [t1, t2], "failed": failed, "n": len(pm)}
     print(json.dumps(out))
     print(f"# samples {t1:.1f} / {t2:.1f} s; pair-min total "
           f"{sum(pm.values()):.1f} s over {len(pm)} queries",
