@@ -44,4 +44,20 @@ class FsSpec extends AnyFunSuite {
     Fs.rmTree(d.toFile)
     assert(!Files.exists(d))
   }
+
+  test("scratchDir yields fresh writable dirs, never a reused one") {
+    val a = Fs.scratchDir("fsspec")
+    val b = Fs.scratchDir("fsspec") // same prefix, same nanoTime tick ok
+    assert(a != b, "two same-prefix calls must not collide")
+    for (p <- Seq(a, b)) {
+      val f = new java.io.File(p)
+      assert(f.isDirectory && f.canWrite, p)
+      Fs.rmTree(f)
+    }
+  }
+
+  test("scratchRoot is a writable directory") {
+    val root = new java.io.File(Fs.scratchRoot)
+    assert(root.isDirectory && root.canWrite, Fs.scratchRoot)
+  }
 }
