@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.types.Dtype
+import graft.types.{Dtype, TStruct}
 
 /** Immutable Pandas-style DataFrame (reference idataframe.py:163-168):
   * an ordered dict of typed columns, itself a column of Struct dtype.
@@ -20,6 +20,18 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
   def columns: Seq[String] = df.columns.toSeq
   def dtype: Dtype = Dtype.fromSpark(df.schema)
   def length: Long = df.count()
+
+  /** Construction-with-cast (test_factory.py:20-36, 73-87 —
+    * `ta.column/dataframe(data, dtype=...)`): cast every column to the
+    * target struct's field type, preserving the target's field ORDER.
+    * Names must match the frame's columns exactly (a factory cast is a
+    * re-type, never a projection or rename). */
+  def cast(target: TStruct): TFrame = {
+    require(target.fields.map(_.name).sorted == columns.sorted,
+      s"cast: target fields ${target.fields.map(_.name)} != $columns")
+    TFrame(df.select(target.fields.map(f =>
+      df(f.name).cast(f.dtype.spark).as(f.name)): _*))
+  }
 
   // ---- projection (§2.2) ----------------------------------------------
 
@@ -711,6 +723,13 @@ object TFrame {
     TFrame(spark.createDataFrame(
       java.util.Arrays.asList(rows: _*), StructType(fields)))
   }
+
+  /** Factory with an explicit target dtype — the reference's
+    * construction-with-cast (test_factory.py `ta.dataframe(data,
+    * dtype=...)`): infer, then [[TFrame.cast]] to the target. */
+  def apply(spark: SparkSession, data: Seq[(String, Seq[Any])],
+      dtype: TStruct): TFrame =
+    apply(spark, data).cast(dtype)
 }
 
 /** groupby handle (dataframe_cpu.py:2094-2435): lifted aggs name results

@@ -25,6 +25,53 @@ class TFrameSpec extends SparkSpec {
     assert(abc.df.schema.fields.forall(_.dataType == LongType))
   }
 
+  test("construction with target dtype casts at the factory " +
+      "(test_factory.py:15-36)") {
+    import graft.types._
+    val data = Seq("x" -> Seq[Any](1L, 2L, 3L))
+    for ((t, want) <- Seq[(Dtype, Seq[Any])](
+        TInt32() -> Seq(1, 2, 3),
+        TInt16() -> Seq(1.toShort, 2.toShort, 3.toShort),
+        TInt8() -> Seq(1.toByte, 2.toByte, 3.toByte),
+        TFloat32() -> Seq(1.0f, 2.0f, 3.0f))) {
+      val got = TFrame(spark, data, TStruct(Seq(TField("x", t))))
+      assert(got.dtype === TStruct(Seq(TField("x", t))))
+      assert(col0(got.df) === want, t)
+    }
+  }
+
+  test("dataframe cast re-types named fields in place " +
+      "(test_factory.py:39-87)") {
+    import graft.types._
+    val df = TFrame(spark, Seq(
+      "list_null" -> Seq(Seq(1L, 2L), Seq(3L, null), Seq(4L, 5L), Seq(6L)),
+      "ids" -> Seq(Seq(1L, 2L), Seq(3L), Seq(1L, 4L), Seq(5L)),
+      "a" -> Seq(1L, 2L, 3L, 4L),
+      "b" -> Seq(10L, 20L, 30L, 40L),
+      "c" -> Seq("a", "b", "c", "d")))
+    assert(df.dtype === TStruct(Seq(
+      TField("list_null", TList(TInt64(nullable = true))),
+      TField("ids", TList(TInt64())),
+      TField("a", TInt64()),
+      TField("b", TInt64()),
+      TField("c", TStringT()))))
+    val casted = df.cast(TStruct(Seq(
+      TField("list_null", TList(TInt64(nullable = true))),
+      TField("ids", TList(TInt64())),
+      TField("a", TFloat64()),
+      TField("b", TInt32()),
+      TField("c", TStringT()))))
+    val rows = casted.df.orderBy("b").collect()
+    assert(rows.map(_.getDouble(2)).toSeq === Seq(1.0, 2.0, 3.0, 4.0))
+    assert(rows.map(_.getInt(3)).toSeq === Seq(10, 20, 30, 40))
+    assert(rows.map(_.getSeq[Any](0).toSeq).toSeq === Seq(
+      Seq(1L, 2L), Seq(3L, null), Seq(4L, 5L), Seq(6L)))
+    // a factory cast is a re-type, never a projection/rename
+    intercept[IllegalArgumentException] {
+      df.cast(TStruct(Seq(TField("zz", TInt64()))))
+    }
+  }
+
   test("select with includes/excludes/computed (idataframe.py:501-548)") {
     val got = abc.select("*", "-c")("d" -> (abc("b") + abc("c")))
     assert(got.columns === Seq("a", "b", "d"))
