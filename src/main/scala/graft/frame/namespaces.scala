@@ -197,7 +197,17 @@ object namespaces {
 
     def sigmoid: Column = lit(1.0) / (lit(1.0) + exp(-c.cast(DoubleType)))
 
-    /** log is natural log, int → float (numerical_column_cpu.py:617-618). */
-    def logNat: Column = log(c.cast(DoubleType))
+    /** log is natural log, int → float (numerical_column_cpu.py:617-618).
+      * C/numpy edge semantics per the reference's pinned values
+      * (test_numeric_ops.py:53-79: log(0) = -inf, and std::log of a
+      * negative is NaN) — Spark's builtin log returns NULL for
+      * non-positive input, which would silently turn a zero into a
+      * missing value. */
+    def logNat: Column = {
+      val d = c.cast(DoubleType)
+      when(d === 0.0, lit(Double.NegativeInfinity))
+        .when(d < 0.0, lit(Double.NaN))
+        .otherwise(log(d))
+    }
   }
 }

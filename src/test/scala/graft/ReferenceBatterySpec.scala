@@ -342,4 +342,28 @@ class ReferenceBatterySpec extends SparkSpec {
     assert(col0(dd.dropDuplicates(Seq("x"), Seq("i")).df
       .select("x")).toSet === Set[Any](null, 2.0, 17.0))
   }
+
+  test("log battery: log(1)=0, log(0)=-inf, log(4)=ln4, null->null, " +
+      "per dtype (test_numeric_ops.py:53-79)") {
+    import spark.implicits._
+    // the reference runs the same values through int32/int64/float32/
+    // float64 columns; our lattice computes in double for all four
+    for (f <- Seq(
+        TFrame(Seq[java.lang.Integer](1, 0, 4, null).toDF("x")),
+        TFrame(Seq[java.lang.Long](1L, 0L, 4L, null).toDF("x")),
+        TFrame(Seq[java.lang.Float](1.0f, 0.0f, 4.0f, null).toDF("x")),
+        TFrame(Seq[java.lang.Double](1.0, 0.0, 4.0, null).toDF("x")))) {
+      val got = f.df.select(f("x").arith.logNat).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getDouble(0))
+      assert(got(0) === 0.0)
+      assert(got(1) === Double.NegativeInfinity,
+        "log(0) must be -inf (C semantics), not Spark's NULL")
+      assert(math.abs(got(2).asInstanceOf[Double] - math.log(4)) < 1e-12)
+      assert(got(3) === null)
+    }
+    // std::log of a negative is NaN, never NULL
+    val neg = TFrame(Seq(-1.0).toDF("x"))
+    val r = neg.df.select(neg("x").arith.logNat).head()
+    assert(r.getDouble(0).isNaN)
+  }
 }
