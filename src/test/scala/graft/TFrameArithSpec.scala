@@ -70,6 +70,30 @@ class TFrameArithSpec extends SparkSpec {
     assert(longs(c.pow(d)) === Seq(0L, 1L, 729L))
   }
 
+  test("mod battery: negative dividends/divisors, reverse forms, " +
+      "null propagation (lib_test/test_column.py:97-195)") {
+    // col1 = [1, -2, None, 3, -4, None] — the reference's exact matrix
+    val col1 = TFrame(Seq[java.lang.Long](1L, -2L, null, 3L, -4L, null)
+      .toDF("a"))
+    def got(f: TFrame): Seq[Any] = f.df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.get(0)).toSeq
+    // Python floored mod: -2 % 3 = 1, -4 % 3 = 2
+    assert(got(col1.mod(3L)) === Seq(1L, 1L, null, 0L, 2L, null))
+    // negative float divisor: result takes the divisor's sign
+    assert(got(col1.mod(-3.0)) ===
+      Seq(-2.0, -2.0, null, 0.0, -1.0, null))
+    // reverse forms: 3 % col1 and -3.0 % col1
+    assert(got(col1.rmod(3L)) === Seq(0L, -1L, null, 0L, -1L, null))
+    assert(got(col1.rmod(-3.0)) ===
+      Seq(0.0, -1.0, null, 0.0, -3.0, null))
+    // frame-frame mod over [None,1,2,3,4,5]
+    val col2 = TFrame(Seq[java.lang.Long](null, 1L, 2L, 3L, 4L, 5L)
+      .toDF("a"))
+    assert(got(col1.mod(col2)) === Seq(null, 0L, null, 0L, 0L, null))
+    // neg/abs preserve int64 and nulls (test_column.py:76-95)
+    assert(got(-col1) === Seq(-1L, 2L, null, -3L, 4L, null))
+  }
+
   test("mod takes divisor sign; int % 0 raises") {
     assert(longs((c + 1L).mod(2L)) === Seq(1L, 0L, 0L))
     val err = intercept[Exception] { longs(c.mod(0L)) }
