@@ -176,13 +176,13 @@ object Queries6 {
       |SELECT doc_id,
       |  regexp_replace(regexp_replace(regexp_replace(ptext,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}|\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
       |    '\b([0-9]{1,3}\.)([0-9]{1,3}\.)([0-9]{1,3})\.[0-9]{1,3}\b',
       |    '<IPV4>', 'g') AS redacted,
       |  len(regexp_extract_all(ptext,
       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
       |  len(regexp_extract_all(ptext,
-      |    '\+1-[0-9]{3}-[0-9]{4}')) AS n_phone,
+      |    '\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}|\+1-[0-9]{3}-[0-9]{4}')) AS n_phone,
       |  len(regexp_extract_all(ptext,
       |    '\b([0-9]{1,3}\.)([0-9]{1,3}\.)([0-9]{1,3})\.[0-9]{1,3}\b'))
       |    AS n_ipv4

@@ -133,13 +133,25 @@ object AsOfJoin {
           .as(s"__l_$c")) :+
         struct(rCols.map(col): _*).as("__r"): _*)
     val keys = leftOn.indices.map(i => col(s"__k$i"))
+    // SQL equality: a null join key (or null timestamp) never matches
+    // — AsOfJoinExec's anyNull emit guards enforce this, but window
+    // PARTITIONING groups null tuples together, so without these
+    // guards two null-key rows would match each other and the two
+    // implementations would diverge on any corpus with null keys
+    val rowValid = (keys.map(_.isNotNull) :+ col("__ts").isNotNull)
+      .reduce(_ && _)
     // right rows sort before left at equal ts (side 0 < 1) → ties are
     // matches, mirroring rightTs <= leftTs
     val w = Window.partitionBy(keys: _*).orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carriedRaw = rNorm.unionByName(lNorm, allowMissingColumns = false)
+    val carriedRaw = rNorm.where(rowValid) // invalid right: no carry supply
+      .unionByName(lNorm, allowMissingColumns = false)
       .withColumn("__c", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 1)
+      // invalid left rows are still EMITTED (left-outer) but unmatched
+      .withColumn("__c", when(rowValid, col("__c")).otherwise(
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          right.schema.fields))))
     // tolerance: null the carried match when it is too stale (the
     // carried struct holds the right ts — row-atomic, so the whole
     // match nulls together, mirroring AsOfJoinExec's emit-time guard)

@@ -92,7 +92,12 @@ object Clustering {
       nCells: Int,
       iters: Int,
       initSample: Int): Array[Double] = {
+    // null vectors are legal rows (documented: null vector -> null
+    // cell) — the distributed Lloyd pass drops them via posexplode,
+    // and the driver-side init sample must too, or a null in the
+    // first `initSample` hash-ordered rows NPEs with no diagnostic
     val sample = df
+      .where(col(vecCol).isNotNull)
       .orderBy(Functional.sampleHash(col(idCol), 9L), col(idCol))
       .limit(initSample)
       .collect()

@@ -389,8 +389,12 @@ object Multimodal {
     * `n` offsets spread over the payload and fingerprints each "frame";
     * real impl would emit decoded frames. Shape (explode → one row per
     * frame) is the real pipeline shape. */
-  def sampleFrames(df: DataFrame, blobCol: String, n: Int): DataFrame =
+  def sampleFrames(df: DataFrame, blobCol: String, n: Int): DataFrame = {
+    // sequence(0, n-1) defaults to step -1 when n <= 0 (Spark emits
+    // [0, -1] for n = 0) — fabricated frames for a frame count of zero
+    require(n > 0, s"sampleFrames: need n >= 1, got $n")
     df.withColumn("frame_idx", explode(sequence(lit(0), lit(n - 1))))
       .withColumn("frame_fp",
         xxhash64(col(blobCol), col("frame_idx")))
+  }
 }

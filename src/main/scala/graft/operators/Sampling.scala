@@ -185,12 +185,17 @@ object Sampling {
         s"weight share for '$label' (${w / total}) is below 1/$Buckets " +
           "and would select zero rows")
     }
+    // the FINAL cumulative cut is discarded (the last range is
+    // open-ended) — map threshold() over the kept prefix only: the
+    // discarded cut floating-point rounds above 1.0 for many valid
+    // weight sets (e.g. 1/6/3/3 sums to 1.0000000000000002) and would
+    // trip threshold's fraction <= 1.0 require
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) =>
       acc + w / total
-    }.tail.map(threshold)
+    }.tail.init.map(threshold)
     val b = bucket(key, seed)
     // last range is open-ended so rounding never drops a row
-    val chain = weights.init.zip(cuts.init).reverse.foldLeft(
+    val chain = weights.init.zip(cuts).reverse.foldLeft(
       lit(weights.last._1)) { case (acc, ((label, _), cut)) =>
       when(b < lit(cut), lit(label)).otherwise(acc)
     }

@@ -136,6 +136,15 @@ class TopKAggregator(k: Int)
   * The LSH variant prunes the scan to matching buckets first and is
   * the 100 TB path (bucket column can be a partition/bucketing key of
   * the stored corpus, turning the probe into partition pruning).
+  *
+  * ID-NAMESPACE CONTRACT: every entry point (brute/LSH/IVF/PQ/IVF-PQ)
+  * treats probe ids and corpus ids as ONE namespace and excludes the
+  * corpus row whose id equals the probe's id — the standard
+  * "a vector is not its own neighbor" rule for probes drawn from the
+  * corpus. If your probes come from a SEPARATE table whose ids may
+  * collide with corpus ids, remap one side (e.g. negate or offset the
+  * probe ids) first, or an id-colliding corpus row will be silently
+  * excluded from that probe's neighbors.
   */
 object Similarity {
 
@@ -231,6 +240,7 @@ object Similarity {
       if (hashOrdered) Seq(Functional.sampleHash(col(idCol), 9L), col(idCol))
       else Seq(col(idCol))
     val sample = corpus.select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull) // null vectors never train centroids
       .orderBy(ordering: _*).limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)
     require(sample.length >= nCells, "sample smaller than nCells")
@@ -335,6 +345,7 @@ object Similarity {
       sampleSize: Int,
       iters: Int): Array[Double] = {
     val sample = corpus.select(col(idCol), col(vecCol))
+      .where(col(vecCol).isNotNull) // null vectors never train codebooks
       .orderBy(Functional.sampleHash(col(idCol), 11L), col(idCol))
       .limit(sampleSize)
       .collect().map(_.getSeq[Float](1).toArray)

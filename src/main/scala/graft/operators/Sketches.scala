@@ -153,9 +153,19 @@ object Sketches {
     val total = pass1.where(col(keyCol).isNull)
       .agg(coalesce(sum(col("__np")), lit(0L)).as("t"))
       .head().getLong(0)
+    // drain the cache EAGERLY (the candidate set is bounded at
+    // <= partitions/theta by the averaging argument, so the collect is
+    // safe) and unpersist before returning — the lazy-DataFrame
+    // alternative would leak one cached frame per call for the session
+    // lifetime
     val candidates = pass1.where(col(keyCol).isNotNull)
       .select(col(keyCol)).distinct()
-    keys.join(broadcast(candidates), Seq(keyCol), "left_semi")
+      .collect().map(_.getString(0)).toSeq
+    pass1.unpersist()
+    val spark = df.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    val candDf = candidates.toDF(keyCol)
+    keys.join(broadcast(candDf), Seq(keyCol), "left_semi")
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .where(col("n") >= lit(theta) * lit(total))

@@ -58,12 +58,6 @@ object TextAnalysis {
     "zh" -> Seq("的", "了", "是", "我", "不", "在", "他", "有", "这", "个",
       "们", "中", "来", "上", "大"))
 
-  /** Ratio of tokens present in `words` (a small literal set → Catalyst
-    * folds it into an InSet). */
-  private def hitRatio(toks: Column, words: Seq[String]): Column =
-    size(filter(toks, t => t.isin(words: _*))).cast(DoubleType) /
-      greatest(size(toks), lit(1)).cast(DoubleType)
-
   /** Detected language code, by argmax of stopword hits — fused
     * single-scan kernel over the raw bytes (no lower() pass, no token
     * array; profiles mirrored in Kernels). */
@@ -299,7 +293,7 @@ object TextAnalysis {
     * shapes: email, NANP-style +1 phone, dotted-quad IPv4. */
   val piiPatterns: Seq[(String, String)] = Seq(
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
-    ("phone", "\\+1-[0-9]{3}-[0-9]{4}"),
+    ("phone", "\\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}|\\+1-[0-9]{3}-[0-9]{4}"),
     ("ipv4", "\\b([0-9]{1,3}\\.)([0-9]{1,3}\\.)([0-9]{1,3})\\.[0-9]{1,3}\\b"))
 
   /** Redact every PII match with `<EMAIL>`/`<PHONE>`/`<IPV4>` tokens.

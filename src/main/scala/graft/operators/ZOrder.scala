@@ -34,6 +34,7 @@ object ZOrder {
   def mortonKey(bits: Int, dims: Column*): Column = {
     val n = dims.length
     require(n >= 2, "mortonKey: need at least 2 dimensions")
+    require(bits > 0, s"mortonKey: need bits >= 1, got $bits")
     require(bits * n <= 63, s"mortonKey: $bits bits x $n dims > 63")
     val terms = for {
       d <- dims.indices

@@ -53,6 +53,15 @@ class AsOfJoinSpec extends SparkSpec {
     val out = AsOfJoin.asof(l, r, Seq("k"), Seq("k"), "ts", "ts")
       .select(col("id"), col("rid")).collect().toSet
     assert(out == Set(Row(1L, 100L), Row(2L, null), Row(3L, null)))
+    // the COMPOSED formulation must agree: window PARTITIONING groups
+    // null key tuples together, so without explicit guards the
+    // null-key left row (id=2) would match the null-key right row
+    // (rid=101) and the two implementations would diverge
+    val composed = AsOfJoin.asofComposed(l, r, Seq("k"), Seq("k"),
+      "ts", "ts")
+      .select(col("id"), col("rid")).collect().toSet
+    assert(composed == out,
+      "asofComposed must enforce SQL null-equality like AsOfJoinExec")
   }
 
   test("asof custom exec matches composed formulation on events (self)") {

@@ -40,6 +40,22 @@ class ClusteringSpec extends SparkSpec {
     assert(m.map(_._2).distinct.length === 3)
   }
 
+  test("a null vector among the init sample rows does not crash fit " +
+      "(null vector -> null cell is the documented contract)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(4)(((i % 3) * 10 + 1).toFloat)))
+      .toDF("id", "vec")
+    val withNull = base.withColumn("vec",
+      when(col("id") === 7L, lit(null)).otherwise(col("vec")))
+    val assigned = Clustering.fitAssign(withNull, "vec", "id",
+      nCells = 3, iters = 3)
+    assert(assigned.where(col("id") === 7L).head().isNullAt(
+      assigned.columns.indexOf("cell")))
+    assert(assigned.where(col("cell").isNotNull).count() === 59L)
+  }
+
   test("fit is bit-deterministic across repartitionings") {
     val df = separable(30)
     val a = Clustering.fit(df, "embedding", "vec_id", nCells = 3, iters = 4)

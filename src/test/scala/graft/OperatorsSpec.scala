@@ -376,6 +376,15 @@ class OperatorsSpec extends SparkSpec {
     assert(Multimodal.decodeHeader(v1Short) === ("mp4", 0, 0, 0))
   }
 
+  test("frame sampling rejects n < 1 (sequence(0,-1) would emit " +
+      "fabricated descending frames)") {
+    val df = Seq((1L, "x")).toDF("id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.sampleFrames(Multimodal.withBlob(df, "text"), "blob", 0)
+    }
+    assert(e.getMessage.contains("n >= 1"))
+  }
+
   test("frame sampling emits n rows per blob") {
     val df = Seq((1L, "x")).toDF("id", "text")
     val out = Multimodal.sampleFrames(

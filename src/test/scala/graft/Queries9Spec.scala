@@ -28,6 +28,14 @@ class Queries9Spec extends SparkSpec {
     assert(morton(4, 7L, 7L) === 63L)
   }
 
+  test("mortonKey rejects bits < 1 with a clear error (empty.reduce " +
+      "guard)") {
+    val e = intercept[IllegalArgumentException] {
+      ZOrder.mortonKey(0, col("x"), col("y"))
+    }
+    assert(e.getMessage.contains("bits"))
+  }
+
   test("mortonKey masks to the requested bits and stays non-negative") {
     // 4-bit key: values >= 16 alias their low 4 bits, never overflow
     assert(morton(4, 16L, 0L) === morton(4, 0L, 0L))

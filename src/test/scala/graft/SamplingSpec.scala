@@ -111,6 +111,26 @@ class SamplingSpec extends SparkSpec {
     assert(lbl.where(col("s").isNotNull).count() === 3)
   }
 
+  test("splitLabel survives weight sets whose cumulative shares " +
+      "float-round above 1.0") {
+    // 1/6/3/3: the shares sum to 1.0000000000000002 in IEEE double —
+    // the discarded open-ended last cut must never reach threshold()'s
+    // fraction <= 1.0 require
+    val weights = Seq("a" -> 1.0, "b" -> 6.0, "c" -> 3.0, "d" -> 3.0)
+    val labels = spark.range(0, 2000)
+      .select(Sampling.splitLabel(col("id"), weights, 3L).as("s"))
+      .groupBy("s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(labels.keySet === Set("a", "b", "c", "d"))
+    assert(labels.values.sum === 2000L)
+    // 20 equal weights is the other verified rounding case
+    val many = (1 to 20).map(i => s"w$i" -> 0.05)
+    val n = spark.range(0, 500)
+      .select(Sampling.splitLabel(col("id"), many, 3L).as("s"))
+      .where(col("s").isNotNull).count()
+    assert(n === 500L)
+  }
+
   test("splitLabel rejects sub-granularity weight shares") {
     val e = intercept[IllegalArgumentException] {
       Sampling.splitLabel(col("k"),

@@ -201,6 +201,17 @@ class TextPipelineSpec extends SparkSpec {
       "no pii at all here"))
   }
 
+  test("piiRedact matches full 3-3-4 NANP numbers, not only the " +
+      "short 3-4 shape") {
+    // a standard US number previously slipped through: the 3-4 pattern
+    // fails mid-match at '555-' and regex has no alternative to try
+    val red = col0(Seq(
+      "call +1-212-555-0123 today",
+      "alt +1-800-9999 line").toDF("t")
+      .select(TextAnalysis.piiRedact(col("t"))))
+    assert(red === Seq("call <PHONE> today", "alt <PHONE> line"))
+  }
+
   test("piiCounts counts per kind; email pass precedes ipv4") {
     val r = Seq("a@b.co 1.2.3.4 +1-000-1111 c@d.org")
       .toDF("t").select(TextAnalysis.piiCounts(col("t")).as("c"))
