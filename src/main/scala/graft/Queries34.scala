@@ -278,17 +278,74 @@ object Queries34 {
       |FROM g GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q251: pad-or-truncate sequence prep, hashed -------------------------
+
+  /** Fixed-length sequence padding — the loader-facing contract of
+    * [[graft.operators.Packing.padToLength]]/`attentionMask`
+    * (reference: test/test_interop.py:148 `base_test_pad_sequence`,
+    * the ragged-list→padded-batch step of every training pipeline).
+    * Each document's whitespace tokens (q247's tokenization) are
+    * padded/truncated to exactly 8 slots with `<pad>`; the gate emits
+    * the padded sequence flattened with `|` (the checker rejects
+    * nested columns), the mask-derived real-token count (computed by
+    * FOLDING the actual attentionMask array, so the mask expression is
+    * itself under the hash), and the mask signature as a 0/1 string.
+    * DuckDB restates all three with `list_slice || list_transform(
+    * range(...))` (NOT `list_resize`, whose pad-value handling over
+    * table vectors is broken in DuckDB 1.0.0 — wrong fill value, and
+    * `std::bad_array_new_length` crashes on corpus-sized input), so a
+    * green hash proves pad, truncate, short-doc, and mask arithmetic
+    * cross-engine. Plan: one scan, row-local expressions, zero
+    * shuffles (the checker sorts, no orderBy needed beyond
+    * determinism). */
+  def q251PadSequence(s: SparkSession, dir: String): DataFrame = {
+    val L = 8
+    // deterministic ragged lengths 1..12: every corpus doc at sf0.01+
+    // has >= 8 whitespace tokens, so padding to 8 straight from the
+    // text would only ever exercise the TRUNCATE path — the per-doc
+    // cap makes a third of the rows shorter than L (pad path) and the
+    // rest longer (truncate path), all under the same hash
+    val toks = slice(split(trim($"text"), "\\s+"), lit(1),
+      ($"doc_id" % 12 + 1).cast(IntegerType))
+    val mask = graft.operators.Packing.attentionMask(toks, L)
+    t(s, dir, "documents").select(
+      $"doc_id",
+      array_join(graft.operators.Packing.padToLength(
+        toks, L, lit("<pad>")), "|").as("padded"),
+      aggregate(mask, lit(0), (acc, x) => acc + x)
+        .cast(IntegerType).as("n_real"),
+      array_join(transform(mask, _.cast(StringType)), "").as("mask_sig"))
+  }
+
+  val q251Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id,
+      |    list_slice(string_split_regex(trim(text), '\s+'),
+      |      1, CAST(doc_id % 12 + 1 AS INT)) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  array_to_string(
+      |    list_slice(toks, 1, least(len(toks), 8)) ||
+      |    list_transform(range(8 - least(len(toks), 8)), x -> '<pad>'),
+      |    '|') AS padded,
+      |  CAST(least(len(toks), 8) AS INT) AS n_real,
+      |  repeat('1', least(len(toks), 8)) ||
+      |    repeat('0', 8 - least(len(toks), 8)) AS mask_sig
+      |FROM tk""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_pack_conserve" -> (q247PackConserve _),
     "q248_dsir_grams" -> (q248DsirGrams _),
     "q249_bpe_frame" -> (q249BpeFrame _),
-    "q250_dup_segments" -> (q250DupSegments _)
+    "q250_dup_segments" -> (q250DupSegments _),
+    "q251_pad_sequence" -> (q251PadSequence _)
   )
 
   val oracles: Map[String, String] = Map(
     "q247_pack_conserve" -> q247Sql,
     "q248_dsir_grams" -> q248Sql,
     "q249_bpe_frame" -> q249Sql,
-    "q250_dup_segments" -> q250Sql
+    "q250_dup_segments" -> q250Sql,
+    "q251_pad_sequence" -> q251Sql
   )
 }

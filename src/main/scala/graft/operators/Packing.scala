@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -55,6 +55,10 @@ object Packing {
       when(col(tokenCol).isNull, raise_error(lit(
         s"packGreedy: null $tokenCol — filter or fill null token " +
           "counts upstream")))
+        .when(col(tokenCol) < 0, raise_error(lit(
+          s"packGreedy: negative $tokenCol — a negative count shrinks " +
+            "the running budget and lets later sequences exceed " +
+            "maxTokens")))
         .otherwise(col(tokenCol).cast(LongType)).as(tokenCol))
     in.mapPartitions { rows =>
       val pid = org.apache.spark.TaskContext.getPartitionId().toLong
@@ -70,5 +74,54 @@ object Packing {
         Row(id, (pid << 32) | localSeq, pos - 1, n)
       }
     }(Encoders.row(outSchema))
+  }
+
+  /** Pad-or-truncate a ragged array column to exactly `len` elements
+    * with `pad` — the fixed-`max_seq_len` loader contract (the
+    * reference's batch-max variant is [[padToMax]]; both realize
+    * test/test_interop.py:148 `base_test_pad_sequence`, which pads
+    * ragged int/float lists with a caller-chosen padding value).
+    *
+    * Row-local Catalyst collection expressions only (slice +
+    * array_repeat + concat) — whole-stage codegen'd, no UDF, no
+    * shuffle, element type preserved. A NULL list yields NULL
+    * (standard collection-function propagation; raise upstream if a
+    * null sequence is a contract violation). */
+  def padToLength(arr: Column, len: Int, pad: Column): Column = {
+    require(len > 0, s"padToLength: need len >= 1, got $len")
+    concat(slice(arr, 1, len),
+      array_repeat(pad, greatest(lit(len) - size(arr), lit(0))))
+  }
+
+  /** Attention mask companion of [[padToLength]]: an int array of
+    * exactly `len` entries, 1 where the padded slot holds a real
+    * element and 0 where it holds padding. NULL list -> NULL. */
+  def attentionMask(arr: Column, len: Int): Column = {
+    require(len > 0, s"attentionMask: need len >= 1, got $len")
+    when(arr.isNull, lit(null)).otherwise(
+      transform(sequence(lit(0), lit(len - 1)),
+        i => when(i < least(size(arr), lit(len)), lit(1)).otherwise(lit(0))
+          .cast(IntegerType)))
+  }
+
+  /** Reference-exact batch-max padding: every list in `arrCol` is
+    * padded (never truncated) to the LONGEST list in the frame, the
+    * `PadSequence` semantics of test/test_interop.py:190. The batch
+    * max is one scalar aggregate (a single-row driver collect —
+    * bounded at any corpus size); the padding itself is the row-local
+    * [[padToLength]] expression. Returns the frame with `outCol`
+    * added; an all-null or empty frame pads to nothing (outCol =
+    * empty/null arrays). */
+  def padToMax(
+      df: DataFrame,
+      arrCol: String,
+      outCol: String,
+      pad: Column): DataFrame = {
+    val maxLen = df.agg(max(size(col(arrCol)))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    if (maxLen <= 0) df.withColumn(outCol, col(arrCol))
+    else df.withColumn(outCol, padToLength(col(arrCol), maxLen, pad))
   }
 }

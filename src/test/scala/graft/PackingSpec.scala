@@ -25,6 +25,66 @@ class PackingSpec extends SparkSpec {
       (6L, 4L, 0)))
   }
 
+  test("padToMax pins the reference pad_sequence fixture bit-exactly") {
+    // test/test_interop.py:190-217 base_test_pad_sequence: the ragged
+    // int batch pads to the batch max (4) with -1 / -2, the float
+    // batch with -3.0 — expected matrices transcribed verbatim
+    val rag = Seq(
+      (0L, Seq(11, 12, 13, 14), Seq(11.5f, 12.5f, 13.5f, 14.5f)),
+      (1L, Seq(21, 22), Seq(21.5f, 22.5f)),
+      (2L, Seq(31), Seq(31.5f)),
+      (3L, Seq(41, 42, 43), Seq(41.5f, 42.5f, 43.5f))).toDF(
+      "id", "ints", "floats")
+    val got = Packing.padToMax(rag, "ints", "p1", lit(-1))
+      .withColumn("p2", Packing.padToLength(col("ints"), 4, lit(-2)))
+      .withColumn("pf", Packing.padToLength(col("floats"), 4, lit(-3.0f)))
+      .orderBy("id").collect()
+    assert(got.map(_.getSeq[Int](3)).toSeq === Seq(
+      Seq(11, 12, 13, 14), Seq(21, 22, -1, -1),
+      Seq(31, -1, -1, -1), Seq(41, 42, 43, -1)))
+    assert(got.map(_.getSeq[Int](4)).toSeq === Seq(
+      Seq(11, 12, 13, 14), Seq(21, 22, -2, -2),
+      Seq(31, -2, -2, -2), Seq(41, 42, 43, -2)))
+    assert(got.map(_.getSeq[Float](5)).toSeq === Seq(
+      Seq(11.5f, 12.5f, 13.5f, 14.5f), Seq(21.5f, 22.5f, -3.0f, -3.0f),
+      Seq(31.5f, -3.0f, -3.0f, -3.0f), Seq(41.5f, 42.5f, 43.5f, -3.0f)))
+  }
+
+  test("padToLength truncates past len; mask marks real vs pad slots") {
+    val df = Seq(
+      (0L, Seq("a", "b", "c", "d", "e")),
+      (1L, Seq("x")),
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    val out = df.select(col("id"),
+      Packing.padToLength(col("toks"), 3, lit("<pad>")).as("p"),
+      Packing.attentionMask(col("toks"), 3).as("m")).orderBy("id")
+      .collect()
+    assert(out(0).getSeq[String](1) === Seq("a", "b", "c")) // truncated
+    assert(out(0).getSeq[Int](2) === Seq(1, 1, 1))
+    assert(out(1).getSeq[String](1) === Seq("x", "<pad>", "<pad>"))
+    assert(out(1).getSeq[Int](2) === Seq(1, 0, 0))
+    assert(out(2).getSeq[String](1) === Seq("<pad>", "<pad>", "<pad>"))
+    assert(out(2).getSeq[Int](2) === Seq(0, 0, 0))
+    assert(out(3).isNullAt(1), "null list propagates") // NULL in
+    assert(out(3).isNullAt(2))
+    // whole-stage codegen check: the pad expression must not break the
+    // codegen span (no UDF in the plan)
+    val plan = df.select(Packing.padToLength(col("toks"), 3,
+      lit("<pad>"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("padToMax on an all-null/empty frame is a no-op, not a crash") {
+    val allNull = Seq((0L, null.asInstanceOf[Seq[Int]])).toDF("id", "a")
+    val out = Packing.padToMax(allNull, "a", "p", lit(-1)).collect()
+    assert(out(0).isNullAt(2))
+    val e = intercept[IllegalArgumentException] {
+      Packing.padToLength(col("a"), 0, lit(-1))
+    }
+    assert(e.getMessage.contains("len >= 1"))
+  }
+
   test("null id or token count fails fast with a clear contract error") {
     val df = Seq[(java.lang.Long, java.lang.Long)]((0L, 4L), (1L, null))
       .toDF("id", "n")
@@ -32,6 +92,16 @@ class PackingSpec extends SparkSpec {
       Packing.packGreedy(df, "id", "n", 10).collect()
     }
     assert(e.getMessage.contains("packGreedy: null n"))
+  }
+
+  test("negative token counts raise instead of corrupting the budget") {
+    import spark.implicits._
+    val bad = Seq((1L, 9L), (2L, -9L), (3L, 9L)).toDF("id", "n")
+      .repartition(1)
+    val e = intercept[Exception] {
+      Packing.packGreedy(bad, "id", "n", maxTokens = 10).collect()
+    }
+    assert(e.getMessage.contains("negative"))
   }
 
   test("conservation and budget hold across partitions") {
