@@ -103,4 +103,13 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q250 duplicate-segment counters are parallelism-invariant") {
     acrossParallelism("q250_dup_segments")
   }
+
+  test("q251 pad sequence is parallelism-invariant and exchange-free") {
+    acrossParallelism("q251_pad_sequence")
+    // row-local pad: one scan, zero shuffles, at ANY corpus size
+    val plan = SparkEntry.queries("q251_pad_sequence")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"q251 must stay shuffle-free, got:\n$plan")
+  }
 }
