@@ -93,6 +93,18 @@ object Packing {
       array_repeat(pad, greatest(lit(len) - size(arr), lit(0))))
   }
 
+  /** [[padToLength]] with LEFT truncation: sequences longer than `len`
+    * keep their last `len` elements (the chat-context windowing rule —
+    * the most recent tokens survive), shorter ones right-pad exactly
+    * like padToLength. Same row-local codegen shape; the branch is a
+    * when() on size, not a second pass. */
+  def padToLengthKeepEnd(arr: Column, len: Int, pad: Column): Column = {
+    require(len > 0, s"padToLengthKeepEnd: need len >= 1, got $len")
+    when(size(arr) > len,
+      slice(arr, size(arr) - lit(len) + lit(1), lit(len)))
+      .otherwise(padToLength(arr, len, pad))
+  }
+
   /** Attention mask companion of [[padToLength]]: an int array of
     * exactly `len` entries, 1 where the padded slot holds a real
     * element and 0 where it holds padding. NULL list -> NULL. */

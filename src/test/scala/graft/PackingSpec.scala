@@ -75,6 +75,20 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("padToLengthKeepEnd keeps the TAIL on truncation, pads like " +
+      "padToLength otherwise") {
+    val df = Seq(
+      (0L, Seq("a", "b", "c", "d", "e")), // truncate: keep last 3
+      (1L, Seq("x")),                     // pad: identical to padToLength
+      (2L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    val out = df.select(col("id"),
+      Packing.padToLengthKeepEnd(col("toks"), 3, lit("<pad>")).as("p"))
+      .orderBy("id").collect()
+    assert(out(0).getSeq[String](1) === Seq("c", "d", "e"))
+    assert(out(1).getSeq[String](1) === Seq("x", "<pad>", "<pad>"))
+    assert(out(2).isNullAt(1))
+  }
+
   test("padToMax on an all-null/empty frame is a no-op, not a crash") {
     val allNull = Seq((0L, null.asInstanceOf[Seq[Int]])).toDF("id", "a")
     val out = Packing.padToMax(allNull, "a", "p", lit(-1)).collect()
