@@ -89,6 +89,30 @@ class PackingSpec extends SparkSpec {
     assert(out(2).isNullAt(1))
   }
 
+  test("pad family equals the Scala-native model on randomized " +
+      "ragged inputs (both truncation sides + mask)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xBADBEE)
+    val rows = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(13))(rnd.nextInt(100)))
+    }
+    val L = 5
+    val got = rows.toDF("id", "xs").select(col("id"),
+      Packing.padToLength(col("xs"), L, lit(-1)).as("p"),
+      Packing.padToLengthKeepEnd(col("xs"), L, lit(-1)).as("pk"),
+      Packing.attentionMask(col("xs"), L).as("m"))
+      .orderBy("id").collect()
+    rows.foreach { case (id, xs) =>
+      val r = got(id.toInt)
+      assert(r.getSeq[Int](1) === xs.take(L).padTo(L, -1), s"pad id=$id")
+      assert(r.getSeq[Int](2) === xs.takeRight(L).padTo(L, -1),
+        s"keepEnd id=$id")
+      assert(r.getSeq[Int](3) ===
+        (0 until L).map(i => if (i < math.min(xs.size, L)) 1 else 0),
+        s"mask id=$id")
+    }
+  }
+
   test("padToMax on an all-null/empty frame is a no-op, not a crash") {
     val allNull = Seq((0L, null.asInstanceOf[Seq[Int]])).toDF("id", "a")
     val out = Packing.padToMax(allNull, "a", "p", lit(-1)).collect()
