@@ -289,7 +289,9 @@ object Queries34 {
     * the padded sequence flattened with `|` (the checker rejects
     * nested columns), the mask-derived real-token count (computed by
     * FOLDING the actual attentionMask array, so the mask expression is
-    * itself under the hash), and the mask signature as a 0/1 string.
+    * itself under the hash), the mask signature as a 0/1 string, and
+    * the left-truncation window (padToLengthKeepEnd: long docs keep
+    * their LAST 8 tokens — the chat-context rule).
     * DuckDB restates all three with `list_slice || list_transform(
     * range(...))` (NOT `list_resize`, whose pad-value handling over
     * table vectors is broken in DuckDB 1.0.0 — wrong fill value, and
@@ -314,7 +316,10 @@ object Queries34 {
         toks, L, lit("<pad>")), "|").as("padded"),
       aggregate(mask, lit(0), (acc, x) => acc + x)
         .cast(IntegerType).as("n_real"),
-      array_join(transform(mask, _.cast(StringType)), "").as("mask_sig"))
+      array_join(transform(mask, _.cast(StringType)), "").as("mask_sig"),
+      // left-truncation variant: long docs keep their LAST 8 tokens
+      array_join(graft.operators.Packing.padToLengthKeepEnd(
+        toks, L, lit("<pad>")), "|").as("tail_win"))
   }
 
   val q251Sql: String =
@@ -330,7 +335,11 @@ object Queries34 {
       |    '|') AS padded,
       |  CAST(least(len(toks), 8) AS INT) AS n_real,
       |  repeat('1', least(len(toks), 8)) ||
-      |    repeat('0', 8 - least(len(toks), 8)) AS mask_sig
+      |    repeat('0', 8 - least(len(toks), 8)) AS mask_sig,
+      |  array_to_string(
+      |    list_slice(toks, greatest(len(toks) - 7, 1), len(toks)) ||
+      |    list_transform(range(8 - least(len(toks), 8)), x -> '<pad>'),
+      |    '|') AS tail_win
       |FROM tk""".stripMargin
 
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
