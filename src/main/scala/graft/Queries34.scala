@@ -342,12 +342,84 @@ object Queries34 {
       |    '|') AS tail_win
       |FROM tk""".stripMargin
 
+  // ---- q252: T5 span corruption, hashed -------------------------------------
+
+  /** Denoising-objective prep end-to-end under the cross-engine hash:
+    * each document's first 16 tokens are span-corrupted at density
+    * 0.25 (seed 17) by [[graft.operators.Denoise.spanCorrupt]] — mask
+    * selection is the q83-precedent splitmix64 bucket keyed on
+    * `doc_id * 4096 + pos`, runs of masked tokens collapse to one
+    * `<extra_id_k>` sentinel in the input, and the target lists each
+    * sentinel + its hidden tokens. DuckDB replays the WHOLE pipeline:
+    * the exact splitmix64 mix ([[Queries5.bucketCtes]]), the
+    * gaps-and-islands span grouping (lag + running sum windows), and
+    * the ordered string rebuild — so a green hash proves mask
+    * arithmetic, span collapse, sentinel numbering, and both output
+    * sequences bit-for-bit. Plan: row-local explode, ONE window
+    * partitioning on doc_id reused by the groupBy rebuild. */
+  def q252SpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val toks = slice(split(trim($"text"), "\\s+"), 1, 16)
+    val docs = t(s, dir, "documents").select($"doc_id", toks.as("toks"))
+    graft.operators.Denoise.spanCorrupt(docs, "doc_id", "toks",
+      density = 0.25, seed = 17L)
+  }
+
+  // threshold: floor(0.25 * 8192) = 2048
+  val q252Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    unnest(list_slice(string_split_regex(trim(text), '\\s+'),
+       |      1, 16)) AS tok,
+       |    generate_subscripts(list_slice(
+       |      string_split_regex(trim(text), '\\s+'), 1, 16), 1) - 1
+       |      AS pos
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT doc_id, tok, pos, doc_id * 4096 + pos AS k FROM tk),
+       |${Queries5.bucketCtes("mk", 17L, "keyed", "k")},
+       |m AS (
+       |  SELECT keyed.doc_id, keyed.tok, keyed.pos,
+       |    mkb.bucket < 2048 AS msk
+       |  FROM keyed JOIN mkb ON keyed.k = mkb.k),
+       |sp AS (
+       |  SELECT doc_id, tok, pos, msk,
+       |    msk AND NOT coalesce(
+       |      lag(msk) OVER (PARTITION BY doc_id ORDER BY pos), false)
+       |      AS strt
+       |  FROM m),
+       |ks AS (
+       |  SELECT doc_id, tok, pos, msk, strt,
+       |    sum(CASE WHEN strt THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS kk
+       |  FROM sp),
+       |pieces AS (
+       |  SELECT doc_id, pos,
+       |    CASE WHEN NOT msk THEN tok
+       |         WHEN strt THEN '<extra_id_' || kk || '>' END AS in_piece,
+       |    CASE WHEN msk THEN
+       |      CASE WHEN strt THEN '<extra_id_' || kk || '> ' || tok
+       |           ELSE tok END
+       |    END AS tgt_piece,
+       |    msk, strt
+       |  FROM ks)
+       |SELECT doc_id,
+       |  coalesce(string_agg(in_piece, ' ' ORDER BY pos)
+       |    FILTER (WHERE in_piece IS NOT NULL), '') AS input_str,
+       |  coalesce(string_agg(tgt_piece, ' ' ORDER BY pos)
+       |    FILTER (WHERE tgt_piece IS NOT NULL), '') AS target_str,
+       |  CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_masked,
+       |  CAST(sum(CASE WHEN strt THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_spans
+       |FROM pieces GROUP BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_pack_conserve" -> (q247PackConserve _),
     "q248_dsir_grams" -> (q248DsirGrams _),
     "q249_bpe_frame" -> (q249BpeFrame _),
     "q250_dup_segments" -> (q250DupSegments _),
-    "q251_pad_sequence" -> (q251PadSequence _)
+    "q251_pad_sequence" -> (q251PadSequence _),
+    "q252_span_corrupt" -> (q252SpanCorrupt _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -355,6 +427,7 @@ object Queries34 {
     "q248_dsir_grams" -> q248Sql,
     "q249_bpe_frame" -> q249Sql,
     "q250_dup_segments" -> q250Sql,
-    "q251_pad_sequence" -> q251Sql
+    "q251_pad_sequence" -> q251Sql,
+    "q252_span_corrupt" -> q252Sql
   )
 }
