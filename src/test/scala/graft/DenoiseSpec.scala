@@ -90,6 +90,15 @@ class DenoiseSpec extends SparkSpec {
     }
   }
 
+  test("spanCorrupt plans exactly ONE exchange (windows + rebuild " +
+      "share the doc-id partitioning)") {
+    val df = Seq((1L, Seq("a", "b"))).toDF("id", "toks")
+    val plan = Denoise.spanCorrupt(df, "id", "toks", 0.3, 1L)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"expected 1 exchange, got $n:\n$plan")
+  }
+
   test("null and empty token arrays yield empty strings, zero counts") {
     val df = Seq(
       (0L, Seq.empty[String]),
