@@ -104,6 +104,10 @@ class SessionDeterminismSpec extends SparkSpec {
     acrossParallelism("q250_dup_segments")
   }
 
+  test("q252 span corruption is parallelism-invariant") {
+    acrossParallelism("q252_span_corrupt")
+  }
+
   test("q251 pad sequence is parallelism-invariant and exchange-free") {
     acrossParallelism("q251_pad_sequence")
     // row-local pad: one scan, zero shuffles, at ANY corpus size
