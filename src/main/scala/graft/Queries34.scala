@@ -413,13 +413,81 @@ object Queries34 {
        |    AS n_spans
        |FROM pieces GROUP BY doc_id""".stripMargin
 
+  // ---- q253: BERT masked-LM prep, hashed ------------------------------------
+
+  /** The row-local sibling of q252: each document's first 16 tokens
+    * get BERT-style MLM treatment ([[graft.operators.Denoise
+    * .mlmMask]], density 0.15, seed 23) — selection, the 80/10/10
+    * mask/random/keep split, and the "random" replacement position
+    * are all splitmix64 buckets (seeds 23/24/25), so the entire
+    * objective prep is a pure function of (doc_id, seed) with ZERO
+    * shuffles (plan-asserted in DenoiseSpec). DuckDB replays all
+    * three draws via bucketCtes over the exploded positions, the
+    * replacement via 1-based list indexing at `bucket % len`, and
+    * rebuilds both streams with ordered string_agg — a green hash
+    * proves the masked sequence, the label stream, and the per-branch
+    * counts bit-for-bit. */
+  def q253MlmMask(s: SparkSession, dir: String): DataFrame = {
+    val toks = slice(split(trim($"text"), "\\s+"), 1, 16)
+    val docs = t(s, dir, "documents").select($"doc_id", toks.as("toks"))
+    graft.operators.Denoise.mlmMask(docs, "doc_id", "toks",
+      density = 0.15, seed = 23L)
+  }
+
+  // thresholds: sel floor(0.15*8192)=1228; mask floor(0.8*8192)=6553;
+  // rand floor(0.9*8192)=7372
+  val q253Sql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id,
+       |    list_slice(string_split_regex(trim(text), '\\s+'), 1, 16)
+       |      AS toks
+       |  FROM documents),
+       |keyed AS (
+       |  SELECT doc_id, toks, len(toks) AS n,
+       |    unnest(toks) AS tok,
+       |    generate_subscripts(toks, 1) - 1 AS pos,
+       |    doc_id * 4096 + generate_subscripts(toks, 1) - 1 AS k
+       |  FROM tk),
+       |${Queries5.bucketCtes("ma", 23L, "keyed", "k")},
+       |${Queries5.bucketCtes("mb", 24L, "keyed", "k")},
+       |${Queries5.bucketCtes("mc", 25L, "keyed", "k")},
+       |j AS (
+       |  SELECT keyed.doc_id, keyed.toks, keyed.n, keyed.tok,
+       |    keyed.pos,
+       |    mab.bucket < 1228 AS sel, mbb.bucket AS d2,
+       |    mcb.bucket % keyed.n AS rpos
+       |  FROM keyed
+       |  JOIN mab ON keyed.k = mab.k
+       |  JOIN mbb ON keyed.k = mbb.k
+       |  JOIN mcb ON keyed.k = mcb.k),
+       |p AS (
+       |  SELECT doc_id, pos, tok, sel, d2,
+       |    CASE WHEN NOT sel THEN tok
+       |         WHEN d2 < 6553 THEN '[MASK]'
+       |         WHEN d2 < 7372 THEN toks[rpos + 1]
+       |         ELSE tok END AS m
+       |  FROM j)
+       |SELECT doc_id,
+       |  string_agg(m, ' ' ORDER BY pos) AS masked_str,
+       |  coalesce(string_agg(pos || ':' || tok, ' ' ORDER BY pos)
+       |    FILTER (WHERE sel), '') AS labels_str,
+       |  CAST(sum(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+       |  CAST(sum(CASE WHEN sel AND d2 < 6553 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_mask,
+       |  CAST(sum(CASE WHEN sel AND d2 >= 6553 AND d2 < 7372 THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_rand,
+       |  CAST(sum(CASE WHEN sel AND d2 >= 7372 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_keep
+       |FROM p GROUP BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q247_pack_conserve" -> (q247PackConserve _),
     "q248_dsir_grams" -> (q248DsirGrams _),
     "q249_bpe_frame" -> (q249BpeFrame _),
     "q250_dup_segments" -> (q250DupSegments _),
     "q251_pad_sequence" -> (q251PadSequence _),
-    "q252_span_corrupt" -> (q252SpanCorrupt _)
+    "q252_span_corrupt" -> (q252SpanCorrupt _),
+    "q253_mlm_mask" -> (q253MlmMask _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -428,6 +496,7 @@ object Queries34 {
     "q249_bpe_frame" -> q249Sql,
     "q250_dup_segments" -> q250Sql,
     "q251_pad_sequence" -> q251Sql,
-    "q252_span_corrupt" -> q252Sql
+    "q252_span_corrupt" -> q252Sql,
+    "q253_mlm_mask" -> q253Sql
   )
 }

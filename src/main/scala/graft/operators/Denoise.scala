@@ -90,4 +90,67 @@ object Denoise {
       coalesce(sum(when(col("__start"), 1L).otherwise(0L)), lit(0L))
         .as("n_spans"))
   }
+
+  /** BERT-style masked-LM prep (Devlin et al. 2019, §3.1): select
+    * `density` of positions; of those, 80% become `[MASK]`, 10% are
+    * replaced by a "random" token, 10% keep the original — and the
+    * label stream records the true token at every selected position.
+    *
+    * Deterministic variant: all three draws (selection, 80/10/10
+    * split, replacement position) are splitmix64 buckets on
+    * `id * PosSpace + pos` with seeds `seed`/`seed+1`/`seed+2`, and
+    * the "random" replacement is the doc's OWN token at bucket %
+    * len — a pure function of (id, seed), replayable cross-engine
+    * (gate q253).
+    *
+    * Scale shape: unlike [[spanCorrupt]], MLM has no cross-position
+    * state — the whole op is higher-order functions over the token
+    * array, ZERO shuffles, one scan, codegen-friendly. Null token
+    * arrays yield null outputs with zero counts. Returns
+    * (idCol, masked_str, labels_str, n_sel, n_mask, n_rand, n_keep);
+    * labels_str is "pos:token" pairs space-joined. */
+  def mlmMask(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      density: Double,
+      seed: Long): DataFrame = {
+    val thrSel = Sampling.threshold(density)
+    // 80/10/10 split thresholds in bucket space (floor semantics,
+    // same convention as Sampling.threshold)
+    val maskThr = Sampling.threshold(0.8)
+    val randThr = Sampling.threshold(0.9)
+    val id = col(idCol)
+    // guard, not silent truncation (same contract as spanCorrupt)
+    val toks = when(size(col(toksCol)) > PosSpace, raise_error(lit(
+      s"mlmMask: token array longer than $PosSpace — chunk upstream " +
+        "or widen PosSpace"))).otherwise(col(toksCol))
+    def keyAt(i: Column): Column = id * PosSpace + i.cast("long")
+    def sel(i: Column): Column =
+      Sampling.bucket(keyAt(i), seed) < lit(thrSel)
+    def d2(i: Column): Column = Sampling.bucket(keyAt(i), seed + 1)
+    def rtok(i: Column): Column = element_at(toks,
+      (Sampling.bucket(keyAt(i), seed + 2) % size(toks)) + 1)
+    val maskedArr = transform(toks, (t, i) =>
+      when(!sel(i), t).otherwise(
+        when(d2(i) < lit(maskThr), lit("[MASK]"))
+          .when(d2(i) < lit(randThr), rtok(i))
+          .otherwise(t)))
+    // selected positions, 0-based (empty array when the doc is empty:
+    // sequence(0, -1) would fabricate [0, -1], hence the size guard)
+    val selPos = when(size(toks) === 0, array().cast("array<int>"))
+      .otherwise(filter(sequence(lit(0), size(toks) - 1), i => sel(i)))
+    val labels = transform(selPos, i => concat(i.cast("string"),
+      lit(":"), element_at(toks, i + 1)))
+    def branchCount(lo: Int, hi: Int): Column = coalesce(
+      size(filter(selPos, i => d2(i) >= lit(lo) && d2(i) < lit(hi)))
+        .cast("long"), lit(0L))
+    df.select(id,
+      array_join(maskedArr, " ").as("masked_str"),
+      array_join(labels, " ").as("labels_str"),
+      coalesce(size(selPos).cast("long"), lit(0L)).as("n_sel"),
+      branchCount(0, maskThr).as("n_mask"),
+      branchCount(maskThr, randThr).as("n_rand"),
+      branchCount(randThr, Sampling.Buckets).as("n_keep"))
+  }
 }

@@ -111,6 +111,71 @@ class DenoiseSpec extends SparkSpec {
     }
   }
 
+  /** Scala-native model of mlmMask for one doc. */
+  private def mlmModel(id: Long, toks: Seq[String], thrSel: Int,
+      seed: Long): (String, String, Long, Long, Long, Long) = {
+    val maskThr = Sampling.threshold(0.8)
+    val randThr = Sampling.threshold(0.9)
+    def b(i: Int, s: Long) =
+      Kernels.sampleBucket(id * Denoise.PosSpace + i, s)
+    val sel = toks.indices.map(i => b(i, seed) < thrSel)
+    val masked = toks.indices.map { i =>
+      if (!sel(i)) toks(i)
+      else {
+        val d = b(i, seed + 1)
+        if (d < maskThr) "[MASK]"
+        else if (d < randThr) toks(b(i, seed + 2) % toks.size)
+        else toks(i)
+      }
+    }
+    val labels = toks.indices.filter(sel).map(i => s"$i:${toks(i)}")
+    val ds = toks.indices.filter(sel).map(i => b(i, seed + 1))
+    (masked.mkString(" "), labels.mkString(" "), sel.count(identity),
+      ds.count(_ < maskThr),
+      ds.count(d => d >= maskThr && d < randThr),
+      ds.count(_ >= randThr))
+  }
+
+  test("mlmMask equals the Scala model on randomized docs; the plan " +
+      "is shuffle-free (pure row-local HOFs)") {
+    val rnd = new scala.util.Random(0x317A)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(24))(s"w${rnd.nextInt(40)}"))
+    }
+    val density = 0.15
+    val thr = Sampling.threshold(density)
+    val df = docs.toDF("id", "toks")
+    val got = Denoise.mlmMask(df, "id", "toks", density, 23L)
+      .orderBy("id").collect()
+    docs.foreach { case (id, toks) =>
+      val r = got(id.toInt)
+      val (ms, ls, nSel, nMask, nRand, nKeep) =
+        mlmModel(id, toks, thr, 23L)
+      assert(r.getString(1) === ms, s"masked id=$id")
+      assert(r.getString(2) === ls, s"labels id=$id")
+      assert((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+        === ((nSel, nMask, nRand, nKeep)), s"counts id=$id")
+      assert(nSel === nMask + nRand + nKeep)
+    }
+    val plan = Denoise.mlmMask(df, "id", "toks", density, 23L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"MLM must be shuffle-free:\n$plan")
+  }
+
+  test("mlmMask null/empty docs yield null/empty outputs, zero counts") {
+    val df = Seq(
+      (0L, Seq.empty[String]),
+      (1L, null.asInstanceOf[Seq[String]])).toDF("id", "toks")
+    val out = Denoise.mlmMask(df, "id", "toks", 0.15, 1L)
+      .orderBy("id").collect()
+    assert(out(0).getString(1) === "" && out(0).getString(2) === "")
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+    out.foreach { r =>
+      assert(r.getLong(3) === 0L && r.getLong(4) === 0L &&
+        r.getLong(5) === 0L && r.getLong(6) === 0L)
+    }
+  }
+
   test("a doc longer than PosSpace raises instead of colliding mask " +
       "keys with the next doc") {
     val long = Seq((0L, (0 to Denoise.PosSpace).map(_.toString)))
@@ -120,5 +185,10 @@ class DenoiseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("PosSpace") ||
       e.getMessage.contains("4096"))
+    val e2 = intercept[Exception] {
+      Denoise.mlmMask(long, "id", "toks", 0.15, 1L).collect()
+    }
+    assert(e2.getMessage.contains("PosSpace") ||
+      e2.getMessage.contains("4096"))
   }
 }

@@ -108,6 +108,10 @@ class SessionDeterminismSpec extends SparkSpec {
     acrossParallelism("q252_span_corrupt")
   }
 
+  test("q253 MLM masking is parallelism-invariant") {
+    acrossParallelism("q253_mlm_mask")
+  }
+
   test("q251 pad sequence is parallelism-invariant and exchange-free") {
     acrossParallelism("q251_pad_sequence")
     // row-local pad: one scan, zero shuffles, at ANY corpus size
