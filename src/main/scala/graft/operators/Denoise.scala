@@ -50,18 +50,41 @@ object Denoise {
       density: Double,
       seed: Long): DataFrame = {
     val thr = Sampling.threshold(density)
-    val tok = df.select(col(idCol),
+    val masked = explodeMasked(df, idCol, toksCol, "spanCorrupt",
+      (id, pos, _) =>
+        Sampling.bucket(id * PosSpace + pos, seed) < lit(thr))
+    sentinelRebuild(masked, idCol)
+  }
+
+  /** posexplode `toksCol` with the PosSpace guard and a caller-chosen
+    * per-position mask predicate (id, pos, n) => masked. Emits
+    * (idCol, n, pos, tok, __m); null/empty arrays yield one null-pos
+    * row with __m = false (so the doc survives to the rebuild). */
+  private def explodeMasked(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      opName: String,
+      mask: (Column, Column, Column) => Column): DataFrame = {
+    val tok = df.select(col(idCol), size(col(toksCol)).as("__n"),
       posexplode_outer(col(toksCol)).as(Seq("pos", "tok")))
     // guard, not silent truncation: a doc longer than PosSpace would
     // collide its mask keys with the next doc id's positions
     val guarded = tok.withColumn("tok",
       when(col("pos") >= PosSpace, raise_error(lit(
-        s"spanCorrupt: token array longer than $PosSpace — chunk " +
+        s"$opName: token array longer than $PosSpace — chunk " +
           "upstream or widen PosSpace"))).otherwise(col("tok")))
-    val masked = guarded.withColumn("__m",
+    guarded.withColumn("__m",
       col("pos").isNotNull &&
-        Sampling.bucket(col(idCol) * PosSpace + col("pos"), seed)
-          < lit(thr))
+        mask(col(idCol), col("pos"), col("__n")))
+  }
+
+  /** The T5 sentinel-collapse rebuild over a masked exploded frame
+    * (the shared second half of [[spanCorrupt]] and
+    * [[spanCorruptMixture]]): one window partitioning on the doc id
+    * shared by lag + running sum, then a groupBy on the SAME key. */
+  private def sentinelRebuild(masked: DataFrame, idCol: String)
+      : DataFrame = {
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val spans = masked
       .withColumn("__start", col("__m") &&
@@ -89,6 +112,170 @@ object Denoise {
         .as("n_masked"),
       coalesce(sum(when(col("__start"), 1L).otherwise(0L)), lit(0L))
         .as("n_spans"))
+  }
+
+  /** UL2 mixture-of-denoisers (Tay et al. 2022, "UL2: Unifying
+    * Language Learning Paradigms"): each document is routed to ONE of
+    * three denoising objectives by a doc-level splitmix64 draw (seed
+    * `seed + 7`, uniform over 3), and the encoder input is prefixed
+    * with the objective's mode token:
+    *  - `[R]` regular span corruption at `rDensity` (the q252 path),
+    *  - `[S]` sequential / prefix-LM: the LAST ceil(n/4) positions are
+    *    masked as one tail span (the model continues the document),
+    *  - `[X]` extreme corruption at `xDensity`.
+    * Span collapse, sentinel numbering, and the target stream are the
+    * shared T5 rebuild ([[spanCorrupt]]); all draws are pure functions
+    * of (id, seed), replayed bit-for-bit by gate q258's DuckDB oracle.
+    * Scale shape: identical to spanCorrupt — ONE doc-id shuffle shared
+    * by the windows and the rebuild; the mode-token prepend is
+    * row-local arithmetic on the id, not a join. */
+  def spanCorruptMixture(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      seed: Long,
+      rDensity: Double = 0.15,
+      xDensity: Double = 0.5): DataFrame = {
+    val thrR = Sampling.threshold(rDensity)
+    val thrX = Sampling.threshold(xDensity)
+    def cfg(id: Column): Column = Sampling.bucket(id, seed + 7) % 3
+    val masked = explodeMasked(df, idCol, toksCol, "spanCorruptMixture",
+      (id, pos, n) => {
+        val bucketed = Sampling.bucket(id * PosSpace + pos, seed)
+        // ceil(n/4) tail positions, exactly: (n+3) >> 2
+        val sCut = n - shiftright((n + 3).cast("long"), 2).cast("int")
+        when(cfg(id) === 0, bucketed < lit(thrR))
+          .when(cfg(id) === 2, bucketed < lit(thrX))
+          .otherwise(pos >= sCut)
+      })
+    val out = sentinelRebuild(masked, idCol)
+    val mode = element_at(
+      array(lit("[R]"), lit("[S]"), lit("[X]")), cfg(col(idCol)) + 1)
+    out.select(col(idCol),
+      mode.as("denoiser"),
+      when(col("input_str") === "", mode)
+        .otherwise(concat(mode, lit(" "), col("input_str")))
+        .as("input_str"),
+      col("target_str"), col("n_masked"), col("n_spans"))
+  }
+
+  /** Fill-in-the-middle transform (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): a
+    * deterministic `fimRate` fraction of documents is rearranged so
+    * the model learns to infill — two cut points split the token
+    * array into (prefix, middle, suffix) and the output is emitted in
+    * BOTH documented orders:
+    *  - PSM: `<fim_prefix> P <fim_suffix> S <fim_middle> M`
+    *  - SPM: `<fim_suffix> S <fim_prefix> P <fim_middle> M`
+    * (sentinels always present in a transformed doc, even around
+    * empty segments — the loader's split contract). Untransformed
+    * docs pass through as the plain space-joined tokens in both
+    * columns with (n_prefix, n_middle, n_suffix) = (n, 0, 0).
+    *
+    * Determinism: the apply draw and both cut draws are doc-level
+    * splitmix64 buckets (seeds `seed`/`seed+1`/`seed+2`); cuts are
+    * `bucket % (n+1)` so every split position (including empty
+    * prefix/middle/suffix) is reachable. A pure function of
+    * (id, seed) — gate q254's DuckDB oracle replays it bit-for-bit.
+    *
+    * Scale shape: entirely row-local collection expressions — ZERO
+    * shuffles, one scan, codegen-friendly (plan-asserted in
+    * DenoiseSpec). Null token arrays yield null strings with zero
+    * counts and fim_applied = false. */
+  def fimTransform(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      fimRate: Double,
+      seed: Long): DataFrame = {
+    val thr = Sampling.threshold(fimRate)
+    val id = col(idCol)
+    val toks = col(toksCol)
+    val n = size(toks)
+    val applied = toks.isNotNull &&
+      Sampling.bucket(id, seed) < lit(thr)
+    val c1 = Sampling.bucket(id, seed + 1) % (n + 1)
+    val c2 = Sampling.bucket(id, seed + 2) % (n + 1)
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val prefix = slice(toks, lit(1), lo)
+    val middle = slice(toks, lo + 1, hi - lo)
+    val suffix = slice(toks, hi + 1, n - hi)
+    def fmt(parts: Column*): Column = array_join(concat(parts: _*), " ")
+    def tag(s: String): Column = array(lit(s))
+    val psm = fmt(tag("<fim_prefix>"), prefix,
+      tag("<fim_suffix>"), suffix, tag("<fim_middle>"), middle)
+    val spm = fmt(tag("<fim_suffix>"), suffix,
+      tag("<fim_prefix>"), prefix, tag("<fim_middle>"), middle)
+    val plain = array_join(toks, " ")
+    def cnt(c: Column): Column = coalesce(c.cast("long"), lit(0L))
+    df.select(id,
+      applied.as("fim_applied"),
+      when(applied, psm).otherwise(plain).as("psm_str"),
+      when(applied, spm).otherwise(plain).as("spm_str"),
+      cnt(when(applied, size(prefix)).otherwise(n)).as("n_prefix"),
+      cnt(when(applied, size(middle)).otherwise(lit(0))).as("n_middle"),
+      cnt(when(applied, size(suffix)).otherwise(lit(0))).as("n_suffix"))
+  }
+
+  /** Next-sentence-prediction pair prep (Devlin et al. 2019, §3.1
+    * "Task #2"): each document is split into segment A (first
+    * ceil(n/2) tokens) and segment B (the rest); a deterministic
+    * `swapRate` fraction of documents replaces B with ANOTHER
+    * document's B segment (label `is_next = false`), the remainder
+    * keep their own continuation (`is_next = true`).
+    *
+    * Partner selection is the shuffled-neighbor trick: documents are
+    * laid out in splitmix64-shuffled order ([[Sampling.shuffleKey]])
+    * inside `groups` deterministic hash groups, and the partner is
+    * the NEXT document in that order (wrapping to the group's first) —
+    * since the order is a pseudorandom permutation, the neighbor is a
+    * draw from the corpus without a second pass or a skewed
+    * self-join. A document alone in its group keeps its own B with
+    * `is_next = true` (no partner exists); the swap draw, the group
+    * assignment, and the order are all pure functions of (id, seed),
+    * replayed bit-for-bit by gate q255's DuckDB oracle.
+    *
+    * Scale shape: ONE shuffle — the window partitioning on the group
+    * id; all three window functions (lead, first, count) share its
+    * sort. Only (id, segA, segB) move, never the raw text. Group
+    * count bounds the per-task sort: size `groups` so corpus/groups
+    * rows fit an executor (the gate uses 64 at test SFs). */
+  def nspPairs(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      swapRate: Double,
+      seed: Long,
+      groups: Int = 64): DataFrame = {
+    require(groups > 0, s"nspPairs: groups=$groups")
+    val thr = Sampling.threshold(swapRate)
+    val id = col(idCol)
+    val n = size(col(toksCol))
+    // ceil(n/2) via an exact long shift (Column./ is double division)
+    val split = shiftright((n + 1).cast("long"), 1).cast("int")
+    val base = df.select(id,
+      slice(col(toksCol), lit(1), split).as("__a"),
+      slice(col(toksCol), split + 1, greatest(n - split, lit(0)))
+        .as("__b"),
+      (Sampling.bucket(id, seed + 9) % groups).as("__g"),
+      Sampling.shuffleKey(id, seed).as("__k"),
+      (Sampling.bucket(id, seed + 1) < lit(thr)).as("__swap"))
+    val wOrd = Window.partitionBy(col("__g")).orderBy(col("__k"), id)
+    val wAll = wOrd.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val partnerB = coalesce(lead(col("__b"), 1).over(wOrd),
+      first(col("__b")).over(wAll))
+    val partnerId = coalesce(lead(id, 1).over(wOrd),
+      first(id).over(wAll))
+    val hasPartner = count(lit(1)).over(wAll) >= 2
+    val doSwap = col("__swap") && hasPartner
+    base.select(id,
+      array_join(col("__a"), " ").as("seg_a"),
+      array_join(when(doSwap, partnerB).otherwise(col("__b")), " ")
+        .as("seg_b"),
+      (!doSwap).as("is_next"),
+      when(doSwap, partnerId).otherwise(id).as("partner_id"))
   }
 
   /** BERT-style masked-LM prep (Devlin et al. 2019, §3.1): select

@@ -13,8 +13,11 @@ import org.apache.spark.sql.types._
   * place mapPartitions is the right tool (SURVEY §7.3's "last resort"
   * case): each partition walks its rows once, in order, carrying only
   * (current sequence id, tokens used) as state. No shuffle beyond the
-  * deterministic global order the caller established; sequence ids are
-  * globally unique without coordination ((partitionId << 32) | local).
+  * deterministic global order the caller established; a sequence is
+  * identified by its FIRST document's id — globally unique because
+  * sequences partition the docs into disjoint ordered runs, and
+  * data-derived, so (unlike a TaskContext partition id) it survives a
+  * downstream coalesce() pipelining parent partitions into one task.
   * The efficiency loss vs. global bin packing is at most one partial
   * sequence per partition — negligible when partitions hold thousands
   * of docs, the 100 TB case.
@@ -61,17 +64,16 @@ object Packing {
             "maxTokens")))
         .otherwise(col(tokenCol).cast(LongType)).as(tokenCol))
     in.mapPartitions { rows =>
-      val pid = org.apache.spark.TaskContext.getPartitionId().toLong
-      var localSeq = -1L
+      var seqFirst = 0L
       var used = maxTokens + 1L // forces a new sequence on the first doc
       var pos = 0
       rows.map { r =>
         val id = r.getLong(0)
         val n = r.getLong(1)
-        if (used + n > maxTokens) { localSeq += 1; used = 0L; pos = 0 }
+        if (used + n > maxTokens) { seqFirst = id; used = 0L; pos = 0 }
         used += n
         pos += 1
-        Row(id, (pid << 32) | localSeq, pos - 1, n)
+        Row(id, seqFirst, pos - 1, n)
       }
     }(Encoders.row(outSchema))
   }
@@ -114,6 +116,121 @@ object Packing {
       transform(sequence(lit(0), lit(len - 1)),
         i => when(i < least(size(arr), lit(len)), lit(1)).otherwise(lit(0))
           .cast(IntegerType)))
+  }
+
+  /** Length-bucket assignment for batch assembly: the smallest entry
+    * of `boundaries` that is >= `len`, or `boundaries.last` for longer
+    * sequences (which a loader then truncates — account for the loss
+    * with the trunc column of gate q256's report). Buckets must be
+    * positive and strictly ascending; the classic choice is powers of
+    * two, so batches pad to a handful of shapes instead of the batch
+    * max (XLA/compile-cache friendliness) while bounding waste at 2x.
+    * Row-local when-chain — codegen'd, no UDF; null len -> null. */
+  def lengthBucket(len: Column, boundaries: Seq[Int]): Column = {
+    require(boundaries.nonEmpty && boundaries.head > 0 &&
+      boundaries.sliding(2).forall(w => w.size < 2 || w(0) < w(1)),
+      s"lengthBucket: boundaries must be positive ascending, " +
+        s"got $boundaries")
+    val chain = boundaries.init.foldRight(lit(boundaries.last): Column)(
+      (b, rest) => when(len <= b, lit(b)).otherwise(rest))
+    // a null len must stay null — the bare when-chain's otherwise()
+    // would swallow it into the overflow bucket
+    when(len.isNotNull, chain)
+  }
+
+  /** Global contiguous token offsets in deterministic shuffled order —
+    * the address layout of GPT-style block packing (concatenate the
+    * corpus, then cut fixed-size blocks): each document gets
+    * `global_start`, the exact number of tokens laid out before it
+    * when documents are concatenated in ([[Sampling.shuffleKey]],
+    * id) order. Block ids/offsets are then pure arithmetic on
+    * (global_start, token count) — see gate q257.
+    *
+    * Scale shape: a GLOBAL prefix sum without a global window (the
+    * one-partition funnel TFrame.cumsum documents for `by = Nil`).
+    * Two-phase: range-partition by the shuffle key into `parts`
+    * tasks, (1) each task sums its tokens — `parts` rows to the
+    * driver, a bounded collect; (2) each task re-walks its rows with
+    * its exclusive base offset. The localCheckpoint freezes the range
+    * boundaries so both passes see identical partitions; the OUTPUT
+    * is boundary-invariant regardless (the order is total, so each
+    * doc's prefix sum does not depend on where partitions were cut —
+    * pinned across parts = 3 vs 8 in PackingSpec).
+    *
+    * Input needs (idCol: integral non-null, tokenCol: integral >= 0);
+    * returns (idCol, tokenCol, global_start) with one row per doc. */
+  def contiguousOffsets(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      seed: Long,
+      parts: Int): DataFrame = {
+    require(parts > 0, s"contiguousOffsets: parts=$parts")
+    val in = df.select(
+      when(col(idCol).isNull, raise_error(lit(
+        s"contiguousOffsets: null $idCol — ids must be non-null")))
+        .otherwise(col(idCol).cast(LongType)).as(idCol),
+      when(col(tokenCol).isNull || col(tokenCol) < 0, raise_error(lit(
+        s"contiguousOffsets: null/negative $tokenCol — offsets would " +
+          "go backwards")))
+        .otherwise(col(tokenCol).cast(LongType)).as(tokenCol))
+    val ordered = in
+      .withColumn("__k", Sampling.shuffleKey(col(idCol), seed))
+      .repartitionByRange(parts, col("__k"), col(idCol))
+      .sortWithinPartitions(col("__k"), col(idCol))
+      .select(col(idCol), col(tokenCol), col("__k"))
+      .localCheckpoint()
+    // Pass 1: per-partition (first-row key, token total). The
+    // partition identifies itself by its FIRST ROW's (__k, id) — NOT
+    // TaskContext.getPartitionId(): a downstream coalesce() pipelines
+    // this mapPartitions into the coalesced task, where every parent
+    // partition would read the SAME task partition id (the closure
+    // still runs once per parent partition — iterator state is safe —
+    // but TaskContext is task-scoped, not data-scoped).
+    val partInfo = ordered
+      .mapPartitions { rows =>
+        if (!rows.hasNext) Iterator.empty
+        else {
+          val first = rows.next()
+          val fk = first.getLong(2)
+          val fid = first.getLong(0)
+          var s = first.getLong(1)
+          rows.foreach(r => s += r.getLong(1))
+          Iterator.single(Row(fk, fid, s))
+        }
+      }(Encoders.row(StructType(Seq(
+        StructField("fk", LongType, nullable = false),
+        StructField("fid", LongType, nullable = false),
+        StructField("tot", LongType, nullable = false)))))
+      .collect()
+    // exclusive prefix of per-partition totals in range order (range
+    // partitions are disjoint and ordered, so sorting by first-row key
+    // IS partition order) — at most `parts` entries, bounded at any
+    // corpus size
+    var acc = 0L
+    val bases = partInfo.sortBy(r => (r.getLong(0), r.getLong(1)))
+      .map { r =>
+        val b = ((r.getLong(0), r.getLong(1)), acc)
+        acc += r.getLong(2)
+        b
+      }.toMap
+    val basesB = ordered.sparkSession.sparkContext.broadcast(bases)
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(tokenCol, LongType, nullable = false),
+      StructField("global_start", LongType, nullable = false)))
+    ordered.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.next()
+        var off = basesB.value((first.getLong(2), first.getLong(0)))
+        (Iterator.single(first) ++ rows).map { r =>
+          val start = off
+          off += r.getLong(1)
+          Row(r.getLong(0), r.getLong(1), start)
+        }
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Reference-exact batch-max padding: every list in `arrCol` is

@@ -176,6 +176,195 @@ class DenoiseSpec extends SparkSpec {
     }
   }
 
+  /** Scala-native model of spanCorruptMixture's MASK for one doc
+    * (the rebuild is the already-pinned spanCorrupt model). */
+  private def ul2Mask(id: Long, n: Int, seed: Long): Seq[Boolean] = {
+    val cfg = Kernels.sampleBucket(id, seed + 7) % 3
+    val thrR = Sampling.threshold(0.15)
+    val thrX = Sampling.threshold(0.5)
+    (0 until n).map { i =>
+      cfg match {
+        case 0 => Kernels.sampleBucket(id * Denoise.PosSpace + i, seed) < thrR
+        case 2 => Kernels.sampleBucket(id * Denoise.PosSpace + i, seed) < thrX
+        case _ => i >= n - (n + 3) / 4
+      }
+    }
+  }
+
+  test("spanCorruptMixture routes each doc to R/S/X, masks per the " +
+      "config, prepends the mode token; ONE exchange") {
+    val rnd = new scala.util.Random(0x012)
+    val docs = (0 until 120).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(16))(s"w${rnd.nextInt(30)}"))
+    }
+    val df = docs.toDF("id", "toks")
+    val got = Denoise.spanCorruptMixture(df, "id", "toks", 29L)
+      .orderBy("id").collect()
+    val seen = scala.collection.mutable.Set[String]()
+    docs.foreach { case (id, toks) =>
+      val r = got(id.toInt)
+      val cfg = Kernels.sampleBucket(id, 36L) % 3
+      val mode = Seq("[R]", "[S]", "[X]")(cfg)
+      assert(r.getString(1) === mode, s"denoiser id=$id")
+      seen += mode
+      assert(r.getString(2).startsWith(mode), s"mode prefix id=$id")
+      val m = ul2Mask(id, toks.size, 29L)
+      assert(r.getLong(4) === m.count(identity).toLong, s"n_masked id=$id")
+      // S-denoiser: exactly one tail span of ceil(n/4) positions
+      if (cfg == 1) {
+        assert(r.getLong(5) === 1L, s"S must be one span id=$id")
+        assert(r.getLong(4) === ((toks.size + 3) / 4).toLong,
+          s"S tail size id=$id")
+        assert(r.getString(3).startsWith("<extra_id_0> "),
+          s"S target id=$id")
+      }
+      // conservation through the shared rebuild
+      val strip = (s: String) => s.split(" ").toSeq
+        .filterNot(x => x.startsWith("<extra_id_") || x == "[R]" ||
+          x == "[S]" || x == "[X]").filter(_.nonEmpty)
+      assert((strip(r.getString(2)) ++ strip(r.getString(3))).sorted
+        === toks.sorted, s"conservation id=$id")
+    }
+    assert(seen === Set("[R]", "[S]", "[X]"), s"all three routed: $seen")
+    val plan = Denoise.spanCorruptMixture(df, "id", "toks", 29L)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"expected 1 exchange, got $n:\n$plan")
+  }
+
+  /** Scala-native model of fimTransform for one doc. */
+  private def fimModel(id: Long, toks: Seq[String], thr: Int, seed: Long)
+      : (Boolean, String, String, Long, Long, Long) = {
+    val ap = Kernels.sampleBucket(id, seed) < thr
+    if (!ap) (false, toks.mkString(" "), toks.mkString(" "),
+      toks.size, 0L, 0L)
+    else {
+      val n = toks.size
+      val c1 = Kernels.sampleBucket(id, seed + 1) % (n + 1)
+      val c2 = Kernels.sampleBucket(id, seed + 2) % (n + 1)
+      val (lo, hi) = (math.min(c1, c2), math.max(c1, c2))
+      val (p, m, s) = (toks.take(lo), toks.slice(lo, hi), toks.drop(hi))
+      val psm = (Seq("<fim_prefix>") ++ p ++ Seq("<fim_suffix>") ++ s ++
+        Seq("<fim_middle>") ++ m).mkString(" ")
+      val spm = (Seq("<fim_suffix>") ++ s ++ Seq("<fim_prefix>") ++ p ++
+        Seq("<fim_middle>") ++ m).mkString(" ")
+      (true, psm, spm, lo, hi - lo, n - hi)
+    }
+  }
+
+  test("fimTransform equals the Scala model on randomized docs " +
+      "(segment conservation; both PSM and SPM orders); shuffle-free") {
+    val rnd = new scala.util.Random(0xF13)
+    val docs = (0 until 150).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(15))(s"w${rnd.nextInt(40)}"))
+    }
+    val rate = 0.5
+    val thr = Sampling.threshold(rate)
+    val df = docs.toDF("id", "toks")
+    val got = Denoise.fimTransform(df, "id", "toks", rate, 31L)
+      .orderBy("id").collect()
+    var applied = 0
+    docs.foreach { case (id, toks) =>
+      val r = got(id.toInt)
+      val (ap, psm, spm, np, nm, ns) = fimModel(id, toks, thr, 31L)
+      assert(r.getBoolean(1) === ap, s"applied id=$id")
+      assert(r.getString(2) === psm, s"psm id=$id")
+      assert(r.getString(3) === spm, s"spm id=$id")
+      assert((r.getLong(4), r.getLong(5), r.getLong(6)) === ((np, nm, ns)),
+        s"counts id=$id")
+      assert(np + nm + ns === toks.size, s"conservation id=$id")
+      if (ap) applied += 1
+      // transformed docs: stripping sentinels from PSM recovers the
+      // tokens as prefix ++ suffix ++ middle
+      if (ap) {
+        val strip = r.getString(2).split(" ").toSeq
+          .filterNot(_.startsWith("<fim_")).filter(_.nonEmpty)
+        val lo = np.toInt; val hi = (np + nm).toInt
+        assert(strip === toks.take(lo) ++ toks.drop(hi) ++
+          toks.slice(lo, hi), s"psm layout id=$id")
+      }
+    }
+    assert(applied > 30 && applied < 120, s"rate sanity: $applied/150")
+    val plan = Denoise.fimTransform(df, "id", "toks", rate, 31L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"FIM must be shuffle-free:\n$plan")
+  }
+
+  test("fimTransform null docs pass through as null strings, zero " +
+      "counts, fim_applied = false") {
+    val df = Seq((0L, null.asInstanceOf[Seq[String]]),
+      (3L, Seq.empty[String])).toDF("id", "toks")
+    val out = Denoise.fimTransform(df, "id", "toks", 1.0, 31L)
+      .orderBy("id").collect()
+    assert(!out(0).getBoolean(1) && out(0).isNullAt(2) && out(0).isNullAt(3))
+    assert((out(0).getLong(4), out(0).getLong(5), out(0).getLong(6))
+      === ((0L, 0L, 0L)))
+    // empty doc at rate 1.0: applied, sentinels only
+    assert(out(1).getBoolean(1))
+    assert(out(1).getString(2) === "<fim_prefix> <fim_suffix> <fim_middle>")
+  }
+
+  /** Scala-native model of nspPairs over the whole frame. */
+  private def nspModel(docs: Seq[(Long, Seq[String])], thr: Int,
+      seed: Long, groups: Int)
+      : Map[Long, (String, String, Boolean, Long)] = {
+    def segs(toks: Seq[String]) = {
+      val sp = (toks.size + 1) / 2
+      (toks.take(sp), toks.drop(sp))
+    }
+    docs.groupBy { case (id, _) =>
+      Kernels.sampleBucket(id, seed + 9) % groups
+    }.values.flatMap { grp =>
+      val ordered = grp.sortBy { case (id, _) =>
+        (Kernels.sampleHash(id, seed), id)
+      }
+      ordered.zipWithIndex.map { case ((id, toks), i) =>
+        val (a, b) = segs(toks)
+        val sw = Kernels.sampleBucket(id, seed + 1) < thr &&
+          ordered.size >= 2
+        val (pid, pb) =
+          if (!sw) (id, b)
+          else {
+            val (nid, ntoks) = ordered((i + 1) % ordered.size)
+            (nid, segs(ntoks)._2)
+          }
+        id -> (a.mkString(" "), pb.mkString(" "), !sw, pid)
+      }
+    }.toMap
+  }
+
+  test("nspPairs equals the Scala model (shuffled-neighbor partner, " +
+      "wrap-around, singleton-group fallback); plans ONE exchange") {
+    val rnd = new scala.util.Random(0x2019)
+    val docs = (0 until 140).map { i =>
+      (i.toLong, Seq.fill(2 + rnd.nextInt(10))(s"w${rnd.nextInt(30)}"))
+    }
+    val rate = 0.4
+    val thr = Sampling.threshold(rate)
+    // groups = 96 > 140 docs: plenty of singleton groups exercise the
+    // no-partner fallback alongside multi-doc wrap-arounds
+    val expect = nspModel(docs, thr, 41L, 96)
+    val df = docs.toDF("id", "toks")
+    val got = Denoise.nspPairs(df, "id", "toks", rate, 41L, 96)
+      .collect()
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (a, b, isNext, pid) = expect(id)
+      assert(r.getString(1) === a, s"seg_a id=$id")
+      assert(r.getString(2) === b, s"seg_b id=$id")
+      assert(r.getBoolean(3) === isNext, s"is_next id=$id")
+      assert(r.getLong(4) === pid, s"partner id=$id")
+      if (!isNext) assert(pid !== id, "swapped pair must cite another doc")
+    }
+    val swapped = got.count(!_.getBoolean(3))
+    assert(swapped > 10, s"swap-rate sanity: $swapped/140")
+    val plan = Denoise.nspPairs(df, "id", "toks", rate, 41L, 96)
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(n === 1, s"expected 1 exchange, got $n:\n$plan")
+  }
+
   test("a doc longer than PosSpace raises instead of colliding mask " +
       "keys with the next doc") {
     val long = Seq((0L, (0 to Denoise.PosSpace).map(_.toString)))

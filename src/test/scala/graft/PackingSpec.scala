@@ -10,7 +10,8 @@ import graft.operators.Packing
 class PackingSpec extends SparkSpec {
   import spark.implicits._
 
-  test("greedy packing pins the exact (seq, pos) assignment") {
+  test("greedy packing pins the exact (seq, pos) assignment — seq_id " +
+      "is the sequence's FIRST doc id") {
     // one partition, budget 10: [4,5] | [7,2] | [6] | [12] | [3]
     val df = Seq((0L, 4L), (1L, 5L), (2L, 7L), (3L, 2L), (4L, 6L),
       (5L, 12L), (6L, 3L)).toDF("id", "n").coalesce(1)
@@ -19,10 +20,29 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
     assert(got === Seq(
       (0L, 0L, 0), (1L, 0L, 1),
-      (2L, 1L, 0), (3L, 1L, 1),
-      (4L, 2L, 0),
-      (5L, 3L, 0), // oversize doc: singleton sequence
-      (6L, 4L, 0)))
+      (2L, 2L, 0), (3L, 2L, 1),
+      (4L, 4L, 0),
+      (5L, 5L, 0), // oversize doc: singleton sequence
+      (6L, 6L, 0)))
+  }
+
+  test("packGreedy seq ids stay distinct across partitions even under " +
+      "a downstream coalesce(1) (TaskContext-free id regression)") {
+    // a coalesce AFTER packGreedy pipelines every parent partition into
+    // one task: a (taskPartitionId << 32)-style id would alias all
+    // partitions' sequences onto the same ids; first-doc-id sequence
+    // ids are data-derived and immune
+    val df = (0L until 400L).map(i => (i, (i % 9) + 1)).toDF("id", "n")
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    val packed = Packing.packGreedy(df, "id", "n", 20).coalesce(1)
+    val seqs = packed.groupBy("seq_id")
+      .agg(sum("n_tokens").as("t"), count(lit(1)).as("d"))
+    assert(seqs.where(col("t") > 20 && col("d") > 1).count() === 0,
+      "coalesce-aliased seq ids would merge sequences past the budget")
+    // each sequence's id IS its first (min) doc id
+    val bad = packed.groupBy("seq_id").agg(min("id").as("first"))
+      .where(col("seq_id") =!= col("first")).count()
+    assert(bad === 0)
   }
 
   test("padToMax pins the reference pad_sequence fixture bit-exactly") {
@@ -161,5 +181,73 @@ class PackingSpec extends SparkSpec {
     val a = Packing.packGreedy(df, "id", "n", 50).orderBy("id").collect()
     val b = Packing.packGreedy(df, "id", "n", 50).orderBy("id").collect()
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("lengthBucket maps to the smallest holding boundary; overflow " +
+      "clamps to the last; null propagates; bad boundaries rejected") {
+    val bounds = Seq(4, 8, 16)
+    val df = Seq[java.lang.Long](1L, 4L, 5L, 8L, 9L, 16L, 17L, 1000L,
+      null).zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("id", "len")
+    val got = df.select(Packing.lengthBucket(col("len"), bounds))
+      .collect().map(r => if (r.isNullAt(0)) -1 else r.getInt(0)).toSeq
+    assert(got === Seq(4, 4, 8, 8, 16, 16, 16, 16, -1))
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucket(col("len"), Seq(8, 4))
+    }
+    intercept[IllegalArgumentException] {
+      Packing.lengthBucket(col("len"), Seq.empty)
+    }
+  }
+
+  test("contiguousOffsets equals the brute-force global prefix sum in " +
+      "(shuffleKey, id) order, and is partition-count invariant") {
+    import graft.operators.Sampling
+    val rows = (0L until 300L).map(i => (i, (i * 13 % 41) + 1))
+    val df = rows.toDF("id", "n").repartition(5)
+    val got8 = Packing.contiguousOffsets(df, "id", "n", 99L, 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val got3 = Packing.contiguousOffsets(df, "id", "n", 99L, 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // brute force: sort by (sampleHash(id, 99), id), running sum
+    val hashed = rows.map { case (id, n) =>
+      (graft.functions.Kernels.sampleHash(id, 99L), id, n)
+    }.sortBy(t => (t._1, t._2))
+    var off = 0L
+    hashed.foreach { case (_, id, n) =>
+      assert(got8(id) === ((n, off)), s"parts=8 id=$id")
+      assert(got3(id) === ((n, off)), s"parts=3 id=$id")
+      off += n
+    }
+    assert(off === rows.map(_._2).sum)
+  }
+
+  test("contiguousOffsets survives a downstream coalesce(1) " +
+      "(TaskContext partition-id aliasing regression)") {
+    val rows = (0L until 200L).map(i => (i, (i % 17) + 1))
+    val df = rows.toDF("id", "n")
+    val out = Packing.contiguousOffsets(df, "id", "n", 7L, 8)
+      .coalesce(1).collect()
+      .map(r => (r.getLong(2), r.getLong(1))).sortBy(_._1)
+    // offsets must still be the exact global prefix sum: strictly
+    // increasing, gap-free, totalling the corpus
+    var expect = 0L
+    out.foreach { case (start, n) =>
+      assert(start === expect,
+        s"offset $start != $expect — bases aliased under coalesce")
+      expect += n
+    }
+    assert(expect === rows.map(_._2).sum)
+  }
+
+  test("contiguousOffsets rejects null ids and null/negative counts") {
+    val bad = Seq[(java.lang.Long, java.lang.Long)]((0L, 4L), (1L, -1L))
+      .toDF("id", "n")
+    val e = intercept[Exception] {
+      Packing.contiguousOffsets(bad, "id", "n", 1L, 2)
+    }
+    assert(e.getMessage.contains("negative"))
   }
 }

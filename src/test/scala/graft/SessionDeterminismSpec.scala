@@ -120,4 +120,33 @@ class SessionDeterminismSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"q251 must stay shuffle-free, got:\n$plan")
   }
+
+  test("q254 FIM transform is parallelism-invariant and exchange-free") {
+    acrossParallelism("q254_fim")
+    val plan = SparkEntry.queries("q254_fim")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"q254 must stay shuffle-free, got:\n$plan")
+  }
+
+  test("q255 NSP pairs are parallelism-invariant") {
+    acrossParallelism("q255_nsp")
+  }
+
+  test("q256 length buckets are parallelism-invariant") {
+    acrossParallelism("q256_len_buckets")
+  }
+
+  test("q257 block packing is parallelism-invariant (two-phase " +
+      "offsets equal the global prefix sum under any session layout)") {
+    acrossParallelism("q257_block_pack")
+  }
+
+  test("q258 UL2 mixture routing is parallelism-invariant") {
+    acrossParallelism("q258_ul2")
+  }
+
+  test("q259 preference pairs are parallelism-invariant") {
+    acrossParallelism("q259_pref_pairs")
+  }
 }
