@@ -403,13 +403,62 @@ object Queries35 {
       |FROM r WHERE n_cands >= 2
       |GROUP BY prompt_id""".stripMargin
 
+  // ---- q260: global running sum on the fact table, hashed -------------------
+
+  /** The two-phase global prefix sum ([[Packing.contiguousOffsets]])
+    * proven on the BIG table: every lineitem row (key = l_orderkey*8 +
+    * l_linenumber — linenumber <= 7, so the packing is collision-free)
+    * gets its exact global running-quantity offset in
+    * splitmix64-shuffled order. This is the operation TFrame.cumsum
+    * documents as driver-scale-only in its global (`by = Nil`) window
+    * form — here it runs as 32 range partitions + a 32-row driver
+    * collect, no one-partition funnel, 600k rows at sf0.1 / 6M at
+    * sf1.0. Quantities are integer-valued (TPC-H 1..50), so the cast
+    * to BIGINT and the prefix sums are exact on both engines. DuckDB
+    * replays the shuffle key and the prefix sum as a single window
+    * over the same total order. */
+  def q260GlobalCumsum(s: SparkSession, dir: String): DataFrame = {
+    // the synthetic lineitem does NOT keep (orderkey, linenumber)
+    // unique (TPC-H-ish, not TPC-H) — aggregate to unique keys first:
+    // contiguousOffsets needs a total order, and duplicate (key, id)
+    // rows with different quantities would make the offset assignment
+    // between them engine-arbitrary
+    val li = t(s, dir, "lineitem")
+      .groupBy(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType)
+        .as("lk"))
+      .agg(sum($"l_quantity".cast(LongType)).as("qty"))
+    val off = Packing.contiguousOffsets(li, "lk", "qty",
+      seed = 21L, parts = 32)
+    off.select($"lk", $"qty", $"global_start",
+      ($"global_start" + $"qty").as("running_qty"))
+  }
+
+  val q260Sql: String =
+    s"""WITH d AS (
+       |  SELECT l_orderkey * 8 + l_linenumber AS lk,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       |  FROM lineitem GROUP BY 1),
+       |${Queries5.hashCtes("gk", 21L, "d", "lk")},
+       |j AS (
+       |  SELECT d.lk, d.qty, gkh.h
+       |  FROM d JOIN gkh ON d.lk = gkh.k),
+       |o AS (
+       |  SELECT lk, qty,
+       |    CAST(coalesce(sum(qty) OVER (ORDER BY h, lk
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS gs
+       |  FROM j)
+       |SELECT lk, qty, gs AS global_start, gs + qty AS running_qty
+       |FROM o""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_fim" -> (q254Fim _),
     "q255_nsp" -> (q255Nsp _),
     "q256_len_buckets" -> (q256LenBuckets _),
     "q257_block_pack" -> (q257BlockPack _),
     "q258_ul2" -> (q258Ul2 _),
-    "q259_pref_pairs" -> (q259PrefPairs _)
+    "q259_pref_pairs" -> (q259PrefPairs _),
+    "q260_global_cumsum" -> (q260GlobalCumsum _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -418,6 +467,7 @@ object Queries35 {
     "q256_len_buckets" -> q256Sql,
     "q257_block_pack" -> q257Sql,
     "q258_ul2" -> q258Sql,
-    "q259_pref_pairs" -> q259Sql
+    "q259_pref_pairs" -> q259Sql,
+    "q260_global_cumsum" -> q260Sql
   )
 }

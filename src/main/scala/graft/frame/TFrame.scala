@@ -273,7 +273,11 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     * partition the running computation — the scale-safe form (one
     * shuffle on the key, bounded per-task state). With `by` empty the
     * window is GLOBAL: the whole column funnels through one task —
-    * driver-scale data only. */
+    * driver-scale data only. For an EXACT-typed global running sum at
+    * corpus scale, use [[graft.operators.Packing.contiguousOffsets]]
+    * (two-phase range-partitioned prefix sum, gate q260) — it avoids
+    * the funnel; doubles stay here because two-phase regrouping
+    * changes float rounding vs the sequential window. */
   def cumsum(valueCols: Seq[String], order: Seq[String],
       by: Seq[String] = Nil): TFrame =
     cumApply("cumsum", functions.sum, valueCols, order, by)

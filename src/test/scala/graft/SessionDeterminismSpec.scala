@@ -149,4 +149,9 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q259 preference pairs are parallelism-invariant") {
     acrossParallelism("q259_pref_pairs")
   }
+
+  test("q260 global running sum is parallelism-invariant (600k-row " +
+      "two-phase prefix sum, no one-partition funnel)") {
+    acrossParallelism("q260_global_cumsum")
+  }
 }
