@@ -436,11 +436,17 @@ object Queries34 {
 
   // thresholds: sel floor(0.15*8192)=1228; mask floor(0.8*8192)=6553;
   // rand floor(0.9*8192)=7372
-  val q253Sql: String =
+  val q253Sql: String = mlmSql(sliceLen = 16, thrSel = 1228, seed = 23L)
+
+  /** The full DuckDB MLM replay, parameterized — q253 (batch) and
+    * q261 (the SAME operator as a streaming query) share it, so the
+    * two gates are provably the same contract at different configs. */
+  private[graft] def mlmSql(sliceLen: Int, thrSel: Int, seed: Long)
+      : String =
     s"""WITH tk AS (
        |  SELECT doc_id,
-       |    list_slice(string_split_regex(trim(text), '\\s+'), 1, 16)
-       |      AS toks
+       |    list_slice(string_split_regex(trim(text), '\\s+'), 1,
+       |      $sliceLen) AS toks
        |  FROM documents),
        |keyed AS (
        |  SELECT doc_id, toks, len(toks) AS n,
@@ -448,13 +454,13 @@ object Queries34 {
        |    generate_subscripts(toks, 1) - 1 AS pos,
        |    doc_id * 4096 + generate_subscripts(toks, 1) - 1 AS k
        |  FROM tk),
-       |${Queries5.bucketCtes("ma", 23L, "keyed", "k")},
-       |${Queries5.bucketCtes("mb", 24L, "keyed", "k")},
-       |${Queries5.bucketCtes("mc", 25L, "keyed", "k")},
+       |${Queries5.bucketCtes("ma", seed, "keyed", "k")},
+       |${Queries5.bucketCtes("mb", seed + 1, "keyed", "k")},
+       |${Queries5.bucketCtes("mc", seed + 2, "keyed", "k")},
        |j AS (
        |  SELECT keyed.doc_id, keyed.toks, keyed.n, keyed.tok,
        |    keyed.pos,
-       |    mab.bucket < 1228 AS sel, mbb.bucket AS d2,
+       |    mab.bucket < $thrSel AS sel, mbb.bucket AS d2,
        |    mcb.bucket % keyed.n AS rpos
        |  FROM keyed
        |  JOIN mab ON keyed.k = mab.k

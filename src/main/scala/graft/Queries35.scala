@@ -451,6 +451,52 @@ object Queries35 {
        |SELECT lk, qty, gs AS global_start, gs + qty AS running_qty
        |FROM o""".stripMargin
 
+  // ---- q261: MLM prep as a STREAMING query, hashed ---------------------------
+
+  /** The objective-prep ops are stateless row-local transforms, so
+    * the SAME operator runs incrementally under Structured Streaming
+    * with no code change and no state store: this gate streams the
+    * documents table ([[graft.streaming.EventsStream]]'s
+    * single-file-vs-directory reader pattern), applies
+    * [[graft.operators.Denoise.mlmMask]] (density 0.2, seed 47, first
+    * 12 tokens) in APPEND mode — stateless, so the watermark-free
+    * append plan is legal — and drains to a memory sink. The DuckDB
+    * oracle is the SAME parameterized replay as batch q253
+    * ([[Queries34.mlmSql]]), so a green hash proves stream == batch
+    * == cross-engine for the full 80/10/10 pipeline. At scale this is
+    * the incremental-corpus path: new shards land, prep runs on
+    * exactly the new rows, checkpointed offsets resume. */
+  def q261StreamMlm(s: SparkSession, dir: String): DataFrame = {
+    val spark = s.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val name = s"graft_mlm_${System.nanoTime()}"
+    val path = new java.io.File(s"$dir/documents.parquet")
+    val schema = spark.read.parquet(path.getPath).schema
+    val base = spark.readStream.schema(schema)
+    val raw =
+      if (path.isDirectory) base.parquet(path.getPath)
+      else base.option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+    val docs = raw.select($"doc_id",
+      slice(split(trim($"text"), "\\s+"), 1, 12).as("toks"))
+    val out = graft.operators.Denoise.mlmMask(docs, "doc_id", "toks",
+      density = 0.2, seed = 47L)
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  // thresholds: sel floor(0.2*8192)=1638; 80/10/10 constants shared
+  // with q253 via the parameterized replay
+  val q261Sql: String =
+    Queries34.mlmSql(sliceLen = 12, thrSel = 1638, seed = 47L)
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_fim" -> (q254Fim _),
     "q255_nsp" -> (q255Nsp _),
@@ -458,7 +504,8 @@ object Queries35 {
     "q257_block_pack" -> (q257BlockPack _),
     "q258_ul2" -> (q258Ul2 _),
     "q259_pref_pairs" -> (q259PrefPairs _),
-    "q260_global_cumsum" -> (q260GlobalCumsum _)
+    "q260_global_cumsum" -> (q260GlobalCumsum _),
+    "q261_stream_mlm" -> (q261StreamMlm _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -468,6 +515,7 @@ object Queries35 {
     "q257_block_pack" -> q257Sql,
     "q258_ul2" -> q258Sql,
     "q259_pref_pairs" -> q259Sql,
-    "q260_global_cumsum" -> q260Sql
+    "q260_global_cumsum" -> q260Sql,
+    "q261_stream_mlm" -> q261Sql
   )
 }
