@@ -157,8 +157,13 @@ object Packing {
     * doc's prefix sum does not depend on where partitions were cut —
     * pinned across parts = 3 vs 8 in PackingSpec).
     *
-    * Input needs (idCol: integral non-null, tokenCol: integral >= 0);
-    * returns (idCol, tokenCol, global_start) with one row per doc. */
+    * Input needs (idCol: integral non-null UNIQUE, tokenCol: integral
+    * >= 0); returns (idCol, tokenCol, global_start) with one row per
+    * doc. Uniqueness is the caller's contract: duplicate ids break
+    * the total order, making the offset assignment BETWEEN the
+    * duplicates engine- and run-arbitrary (aggregate to unique keys
+    * first — the q260 pattern; a built-in check would cost a full
+    * extra shuffle, so it is deliberately not performed here). */
   def contiguousOffsets(
       df: DataFrame,
       idCol: String,

@@ -242,6 +242,13 @@ class PackingSpec extends SparkSpec {
     assert(expect === rows.map(_._2).sum)
   }
 
+  test("contiguousOffsets on an empty frame returns an empty frame " +
+      "(all partitions empty in both passes)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id", "n")
+    assert(Packing.contiguousOffsets(empty, "id", "n", 1L, 4)
+      .collect().isEmpty)
+  }
+
   test("contiguousOffsets rejects null ids and null/negative counts") {
     val bad = Seq[(java.lang.Long, java.lang.Long)]((0L, 4L), (1L, -1L))
       .toDF("id", "n")
