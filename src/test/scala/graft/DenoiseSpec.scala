@@ -365,6 +365,26 @@ class DenoiseSpec extends SparkSpec {
     assert(n === 1, s"expected 1 exchange, got $n:\n$plan")
   }
 
+  test("nspPairs with groups = 1 (one global shuffle order): every " +
+      "swap takes the next doc, the last wraps to the first") {
+    val docs = (0 until 20).map { i =>
+      (i.toLong, (0 until 4).map(j => s"d${i}t$j"))
+    }
+    val thr = Sampling.threshold(1.0) // swap EVERY doc
+    val expect = nspModel(docs, thr, 5L, 1)
+    val got = Denoise.nspPairs(docs.toDF("id", "toks"), "id", "toks",
+      1.0, 5L, groups = 1).collect()
+    got.foreach { r =>
+      val (a, b, isNext, pid) = expect(r.getLong(0))
+      assert(!r.getBoolean(3) && !isNext, "rate 1.0 swaps everything")
+      assert(r.getString(1) === a && r.getString(2) === b)
+      assert(r.getLong(4) === pid)
+      assert(pid !== r.getLong(0))
+      // partner B is verbatim the partner's own second half
+      assert(r.getString(2) === docs(pid.toInt)._2.drop(2).mkString(" "))
+    }
+  }
+
   test("a doc longer than PosSpace raises instead of colliding mask " +
       "keys with the next doc") {
     val long = Seq((0L, (0 to Denoise.PosSpace).map(_.toString)))
