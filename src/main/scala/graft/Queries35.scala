@@ -497,6 +497,68 @@ object Queries35 {
   val q261Sql: String =
     Queries34.mlmSql(sliceLen = 12, thrSel = 1638, seed = 47L)
 
+  // ---- q262: epoch-repeat schedule, hashed -----------------------------------
+
+  /** Data-constrained repeat scheduling (the Muennighoff et al. 2023
+    * "repeat good data" regime): each document's target epoch count is
+    * a per-tier rate — here tiers by exact token count as the quality
+    * stand-in: <=30 tokens -> 0.5 epochs, <=60 -> 1.25, else 2.5 —
+    * and the FRACTIONAL part realizes as a deterministic splitmix64
+    * Bernoulli (the q83 machinery), so `n_repeats = floor(rate) +
+    * bern(frac(rate))` and the corpus-level expectation equals the
+    * target mix exactly in distribution while every run reproduces
+    * the same per-doc counts. Output: per-doc tier + repeat count,
+    * plus per-tier totals (docs, repeats) via a window — ONE shuffle
+    * on the 3-value tier key. DuckDB replays the tier CASE, the
+    * bucket draw, and both totals. Expansion to actual training rows
+    * is a row-local `explode(sequence(1, n_repeats))` left to the
+    * loader — the schedule itself never multiplies the corpus. */
+  def q262RepeatSchedule(s: SparkSession, dir: String): DataFrame = {
+    val len = TextAnalysis.tokenCount($"text").cast(LongType)
+    // thresholds: frac 0.5 -> 4096, 0.25 -> 2048 of 8192
+    val docs = t(s, dir, "documents").select($"doc_id", len.as("len"))
+      .withColumn("tier",
+        when($"len" <= 30, "low").when($"len" <= 60, "mid")
+          .otherwise("high"))
+      .withColumn("base",
+        when($"tier" === "low", 0L).when($"tier" === "mid", 1L)
+          .otherwise(2L))
+      .withColumn("thr",
+        when($"tier" === "mid", graft.operators.Sampling.threshold(0.25))
+          .otherwise(graft.operators.Sampling.threshold(0.5)))
+      .withColumn("n_repeats", $"base" +
+        when(graft.operators.Sampling.bucket($"doc_id", 61L) < $"thr",
+          1L).otherwise(0L))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"tier")
+    docs.select($"doc_id", $"tier", $"n_repeats",
+      count(lit(1)).over(w).as("tier_docs"),
+      sum($"n_repeats").over(w).cast(LongType).as("tier_repeats"))
+  }
+
+  val q262Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    len(string_split_regex(trim(text), '\\s+')) AS len
+       |  FROM documents),
+       |t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len <= 30 THEN 'low' WHEN len <= 60 THEN 'mid'
+       |      ELSE 'high' END AS tier
+       |  FROM d),
+       |${Queries5.bucketCtes("rp", 61L, "t", "doc_id")},
+       |r AS (
+       |  SELECT t.doc_id, t.tier,
+       |    (CASE t.tier WHEN 'low' THEN 0 WHEN 'mid' THEN 1 ELSE 2 END)
+       |    + (CASE WHEN rpb.bucket <
+       |        (CASE t.tier WHEN 'mid' THEN 2048 ELSE 4096 END)
+       |       THEN 1 ELSE 0 END) AS n_repeats
+       |  FROM t JOIN rpb ON t.doc_id = rpb.k)
+       |SELECT doc_id, tier, CAST(n_repeats AS BIGINT) AS n_repeats,
+       |  count(*) OVER (PARTITION BY tier) AS tier_docs,
+       |  CAST(sum(n_repeats) OVER (PARTITION BY tier) AS BIGINT)
+       |    AS tier_repeats
+       |FROM r""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q254_fim" -> (q254Fim _),
     "q255_nsp" -> (q255Nsp _),
@@ -505,7 +567,8 @@ object Queries35 {
     "q258_ul2" -> (q258Ul2 _),
     "q259_pref_pairs" -> (q259PrefPairs _),
     "q260_global_cumsum" -> (q260GlobalCumsum _),
-    "q261_stream_mlm" -> (q261StreamMlm _)
+    "q261_stream_mlm" -> (q261StreamMlm _),
+    "q262_repeat_schedule" -> (q262RepeatSchedule _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -516,6 +579,7 @@ object Queries35 {
     "q258_ul2" -> q258Sql,
     "q259_pref_pairs" -> q259Sql,
     "q260_global_cumsum" -> q260Sql,
-    "q261_stream_mlm" -> q261Sql
+    "q261_stream_mlm" -> q261Sql,
+    "q262_repeat_schedule" -> q262Sql
   )
 }

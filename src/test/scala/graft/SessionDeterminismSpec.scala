@@ -154,4 +154,8 @@ class SessionDeterminismSpec extends SparkSpec {
       "two-phase prefix sum, no one-partition funnel)") {
     acrossParallelism("q260_global_cumsum")
   }
+
+  test("q262 repeat schedule is parallelism-invariant") {
+    acrossParallelism("q262_repeat_schedule")
+  }
 }
