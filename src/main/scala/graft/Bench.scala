@@ -7,6 +7,17 @@ import org.apache.spark.sql.SparkSession
   * Queries run in sorted name order after a JVM/session warmup; each
   * query is fully materialized through a noop write (no driver
   * collect, no count() short-circuit on limit queries).
+  *
+  * Contamination-proofing (round 17): the whole suite runs TWICE and
+  * the published per-query number is the MIN of the two samples — the
+  * two-sample pair-min protocol (tools/bench_pair.py) moved inside
+  * the artifact itself. Three of the four round-13..16 driver benches
+  * were distorted by ambient sandbox load invisible in the JSON; a
+  * transient load spike rarely hits the same query in both passes, so
+  * min-of-pair self-immunizes the artifact. Both raw samples are kept
+  * in the JSON (`queries_s1`/`queries_s2`) so uniform inflation — real
+  * contention across the whole window — stays diagnosable, and the
+  * 1-minute load average is recorded as before.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -41,25 +52,34 @@ object Bench {
 
     // warmup: session init, codegen, parquet footer reads
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    SparkEntry.queries.keys.toSeq.sorted.headOption.foreach(materialize)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.headOption.foreach(materialize)
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
-      name -> materialize(name)
-    }
-    val qs = results.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+    // two full back-to-back samples; published number = per-query min
+    val s1 = names.map(n => n -> materialize(n))
+    val s2 = names.map(n => n -> materialize(n))
+    val m2 = s2.toMap
+    def fmt(xs: Seq[(String, (Double, Boolean))]): String =
+      xs.map { case (k, (v, _)) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val pairMin = s1.map { case (k, (v1, _)) => k -> math.min(v1, m2(k)._1) }
+    val qs = pairMin.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, (_, false)) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.map(_._2._1).sum
-    // ambient-load witness: rounds 13-14 shipped benches contaminated
+    // a query failing in EITHER pass must be visible, never silently
+    // banded on its surviving pass
+    val failed = (s1 ++ s2).collect { case (k, (_, false)) => k }
+      .distinct.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val t1 = s1.map(_._2._1).sum
+    val t2 = s2.map(_._2._1).sum
+    val total = pairMin.map(_._2).sum
+    // ambient-load witness: rounds 13-16 shipped benches contaminated
     // by sandbox load that was invisible in the JSON — record the
     // 1-minute load average at finish (own run included) so a reading
     // far above nproc-busy-by-this-bench flags itself
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val load = os.getSystemLoadAverage
     val nproc = os.getAvailableProcessors
-    // a failed query must be visible in the JSON, never silently timed
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","load_avg_1m":$load,"nproc":$nproc}""")
+    println(s"""{"metric":"pair_min_total","value":$total,"unit":"sec","queries":$qs,"queries_s1":${fmt(s1)},"queries_s2":${fmt(s2)},"samples":[$t1,$t2],"failed":$failed,"sf":"$sfDir","load_avg_1m":$load,"nproc":$nproc}""")
     spark.stop()
   }
 }

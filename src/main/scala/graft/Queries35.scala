@@ -422,11 +422,22 @@ object Queries35 {
     // unique (TPC-H-ish, not TPC-H) — aggregate to unique keys first:
     // contiguousOffsets needs a total order, and duplicate (key, id)
     // rows with different quantities would make the offset assignment
-    // between them engine-arbitrary
+    // between them engine-arbitrary.
+    // Integrality is ASSERTED, not assumed: Spark's double->long cast
+    // truncates while DuckDB's CAST rounds — the engines agree only
+    // because TPC-H quantities are exactly integer-valued (1..50), so
+    // a future fractional quantity must fail loudly here instead of
+    // silently diverging the oracle. The raise_error rides the same
+    // projection — no extra pass.
     val li = t(s, dir, "lineitem")
-      .groupBy(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType)
-        .as("lk"))
-      .agg(sum($"l_quantity".cast(LongType)).as("qty"))
+      .select(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType)
+        .as("lk"),
+        when($"l_quantity" =!= floor($"l_quantity"), raise_error(lit(
+          "q260: non-integer l_quantity — Spark truncates and DuckDB " +
+            "rounds on the long cast, the prefix sums would diverge")))
+          .otherwise($"l_quantity").cast(LongType).as("q"))
+      .groupBy($"lk")
+      .agg(sum($"q").as("qty"))
     val off = Packing.contiguousOffsets(li, "lk", "qty",
       seed = 21L, parts = 32)
     off.select($"lk", $"qty", $"global_start",
@@ -465,7 +476,17 @@ object Queries35 {
     * ([[Queries34.mlmSql]]), so a green hash proves stream == batch
     * == cross-engine for the full 80/10/10 pipeline. At scale this is
     * the incremental-corpus path: new shards land, prep runs on
-    * exactly the new rows, checkpointed offsets resume. */
+    * exactly the new rows, checkpointed offsets resume.
+    *
+    * The memory sink here is GATE-HARNESS-ONLY: it exists so the
+    * drained result is a DataFrame the driver can hash, and it holds
+    * the full result in driver memory — fine for the bounded gate
+    * fixture, wrong for production. A production caller writes the
+    * same transform through `foreachBatch` or a file/table sink (the
+    * q200 partitioned-sink gate demonstrates that path), where
+    * nothing accumulates on the driver. The temp view is dropped
+    * before returning so repeated in-JVM runs (bench loops,
+    * parallelism sweeps) do not accumulate result copies. */
   def q261StreamMlm(s: SparkSession, dir: String): DataFrame = {
     val spark = s.newSession()
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -489,7 +510,14 @@ object Queries35 {
       .queryName(name)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // resolve the DataFrame first (analysis binds the memory sink's
+    // relation into the plan), THEN drop the catalog entry — the
+    // returned frame stays readable while the JVM-lifetime leak of one
+    // uniquely-named view per invocation is gone
+    val drained = spark.table(name)
+    drained.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    drained
   }
 
   // thresholds: sel floor(0.2*8192)=1638; 80/10/10 constants shared
@@ -508,8 +536,14 @@ object Queries35 {
     * bern(frac(rate))` and the corpus-level expectation equals the
     * target mix exactly in distribution while every run reproduces
     * the same per-doc counts. Output: per-doc tier + repeat count,
-    * plus per-tier totals (docs, repeats) via a window — ONE shuffle
-    * on the 3-value tier key. DuckDB replays the tier CASE, the
+    * plus per-tier totals (docs, repeats) via groupBy + broadcast
+    * join-back — a 3-row aggregate with map-side partials, then a
+    * broadcast hash join onto the per-doc rows. NOT a
+    * Window.partitionBy(tier): a window on a 3-value key funnels each
+    * tier's every row through ONE task to compute a 2-number answer —
+    * a third of the corpus per task at 100 TB (the round-16 verdict's
+    * one scale-killer, replaced here; plan pinned window-free in
+    * SessionDeterminismSpec). DuckDB replays the tier CASE, the
     * bucket draw, and both totals. Expansion to actual training rows
     * is a row-local `explode(sequence(1, n_repeats))` left to the
     * loader — the schedule itself never multiplies the corpus. */
@@ -529,10 +563,12 @@ object Queries35 {
       .withColumn("n_repeats", $"base" +
         when(graft.operators.Sampling.bucket($"doc_id", 61L) < $"thr",
           1L).otherwise(0L))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy($"tier")
-    docs.select($"doc_id", $"tier", $"n_repeats",
-      count(lit(1)).over(w).as("tier_docs"),
-      sum($"n_repeats").over(w).cast(LongType).as("tier_repeats"))
+    val totals = docs.groupBy($"tier")
+      .agg(count(lit(1)).as("tier_docs"),
+        sum($"n_repeats").cast(LongType).as("tier_repeats"))
+    docs.join(broadcast(totals), Seq("tier"))
+      .select($"doc_id", $"tier", $"n_repeats",
+        $"tier_docs", $"tier_repeats")
   }
 
   val q262Sql: String =

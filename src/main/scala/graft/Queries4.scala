@@ -415,7 +415,11 @@ object Queries4 {
     * invariants: n_docs crosses engines; corpus_ok raises unless every
     * document produced ≥1 token with a non-negative id sum. The
     * encoder ships once per executor via the task closure. */
-  def q36Bpe(s: SparkSession, dir: String): DataFrame = {
+  /** The 10-rule fixture merge table + small vocab shared by q36 and
+    * the BPE-true length gate q265 (whose oracle restates per-word
+    * token counts hand-derived from THESE merges — any edit must
+    * change both). */
+  private[graft] lazy val q36Encoder: BpeEncoder = {
     val merges = Seq(("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
       ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"), ("in", "g"),
       ("o", "r")).zipWithIndex.toMap
@@ -424,7 +428,11 @@ object Queries4 {
         Map("th" -> 100L, "the" -> 101L, "in" -> 102L, "an" -> 103L,
           "and" -> 104L, "er" -> 105L, "on" -> 106L, "re" -> 107L,
           "ing" -> 108L, "or" -> 109L)
-    val enc = new BpeEncoder(merges, vocab, unkId = 0L)
+    new BpeEncoder(merges, vocab, unkId = 0L)
+  }
+
+  def q36Bpe(s: SparkSession, dir: String): DataFrame = {
+    val enc = q36Encoder
     val fixture = s.range(1)
       .select(posexplode(
         Bpe.bpeTokenize(enc)(lit("the and ring or in")))

@@ -533,7 +533,14 @@ object Queries6 {
     * 2. conservation — kept + dropped = total corpus;
     * 3. every dropped id appears in the pair graph (nothing outside a
     *    dup group may be removed). */
-  def q96SemPipeline(s: SparkSession, dir: String): DataFrame = {
+  /** The q96 pipeline frames (emb with planted twins, resolved pair
+    * graph, dropped ids), shared with the oracled survivor-accounting
+    * companion gate q263 so both run the IDENTICAL cluster → pair →
+    * resolve chain. Returns (emb, pairs, dropped); pairs and dropped
+    * are localCheckpointed because every caller fans multiple
+    * consumers off them. */
+  private[graft] def q96Frames(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val emb = t(s, dir, "embeddings").select($"vec_id", $"embedding")
       .unionByName(Queries2.plantedVecs(s))
     // localCheckpoint: the pair frame feeds the CC loop, the orphan
@@ -551,6 +558,11 @@ object Queries6 {
     val dropped = resolved.where($"id" =!= $"keep_id")
       .select($"id".as("vec_id"))
       .localCheckpoint()
+    (emb, pairs, dropped)
+  }
+
+  def q96SemPipeline(s: SparkSession, dir: String): DataFrame = {
+    val (emb, pairs, dropped) = q96Frames(s, dir)
     val kept = emb.join(dropped, Seq("vec_id"), "left_anti")
 
     val pb = Queries2.plantBase
@@ -606,8 +618,12 @@ object Queries6 {
       .repartitionByRange(8, $"__k", $"doc_id")
       .sortWithinPartitions($"__k", $"doc_id")
     val packed = Packing.packGreedy(ordered, "doc_id", "n_tokens", maxTok)
-    val seqs = packed.groupBy($"seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"))
+    // part_id/seq_ord are constant per sequence (a sequence never
+    // crosses a partition); max() just picks the shared value
+    val seqsFull = packed.groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
+        max($"part_id").as("part_id"), max($"seq_ord").as("seq_ord"))
+    val seqs = seqsFull.select($"seq_id", $"n_docs", $"seq_tokens")
 
     val budgetOk = seqs
       .agg(sum(when($"seq_tokens" > maxTok && $"n_docs" > 1, 1)
@@ -625,15 +641,20 @@ object Queries6 {
         .otherwise(raise_error(lit(
           "q97: token/doc conservation failed"))).as("conserve_ok"))
     // non-final sequences per partition: every one the greedy loop
-    // CLOSED because the next doc did not fit. Rank BEFORE dropping
-    // oversize singletons (else a partition ending in a long doc would
+    // CLOSED because the next doc did not fit. The partition and the
+    // creation order come from packGreedy's DATA-DERIVED columns
+    // (part_id = the partition's first doc id, seq_ord = the
+    // sequence's creation ordinal) — NOT from decoding seq_id, which
+    // since round 16 is the sequence's first doc id, not a
+    // (partition << 32) encoding. Rank BEFORE dropping oversize
+    // singletons (else a partition ending in a long doc would
     // mislabel its last real sequence as final); a NULL average (no
     // qualifying sequence at tiny inputs) is a vacuous check, not a
     // failure.
-    val effOk = seqs
+    val effOk = seqsFull
       .withColumn("__last", row_number().over(Window
-        .partitionBy(shiftright($"seq_id", 32))
-        .orderBy($"seq_id".desc)))
+        .partitionBy($"part_id")
+        .orderBy($"seq_ord".desc)))
       .where($"__last" > 1 && $"seq_tokens" <= maxTok)
       .agg(avg($"seq_tokens".cast(DoubleType) / maxTok).as("__fill"))
       .select(when($"__fill".isNull || $"__fill" >= 0.5, lit(true))

@@ -35,8 +35,21 @@ object Packing {
   /** Pack `df` rows, in their current partition order, into sequences
     * of at most `maxTokens` (docs longer than `maxTokens` become
     * singleton oversize sequences — chunk upstream if unwanted).
-    * Input needs (idCol: long, tokenCol: long); returns
-    * (idCol, seq_id, seq_pos, n_tokens) with one row per input doc. */
+    * Input needs (idCol: long non-null UNIQUE, tokenCol: long); returns
+    * (idCol, seq_id, seq_pos, n_tokens, part_id, seq_ord) with one row
+    * per input doc:
+    *  - seq_id: the sequence's FIRST doc id — globally unique BECAUSE
+    *    ids are unique (the caller's contract, mirroring
+    *    [[contiguousOffsets]]: a duplicate id could alias two distinct
+    *    sequences onto one seq_id with no error — aggregate to unique
+    *    keys upstream);
+    *  - part_id: the partition's first-row id — a data-derived
+    *    partition identity (NOT TaskContext, which is task-scoped and
+    *    aliases under a downstream coalesce());
+    *  - seq_ord: the sequence's 0-based creation ordinal within its
+    *    partition, so "the partition's final partial sequence" — the
+    *    one greedy never got to close — is max(seq_ord) per part_id,
+    *    identifiable from data alone (the q97 efficiency check). */
   def packGreedy(
       df: DataFrame,
       idCol: String,
@@ -47,7 +60,9 @@ object Packing {
       StructField(idCol, LongType, nullable = false),
       StructField("seq_id", LongType, nullable = false),
       StructField("seq_pos", IntegerType, nullable = false),
-      StructField("n_tokens", LongType, nullable = false)))
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("part_id", LongType, nullable = false),
+      StructField("seq_ord", IntegerType, nullable = false)))
     // Contract check up front (mirrors Clustering.fit): a null id or
     // token count fails with a clear message instead of an NPE deep in
     // a task. The raise_error rides the same projection — no extra pass.
@@ -64,16 +79,22 @@ object Packing {
             "maxTokens")))
         .otherwise(col(tokenCol).cast(LongType)).as(tokenCol))
     in.mapPartitions { rows =>
+      var partId = 0L
+      var started = false
       var seqFirst = 0L
       var used = maxTokens + 1L // forces a new sequence on the first doc
       var pos = 0
+      var ord = -1
       rows.map { r =>
         val id = r.getLong(0)
         val n = r.getLong(1)
-        if (used + n > maxTokens) { seqFirst = id; used = 0L; pos = 0 }
+        if (!started) { partId = id; started = true }
+        if (used + n > maxTokens) {
+          seqFirst = id; used = 0L; pos = 0; ord += 1
+        }
         used += n
         pos += 1
-        Row(id, seqFirst, pos - 1, n)
+        Row(id, seqFirst, pos - 1, n, partId, ord)
       }
     }(Encoders.row(outSchema))
   }
@@ -158,32 +179,43 @@ object Packing {
     * pinned across parts = 3 vs 8 in PackingSpec).
     *
     * Input needs (idCol: integral non-null UNIQUE, tokenCol: integral
-    * >= 0); returns (idCol, tokenCol, global_start) with one row per
-    * doc. Uniqueness is the caller's contract: duplicate ids break
-    * the total order, making the offset assignment BETWEEN the
-    * duplicates engine- and run-arbitrary (aggregate to unique keys
+    * >= 0); returns (idCol, tokenCol, global_start[, payload...]) with
+    * one row per doc. Uniqueness is the caller's contract: duplicate
+    * ids break the total order, making the offset assignment BETWEEN
+    * the duplicates engine- and run-arbitrary (aggregate to unique keys
     * first — the q260 pattern; a built-in check would cost a full
-    * extra shuffle, so it is deliberately not performed here). */
+    * extra shuffle, so it is deliberately not performed here).
+    *
+    * `payload` columns ride the SAME rows through both passes and come
+    * back appended after global_start — the block-materialization path
+    * (gate q264) keeps each doc's token array alongside its offset
+    * without a corpus-sized join back. */
   def contiguousOffsets(
       df: DataFrame,
       idCol: String,
       tokenCol: String,
       seed: Long,
-      parts: Int): DataFrame = {
+      parts: Int,
+      payload: Seq[String] = Nil): DataFrame = {
     require(parts > 0, s"contiguousOffsets: parts=$parts")
-    val in = df.select(
+    require(!payload.contains(idCol) && !payload.contains(tokenCol) &&
+      !payload.contains("__k") && !payload.contains("global_start"),
+      s"contiguousOffsets: payload $payload collides with a core column")
+    val in = df.select(Seq(
       when(col(idCol).isNull, raise_error(lit(
         s"contiguousOffsets: null $idCol — ids must be non-null")))
         .otherwise(col(idCol).cast(LongType)).as(idCol),
       when(col(tokenCol).isNull || col(tokenCol) < 0, raise_error(lit(
         s"contiguousOffsets: null/negative $tokenCol — offsets would " +
           "go backwards")))
-        .otherwise(col(tokenCol).cast(LongType)).as(tokenCol))
+        .otherwise(col(tokenCol).cast(LongType)).as(tokenCol)) ++
+      payload.map(col): _*)
     val ordered = in
       .withColumn("__k", Sampling.shuffleKey(col(idCol), seed))
       .repartitionByRange(parts, col("__k"), col(idCol))
       .sortWithinPartitions(col("__k"), col(idCol))
-      .select(col(idCol), col(tokenCol), col("__k"))
+      .select(Seq(col(idCol), col(tokenCol), col("__k")) ++
+        payload.map(col): _*)
       .localCheckpoint()
     // Pass 1: per-partition (first-row key, token total). The
     // partition identifies itself by its FIRST ROW's (__k, id) — NOT
@@ -220,10 +252,13 @@ object Packing {
         b
       }.toMap
     val basesB = ordered.sparkSession.sparkContext.broadcast(bases)
+    val payloadFields = payload.map(p => ordered.schema(p))
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField(tokenCol, LongType, nullable = false),
-      StructField("global_start", LongType, nullable = false)))
+      StructField("global_start", LongType, nullable = false)) ++
+      payloadFields)
+    val nPayload = payload.length
     ordered.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
@@ -232,7 +267,8 @@ object Packing {
         (Iterator.single(first) ++ rows).map { r =>
           val start = off
           off += r.getLong(1)
-          Row(r.getLong(0), r.getLong(1), start)
+          Row.fromSeq(Seq(r.getLong(0), r.getLong(1), start) ++
+            (0 until nPayload).map(i => r.get(3 + i)))
         }
       }
     }(Encoders.row(outSchema))

@@ -17,13 +17,16 @@ class PackingSpec extends SparkSpec {
       (5L, 12L), (6L, 3L)).toDF("id", "n").coalesce(1)
     val got = Packing.packGreedy(df, "id", "n", 10)
       .orderBy("id")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getLong(4), r.getInt(5))).toSeq
+    // (id, seq_id, seq_pos, part_id, seq_ord): one partition whose
+    // first row is id 0, sequences created in order 0..4
     assert(got === Seq(
-      (0L, 0L, 0), (1L, 0L, 1),
-      (2L, 2L, 0), (3L, 2L, 1),
-      (4L, 4L, 0),
-      (5L, 5L, 0), // oversize doc: singleton sequence
-      (6L, 6L, 0)))
+      (0L, 0L, 0, 0L, 0), (1L, 0L, 1, 0L, 0),
+      (2L, 2L, 0, 0L, 1), (3L, 2L, 1, 0L, 1),
+      (4L, 4L, 0, 0L, 2),
+      (5L, 5L, 0, 0L, 3), // oversize doc: singleton sequence
+      (6L, 6L, 0, 0L, 4)))
   }
 
   test("packGreedy seq ids stay distinct across partitions even under " +
@@ -43,6 +46,20 @@ class PackingSpec extends SparkSpec {
     val bad = packed.groupBy("seq_id").agg(min("id").as("first"))
       .where(col("seq_id") =!= col("first")).count()
     assert(bad === 0)
+    // part_id is DATA-derived too: 4 distinct partition identities
+    // survive the coalesce, each a range partition's first doc id,
+    // and seq_ord counts each partition's sequences densely from 0 —
+    // so max(seq_ord)+1 per part_id equals its sequence count (the
+    // q97 final-sequence identification rests on this)
+    val parts = packed.groupBy("part_id")
+      .agg(countDistinct("seq_id").as("n_seq"),
+        max("seq_ord").as("max_ord"), min("seq_ord").as("min_ord"))
+      .collect()
+    assert(parts.length === 4, "4 range partitions, 4 part ids")
+    parts.foreach { r =>
+      assert(r.getInt(3) === 0 && r.getLong(1) === r.getInt(2) + 1L,
+        s"seq_ord must be dense 0..n-1 within ${r.getLong(0)}")
+    }
   }
 
   test("padToMax pins the reference pad_sequence fixture bit-exactly") {
@@ -240,6 +257,29 @@ class PackingSpec extends SparkSpec {
       expect += n
     }
     assert(expect === rows.map(_._2).sum)
+  }
+
+  test("contiguousOffsets carries payload columns through both passes " +
+      "unchanged (the q264 no-join-back contract)") {
+    val rows = (0L until 50L).map(i => (i, (i % 5) + 1, s"w$i", i * 2))
+    val df = rows.toDF("id", "n", "tag", "twice").repartition(3)
+    val out = Packing.contiguousOffsets(df, "id", "n", 99L, 4,
+      payload = Seq("tag", "twice")).collect()
+    assert(out.head.schema.fieldNames.toSeq ===
+      Seq("id", "n", "global_start", "tag", "twice"))
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(3) === s"w$id" && r.getLong(4) === id * 2,
+        s"payload corrupted for id=$id")
+    }
+    // offsets themselves must be identical to the payload-free run
+    val bare = Packing.contiguousOffsets(df, "id", "n", 99L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    out.foreach(r => assert(bare(r.getLong(0)) === r.getLong(2)))
+    intercept[IllegalArgumentException] {
+      Packing.contiguousOffsets(df, "id", "n", 99L, 4,
+        payload = Seq("id"))
+    }
   }
 
   test("contiguousOffsets on an empty frame returns an empty frame " +

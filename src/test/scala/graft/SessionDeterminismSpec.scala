@@ -155,7 +155,31 @@ class SessionDeterminismSpec extends SparkSpec {
     acrossParallelism("q260_global_cumsum")
   }
 
-  test("q262 repeat schedule is parallelism-invariant") {
+  test("q262 repeat schedule is parallelism-invariant and window-free " +
+      "(per-tier totals via groupBy + broadcast join-back, never a " +
+      "3-partition Window funnel)") {
     acrossParallelism("q262_repeat_schedule")
+    // the round-16 verdict's one scale-killer: Window.partitionBy(tier)
+    // forces a third of the corpus through one task — the plan must
+    // carry NO window at all and broadcast the 3-row totals back
+    val plan = SparkEntry.queries("q262_repeat_schedule")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q262 must not window on the 3-value tier key, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q262 totals must broadcast-join back, got:\n$plan")
+  }
+
+  test("q263 SemDeDup survivor accounting is parallelism-invariant") {
+    acrossParallelism("q263_sem_survivors")
+  }
+
+  test("q264 block materialization is parallelism-invariant (payload " +
+      "rides the two-phase offsets under any session layout)") {
+    acrossParallelism("q264_block_rows")
+  }
+
+  test("q265 BPE-true length buckets are parallelism-invariant") {
+    acrossParallelism("q265_bpe_len_buckets")
   }
 }
