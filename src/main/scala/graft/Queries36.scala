@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.Packing
+import graft.operators.{Packing, TextAnalysis}
 
 /** Round-17 gates: the remaining oracle-split and materialization
   * companions from the round-16 verdict — SemDeDup survivor accounting
@@ -181,21 +181,30 @@ object Queries36 {
     * dictionary cannot happen (it is built from the same frame); a
     * word missing from the ORACLE's 31-entry CASE yields NULL and
     * fails the hash loudly. */
-  def q265BpeLenBuckets(s: SparkSession, dir: String): DataFrame = {
+  /** Per-document BPE token count as a codegen'd expression: the
+    * corpus's DISTINCT words (bounded, vocabulary-sized collect,
+    * hard-capped) each encoded ONCE through the real
+    * [[graft.functions.BpeEncoder]] on the driver, shipped as a map
+    * literal — shared by q265 and q267. */
+  private def bpeLenExpr(s: SparkSession, dir: String): org.apache.spark.sql.Column = {
     val enc = Queries4.q36Encoder
     val words = t(s, dir, "documents")
       .select(explode(split(trim($"text"), "\\s+")).as("w"))
       .distinct()
       .collect().map(_.getString(0))
     require(words.length <= 65536,
-      s"q265: corpus vocabulary ${words.length} exceeds the dictionary " +
+      s"corpus vocabulary ${words.length} exceeds the dictionary " +
         "bound — dictionary-encode in a distributed pass instead")
     val dict = words.sorted.flatMap(w =>
       Seq(lit(w), lit(enc.encode(w).size.toLong)))
     val lens = map(dict.toIndexedSeq: _*)
-    val len = aggregate(
+    aggregate(
       transform(split(trim($"text"), "\\s+"), w => element_at(lens, w)),
       lit(0L), (acc, x) => acc + x)
+  }
+
+  def q265BpeLenBuckets(s: SparkSession, dir: String): DataFrame = {
+    val len = bpeLenExpr(s, dir)
     val bounds = Seq(16, 32, 64, 128, 256, 512)
     t(s, dir, "documents")
       .select(Packing.lengthBucket(len, bounds).cast(LongType)
@@ -248,15 +257,129 @@ object Queries36 {
        |ORDER BY bucket_len""".stripMargin
   }
 
+  // ---- q266: curriculum staging via funnel-free global rank, hashed ---------
+
+  /** Curriculum staging (easy→hard training order, Bengio et al.
+    * 2009 realized as data prep): every document's exact 0-based
+    * global rank in (difficulty, doc_id) order — difficulty here is
+    * the exact token count; any scored column slots in — then integer
+    * quantile boundaries cut the corpus into warmup (first 20%),
+    * main (next 60%), and anneal (last 20%) stages, with per-stage
+    * totals joined back.
+    *
+    * Scale shape: the rank comes from [[Packing.rankInOrder]] — a
+    * two-phase prefix COUNT over range partitions — NOT
+    * `row_number() OVER (ORDER BY ...)`, whose executed plan funnels
+    * the whole corpus through ONE task (the global-sort twin of the
+    * q262 tier-window lesson; plan pinned window-free in
+    * SessionDeterminismSpec). Stage membership is pure integer
+    * arithmetic (rank*5 < n, rank*5 < n*4) against a broadcast 1-row
+    * count; stage totals are a 3-row groupBy broadcast-joined back.
+    * DuckDB replays the rank as row_number over the same total order
+    * — a green hash proves the two-phase rank equals the global sort
+    * exactly. */
+  def q266Curriculum(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast(LongType).as("score"),
+        TextAnalysis.tokenCount($"text").cast(LongType).as("len"))
+    val ranked = Packing.rankInOrder(docs, "doc_id", Seq("score"),
+      parts = 8, payload = Seq("len"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val staged = ranked.crossJoin(broadcast(n))
+      .withColumn("stage",
+        when($"rank" * 5 < $"__n", "warmup")
+          .when($"rank" * 5 < $"__n" * 4, "main")
+          .otherwise("anneal"))
+    val totals = staged.groupBy($"stage")
+      .agg(count(lit(1)).as("stage_docs"),
+        sum($"len").cast(LongType).as("stage_tokens"))
+    staged.join(broadcast(totals), Seq("stage"))
+      .select($"doc_id", $"len", $"rank", $"stage",
+        $"stage_docs", $"stage_tokens")
+  }
+
+  val q266Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+      |      AS len
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, len,
+      |    row_number() OVER (ORDER BY len, doc_id) - 1 AS rank,
+      |    count(*) OVER () AS n
+      |  FROM d),
+      |st AS (
+      |  SELECT doc_id, len, CAST(rank AS BIGINT) AS rank,
+      |    CASE WHEN rank * 5 < n THEN 'warmup'
+      |         WHEN rank * 5 < n * 4 THEN 'main'
+      |         ELSE 'anneal' END AS stage
+      |  FROM r)
+      |SELECT doc_id, len, rank, stage,
+      |  count(*) OVER (PARTITION BY stage) AS stage_docs,
+      |  CAST(sum(len) OVER (PARTITION BY stage) AS BIGINT)
+      |    AS stage_tokens
+      |FROM st""".stripMargin
+
+  // ---- q267: tokenizer fertility report, hashed ------------------------------
+
+  /** Tokenizer-efficiency metrics per document — the numbers a
+    * tokenizer evaluation reads before committing a vocab to a
+    * training run: word count, BPE token count (the q265 dictionary
+    * expression through the real encoder), character count, fertility
+    * (BPE tokens per word — the standard multilingual-tokenizer
+    * metric), and compression (chars per BPE token). Ratios are
+    * double divisions of exact longs rounded to 6 — the identical
+    * IEEE expression on both engines (the repo float convention).
+    * Plan: one row-local scan (plus the bounded distinct-word
+    * collect); no shuffle at any corpus size. */
+  def q267Fertility(s: SparkSession, dir: String): DataFrame = {
+    val bpe = bpeLenExpr(s, dir)
+    t(s, dir, "documents")
+      .select($"doc_id",
+        TextAnalysis.tokenCount($"text").cast(LongType).as("n_words"),
+        bpe.as("n_bpe"),
+        length(trim($"text")).cast(LongType).as("n_chars"))
+      .withColumn("fertility",
+        round($"n_bpe".cast(DoubleType) / $"n_words".cast(DoubleType), 6))
+      .withColumn("chars_per_token",
+        round($"n_chars".cast(DoubleType) / $"n_bpe".cast(DoubleType), 6))
+  }
+
+  val q267Sql: String = {
+    val cases = bpeWordLens
+      .map { case (w, n) => s"WHEN '$w' THEN $n" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_words,
+       |    CAST(list_sum(list_transform(
+       |      string_split_regex(trim(text), '\\s+'),
+       |      t -> CASE t $cases END)) AS BIGINT) AS n_bpe,
+       |    CAST(len(trim(text)) AS BIGINT) AS n_chars
+       |  FROM documents)
+       |SELECT doc_id, n_words, n_bpe, n_chars,
+       |  round(CAST(n_bpe AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+       |    AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE), 6)
+       |    AS chars_per_token
+       |FROM d""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_sem_survivors" -> (q263SemSurvivors _),
     "q264_block_rows" -> (q264BlockRows _),
-    "q265_bpe_len_buckets" -> (q265BpeLenBuckets _)
+    "q265_bpe_len_buckets" -> (q265BpeLenBuckets _),
+    "q266_curriculum" -> (q266Curriculum _),
+    "q267_fertility" -> (q267Fertility _)
   )
 
   val oracles: Map[String, String] = Map(
     "q263_sem_survivors" -> q263Sql,
     "q264_block_rows" -> q264Sql,
-    "q265_bpe_len_buckets" -> q265Sql
+    "q265_bpe_len_buckets" -> q265Sql,
+    "q266_curriculum" -> q266Sql,
+    "q267_fertility" -> q267Sql
   )
 }

@@ -274,6 +274,134 @@ object Packing {
     }(Encoders.row(outSchema))
   }
 
+  /** Exact global prefix sum in a CALLER-SPECIFIED total order — the
+    * general form of [[contiguousOffsets]] (which fixes the order to
+    * ([[Sampling.shuffleKey]], id)): every row gets `global_start`,
+    * the exact sum of `weightCol` over all rows strictly before it in
+    * (orderCols..., idCol) order. Same two-phase shape — range
+    * partition on the order key, per-partition totals (a `parts`-row
+    * bounded collect, summaries sorted into partition order BY THE
+    * ENGINE so order-column types stay generic), second walk with
+    * exclusive bases — so there is never a one-partition global
+    * window, at any corpus size. Partition identity is the first
+    * row's id (data-derived, coalesce-immune).
+    *
+    * Contracts: idCol integral non-null UNIQUE (ties in orderCols
+    * break on id, so the order is total); weightCol integral >= 0;
+    * orderCols non-null (raise_error otherwise — a null order value
+    * has engine-specific sort position: Spark sorts NULLS FIRST
+    * ascending where DuckDB defaults NULLS LAST, so a null would make
+    * the "same total order" cross-engine claim false). Returns
+    * (idCol, weightCol, global_start[, payload...]). */
+  def prefixSumInOrder(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      orderCols: Seq[String],
+      parts: Int,
+      payload: Seq[String] = Nil): DataFrame = {
+    require(parts > 0, s"prefixSumInOrder: parts=$parts")
+    require(orderCols.nonEmpty, "prefixSumInOrder: orderCols is empty")
+    val core = Set(idCol, weightCol, "global_start")
+    require(!orderCols.exists(core) && !payload.exists(core) &&
+      !payload.exists(orderCols.toSet),
+      s"prefixSumInOrder: orderCols $orderCols / payload $payload " +
+        s"collide with core columns or each other")
+    val checked = df.select(Seq(
+      when(col(idCol).isNull, raise_error(lit(
+        s"prefixSumInOrder: null $idCol — ids must be non-null")))
+        .otherwise(col(idCol).cast(LongType)).as(idCol),
+      when(col(weightCol).isNull || col(weightCol) < 0, raise_error(lit(
+        s"prefixSumInOrder: null/negative $weightCol — offsets would " +
+          "go backwards")))
+        .otherwise(col(weightCol).cast(LongType)).as(weightCol)) ++
+      orderCols.map(c => when(col(c).isNull, raise_error(lit(
+        s"prefixSumInOrder: null order column $c — null sort position " +
+          "is engine-specific, the total order would not be portable")))
+        .otherwise(col(c)).as(c)) ++
+      payload.map(col): _*)
+    val sortExprs = orderCols.map(col) :+ col(idCol)
+    val ordered = checked
+      .repartitionByRange(parts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .localCheckpoint()
+    // column layout after `checked`: id(0), weight(1),
+    // order(2..1+nOrder), payload(2+nOrder..)
+    val nOrder = orderCols.length
+    val orderFields = orderCols.map(ordered.schema(_))
+    val infoSchema = StructType(
+      StructField("fid", LongType, nullable = false) +:
+      StructField("tot", LongType, nullable = false) +:
+      orderFields.map(f => f.copy(name = "o_" + f.name)))
+    // Pass 1: (first-row id, weight total, first-row order key) per
+    // partition — identity data-derived, never TaskContext (the
+    // coalesce-aliasing lesson, SCALE.md round 16)
+    val partInfo = ordered.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.next()
+        var s = first.getLong(1)
+        rows.foreach(r => s += r.getLong(1))
+        Iterator.single(Row.fromSeq(Seq(first.getLong(0), s) ++
+          (0 until nOrder).map(i => first.get(2 + i))))
+      }
+    }(Encoders.row(infoSchema))
+    // range partitions are disjoint in the sort key, so first-row keys
+    // sort in partition order; sorting the `parts` summaries in the
+    // ENGINE keeps arbitrary order-column types out of driver code
+    val infoSorted = partInfo
+      .orderBy(orderFields.map(f => col("o_" + f.name)) :+ col("fid"): _*)
+      .select(col("fid"), col("tot"))
+      .collect()
+    var acc = 0L
+    val bases = infoSorted.map { r =>
+      val b = (r.getLong(0), acc); acc += r.getLong(1); b
+    }.toMap
+    val basesB = ordered.sparkSession.sparkContext.broadcast(bases)
+    val payloadFields = payload.map(ordered.schema(_))
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(weightCol, LongType, nullable = false),
+      StructField("global_start", LongType, nullable = false)) ++
+      payloadFields)
+    val nPayload = payload.length
+    ordered.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.next()
+        var off = basesB.value(first.getLong(0))
+        (Iterator.single(first) ++ rows).map { r =>
+          val start = off
+          off += r.getLong(1)
+          Row.fromSeq(Seq(r.getLong(0), r.getLong(1), start) ++
+            (0 until nPayload).map(i => r.get(2 + nOrder + i)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Exact 0-based GLOBAL RANK in (orderCols..., idCol) order without
+    * a one-partition window — `row_number() OVER (ORDER BY ...)` is
+    * THE classic global-sort funnel (every row through one task);
+    * this is the same number as a two-phase prefix COUNT
+    * ([[prefixSumInOrder]] with weight 1). The curriculum-ordering /
+    * quantile-staging primitive: rank vs a broadcast total gives
+    * exact integer quantile membership with no full sort on one
+    * executor. Returns (idCol, rank[, payload...]). */
+  def rankInOrder(
+      df: DataFrame,
+      idCol: String,
+      orderCols: Seq[String],
+      parts: Int,
+      payload: Seq[String] = Nil): DataFrame = {
+    val one = "__graft_one"
+    require(!df.columns.contains(one), s"rankInOrder: column $one exists")
+    prefixSumInOrder(df.withColumn(one, lit(1L)), idCol, one,
+      orderCols, parts, payload)
+      .withColumnRenamed("global_start", "rank")
+      .drop(one)
+  }
+
   /** Reference-exact batch-max padding: every list in `arrCol` is
     * padded (never truncated) to the LONGEST list in the frame, the
     * `PadSequence` semantics of test/test_interop.py:190. The batch

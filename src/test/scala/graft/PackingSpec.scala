@@ -282,6 +282,58 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("prefixSumInOrder equals the brute-force prefix sum in the " +
+      "caller's order (ties on id), is partition-count invariant, and " +
+      "carries payload") {
+    // order by a NON-UNIQUE string key — exercises generic order-column
+    // types and the id tiebreak
+    val rows = (0L until 240L).map(i =>
+      (i, (i * 7 % 13) + 1, s"g${i % 9}", s"p$i"))
+    val df = rows.toDF("id", "w", "grp", "tag").repartition(5)
+    val got6 = Packing.prefixSumInOrder(df, "id", "w", Seq("grp"), 6,
+      payload = Seq("tag")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val got3 = Packing.prefixSumInOrder(df, "id", "w", Seq("grp"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var off = 0L
+    rows.sortBy(t => (t._3, t._1)).foreach { case (id, w, _, tag) =>
+      assert(got6(id) === ((off, tag)), s"parts=6 id=$id")
+      assert(got3(id) === off, s"parts=3 id=$id")
+      off += w
+    }
+    assert(off === rows.map(_._2).sum)
+  }
+
+  test("rankInOrder equals row_number()-1 over the same total order " +
+      "and survives coalesce(1)") {
+    val rows = (0L until 300L).map(i => (i, (i * 31 % 17) + 1))
+    val df = rows.toDF("id", "score").repartition(4)
+    val got = Packing.rankInOrder(df, "id", Seq("score"), 7)
+      .coalesce(1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.sortBy(t => (t._2, t._1)).zipWithIndex.foreach {
+      case ((id, _), rk) => assert(got(id) === rk.toLong, s"id=$id")
+    }
+    // executed plan must be window-free: the whole point is replacing
+    // the one-partition row_number() OVER (ORDER BY ...) funnel
+    val plan = Packing.rankInOrder(df, "id", Seq("score"), 7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"rankInOrder must not plan a global window, got:\n$plan")
+  }
+
+  test("prefixSumInOrder rejects null order values (engine-specific " +
+      "null sort position would break the portable total order)") {
+    val bad = Seq((0L, 1L, "a"), (1L, 1L, null.asInstanceOf[String]))
+      .toDF("id", "w", "k")
+    val e = intercept[Exception] {
+      Packing.prefixSumInOrder(bad, "id", "w", Seq("k"), 2).collect()
+    }
+    assert(e.getMessage.contains("null order column"))
+    intercept[IllegalArgumentException] {
+      Packing.prefixSumInOrder(bad, "id", "w", Seq("id"), 2)
+    }
+  }
+
   test("contiguousOffsets on an empty frame returns an empty frame " +
       "(all partitions empty in both passes)") {
     val empty = Seq.empty[(Long, Long)].toDF("id", "n")

@@ -182,4 +182,20 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q265 BPE-true length buckets are parallelism-invariant") {
     acrossParallelism("q265_bpe_len_buckets")
   }
+
+  test("q266 curriculum staging is parallelism-invariant and " +
+      "window-free (global rank via two-phase prefix count, never " +
+      "row_number over a global sort)") {
+    acrossParallelism("q266_curriculum")
+    val plan = SparkEntry.queries("q266_curriculum")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q266 must not plan a global-sort window, got:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q266 stage totals must broadcast-join back, got:\n$plan")
+  }
+
+  test("q267 fertility report is parallelism-invariant") {
+    acrossParallelism("q267_fertility")
+  }
 }
