@@ -274,13 +274,39 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     * shuffle on the key, bounded per-task state). With `by` empty the
     * window is GLOBAL: the whole column funnels through one task —
     * driver-scale data only. For an EXACT-typed global running sum at
-    * corpus scale, use [[graft.operators.Packing.contiguousOffsets]]
-    * (two-phase range-partitioned prefix sum, gate q260) — it avoids
-    * the funnel; doubles stay here because two-phase regrouping
-    * changes float rounding vs the sequential window. */
+    * corpus scale, use [[cumsumExact]] (the two-phase
+    * range-partitioned prefix sum of
+    * [[graft.operators.Packing.prefixSumInOrder]], gates q260/q266) —
+    * it avoids the funnel; doubles stay here because two-phase
+    * regrouping changes float rounding vs the sequential window. */
   def cumsum(valueCols: Seq[String], order: Seq[String],
       by: Seq[String] = Nil): TFrame =
     cumApply("cumsum", functions.sum, valueCols, order, by)
+
+  /** The scale-safe EXACT form of global `cumsum` for one integral
+    * column: the two-phase range-partitioned prefix sum
+    * ([[graft.operators.Packing.prefixSumInOrder]], gates q260/q266)
+    * in (order..., idCol) order — no one-partition window at any
+    * corpus size. Adds `<valueCol>.cumsum` (inclusive running sum,
+    * matching [[cumsum]]'s window frame) and preserves every other
+    * column. Contracts differ from the windowed form, deliberately:
+    * `idCol` must be non-null UNIQUE (it totalizes the order),
+    * `valueCol` must be non-null and >= 0 (raise_error otherwise —
+    * the reference's skipna null pass-through needs a per-row window,
+    * the thing this form exists to avoid; fill or drop nulls
+    * upstream), and values are computed exactly in LONG (doubles stay
+    * on the windowed form: two-phase regrouping changes float
+    * rounding vs the sequential window). */
+  def cumsumExact(valueCol: String, order: Seq[String], idCol: String,
+      parts: Int = 64): TFrame = {
+    val payload = columns.filterNot(c =>
+      c == idCol || c == valueCol || order.contains(c))
+    val out = graft.operators.Packing.prefixSumInOrder(
+      df, idCol, valueCol, order, parts, payload)
+    TFrame(out
+      .withColumn(s"$valueCol.cumsum", col("global_start") + col(valueCol))
+      .drop("global_start"))
+  }
 
   def cummin(valueCols: Seq[String], order: Seq[String],
       by: Seq[String] = Nil): TFrame =

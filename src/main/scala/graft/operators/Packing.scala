@@ -292,7 +292,10 @@ object Packing {
     * has engine-specific sort position: Spark sorts NULLS FIRST
     * ascending where DuckDB defaults NULLS LAST, so a null would make
     * the "same total order" cross-engine claim false). Returns
-    * (idCol, weightCol, global_start[, payload...]). */
+    * (idCol, weightCol, global_start, orderCols..., payload...) —
+    * order columns ride through so a caller (e.g.
+    * [[graft.frame.TFrame.cumsumExact]]) keeps its full frame without
+    * a join back. */
   def prefixSumInOrder(
       df: DataFrame,
       idCol: String,
@@ -301,7 +304,8 @@ object Packing {
       parts: Int,
       payload: Seq[String] = Nil): DataFrame = {
     require(parts > 0, s"prefixSumInOrder: parts=$parts")
-    require(orderCols.nonEmpty, "prefixSumInOrder: orderCols is empty")
+    // empty orderCols is legal: the order is then idCol alone (still
+    // total — ids are unique), the "running sum in key order" form
     val core = Set(idCol, weightCol, "global_start")
     require(!orderCols.exists(core) && !payload.exists(core) &&
       !payload.exists(orderCols.toSet),
@@ -358,13 +362,13 @@ object Packing {
       val b = (r.getLong(0), acc); acc += r.getLong(1); b
     }.toMap
     val basesB = ordered.sparkSession.sparkContext.broadcast(bases)
-    val payloadFields = payload.map(ordered.schema(_))
+    val tailFields = orderFields ++ payload.map(ordered.schema(_))
     val outSchema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField(weightCol, LongType, nullable = false),
       StructField("global_start", LongType, nullable = false)) ++
-      payloadFields)
-    val nPayload = payload.length
+      tailFields)
+    val nTail = tailFields.length
     ordered.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
@@ -374,7 +378,7 @@ object Packing {
           val start = off
           off += r.getLong(1)
           Row.fromSeq(Seq(r.getLong(0), r.getLong(1), start) ++
-            (0 until nPayload).map(i => r.get(2 + nOrder + i)))
+            (0 until nTail).map(i => r.get(2 + i)))
         }
       }
     }(Encoders.row(outSchema))
@@ -387,7 +391,7 @@ object Packing {
     * ([[prefixSumInOrder]] with weight 1). The curriculum-ordering /
     * quantile-staging primitive: rank vs a broadcast total gives
     * exact integer quantile membership with no full sort on one
-    * executor. Returns (idCol, rank[, payload...]). */
+    * executor. Returns (idCol, rank, orderCols..., payload...). */
   def rankInOrder(
       df: DataFrame,
       idCol: String,

@@ -290,9 +290,13 @@ class PackingSpec extends SparkSpec {
     val rows = (0L until 240L).map(i =>
       (i, (i * 7 % 13) + 1, s"g${i % 9}", s"p$i"))
     val df = rows.toDF("id", "w", "grp", "tag").repartition(5)
-    val got6 = Packing.prefixSumInOrder(df, "id", "w", Seq("grp"), 6,
-      payload = Seq("tag")).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    val out6 = Packing.prefixSumInOrder(df, "id", "w", Seq("grp"), 6,
+      payload = Seq("tag"))
+    // order columns ride through after global_start, then payload
+    assert(out6.columns.toSeq === Seq("id", "w", "global_start", "grp", "tag"))
+    val got6 = out6.collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("global_start"), r.getAs[String]("tag")))).toMap
     val got3 = Packing.prefixSumInOrder(df, "id", "w", Seq("grp"), 3)
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     var off = 0L

@@ -164,6 +164,31 @@ class TFrameSpec extends SparkSpec {
       Seq(6L, 11L, 15L, 18L, 20L, 21L, 21L))
   }
 
+  test("cumsumExact equals the windowed global cumsum on integral " +
+      "data, preserves all columns, and plans no window") {
+    import graft.frame.TFrame
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = (0L until 400L).map(i => (i, (i * 13 % 29) + 1, s"t$i"))
+    val tf = TFrame(rows.toDF("id", "v", "tag").repartition(5))
+    val windowed = tf.cumsum(Seq("v"), order = Seq("id"))
+      .df.select(col("id"), col("`v.cumsum`")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // order by the id alone: empty orderCols, the key-order form
+    val exact = tf.cumsumExact("v", order = Seq.empty, idCol = "id",
+      parts = 6)
+    assert(exact.columns.sorted ===
+      Seq("id", "tag", "v", "v.cumsum").sorted)
+    val got = exact.df
+      .select(col("id"), col("`v.cumsum`"), col("tag")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === windowed(r.getLong(0)),
+        s"id=${r.getLong(0)}")
+      assert(r.getString(2) === s"t${r.getLong(0)}", "payload corrupted")
+    }
+    assert(!exact.df.queryExecution.executedPlan.toString.contains("Window"),
+      "cumsumExact must never plan a window")
+  }
+
   test("head/tail/append") {
     assert(abc.head(2).length === 2L)
     assert(col0(abc.tail(2).df.select("a")) === Seq(5L, 6L))
