@@ -157,4 +157,28 @@ class PropertySpec extends SparkSpec {
       assert(got.getLong(1) === rows.toLong)
     }
   }
+
+  test("prefixSumInOrder equals the sequential prefix sum for random " +
+      "sizes, weights (zeros included), duplicate order keys, and " +
+      "partition counts") {
+    import graft.operators.Packing
+    import spark.implicits._
+    val gen = Gen.zip(Gen.choose(1, 150), Gen.choose(1, 9),
+      Gen.choose(2, 11))
+    samples(gen, 8).zipWithIndex.foreach { case ((rows, kMod, parts), i) =>
+      // weights include zeros; order key deliberately NON-unique so the
+      // id tiebreak carries the total order
+      val data = (0 until rows).map(j =>
+        (j.toLong, (j * 17 + i * 5) % 7L, ((j * 13 + i) % kMod).toLong))
+      val df = data.toDF("id", "w", "k").repartition(3)
+      val got = Packing.prefixSumInOrder(df, "id", "w", Seq("k"), parts)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      var off = 0L
+      data.sortBy(d => (d._3, d._1)).foreach { case (id, w, _) =>
+        assert(got(id) === off, s"rows=$rows kMod=$kMod parts=$parts id=$id")
+        off += w
+      }
+      assert(off === data.map(_._2).sum)
+    }
+  }
 }
