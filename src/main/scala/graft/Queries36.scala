@@ -367,12 +367,59 @@ object Queries36 {
        |FROM d""".stripMargin
   }
 
+  // ---- q268: global rank + deciles on the fact table, hashed ----------------
+
+  /** [[Packing.rankInOrder]] proven on the BIG table (the q260 role
+    * for the rank half of the two-phase machinery): every unique
+    * lineitem key (the q260 aggregation — the synthetic table
+    * duplicates (orderkey, linenumber)) gets its exact 0-based global
+    * rank in (total quantity, key) order plus an exact integer decile
+    * — 600k keys at sf0.1 / 4.57M at sf1.0 through 32 range
+    * partitions and a 32-row driver collect, where the declarative
+    * spelling `row_number() OVER (ORDER BY ...)` would funnel every
+    * row through ONE task. The decile is (rank*10) div n against a
+    * broadcast 1-row count — the exact-quantile bucketing of mixture
+    * capping / eval-split assignment at corpus scale. Quantities are
+    * integrality-asserted as in q260. DuckDB replays rank and decile
+    * over the same total order. */
+  def q268GlobalRank(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType)
+        .as("lk"),
+        when($"l_quantity" =!= floor($"l_quantity"), raise_error(lit(
+          "q268: non-integer l_quantity — Spark truncates and DuckDB " +
+            "rounds on the long cast, the ranks would diverge")))
+          .otherwise($"l_quantity").cast(LongType).as("q"))
+      .groupBy($"lk")
+      .agg(sum($"q").as("qty"))
+    val ranked = Packing.rankInOrder(li, "lk", Seq("qty"), parts = 32)
+    val n = li.agg(count(lit(1)).as("__n"))
+    ranked.crossJoin(broadcast(n))
+      .select($"lk", $"qty", $"rank",
+        expr("CAST((rank * 10) DIV __n AS BIGINT)").as("decile"))
+  }
+
+  val q268Sql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS lk,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1),
+      |r AS (
+      |  SELECT lk, qty,
+      |    row_number() OVER (ORDER BY qty, lk) - 1 AS rank,
+      |    count(*) OVER () AS n
+      |  FROM d)
+      |SELECT lk, qty, CAST(rank AS BIGINT) AS rank,
+      |  CAST((rank * 10) // n AS BIGINT) AS decile
+      |FROM r""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q263_sem_survivors" -> (q263SemSurvivors _),
     "q264_block_rows" -> (q264BlockRows _),
     "q265_bpe_len_buckets" -> (q265BpeLenBuckets _),
     "q266_curriculum" -> (q266Curriculum _),
-    "q267_fertility" -> (q267Fertility _)
+    "q267_fertility" -> (q267Fertility _),
+    "q268_global_rank" -> (q268GlobalRank _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -380,6 +427,7 @@ object Queries36 {
     "q264_block_rows" -> q264Sql,
     "q265_bpe_len_buckets" -> q265Sql,
     "q266_curriculum" -> q266Sql,
-    "q267_fertility" -> q267Sql
+    "q267_fertility" -> q267Sql,
+    "q268_global_rank" -> q268Sql
   )
 }

@@ -198,4 +198,13 @@ class SessionDeterminismSpec extends SparkSpec {
   test("q267 fertility report is parallelism-invariant") {
     acrossParallelism("q267_fertility")
   }
+
+  test("q268 fact-table global rank is parallelism-invariant and " +
+      "window-free") {
+    acrossParallelism("q268_global_rank")
+    val plan = SparkEntry.queries("q268_global_rank")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q268 must not plan a global-sort window, got:\n$plan")
+  }
 }
