@@ -62,7 +62,18 @@ object Bench {
     def fmt(xs: Seq[(String, (Double, Boolean))]): String =
       xs.map { case (k, (v, _)) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")
-    val pairMin = s1.map { case (k, (v1, _)) => k -> math.min(v1, m2(k)._1) }
+    // per-query min over SUCCESSFUL samples only: a pass that failed
+    // fast (transient OOM, source hiccup) must not publish its short
+    // time-to-exception as the band. Only when both passes failed does
+    // the min of the two (still-flagged) readings stand in.
+    val pairMin = s1.map { case (k, (v1, ok1)) =>
+      val (v2, ok2) = m2(k)
+      k -> ((ok1, ok2) match {
+        case (true, false)  => v1
+        case (false, true)  => v2
+        case _              => math.min(v1, v2)
+      })
+    }
     val qs = pairMin.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // a query failing in EITHER pass must be visible, never silently
@@ -79,7 +90,50 @@ object Bench {
     val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val load = os.getSystemLoadAverage
     val nproc = os.getAvailableProcessors
-    println(s"""{"metric":"pair_min_total","value":$total,"unit":"sec","queries":$qs,"queries_s1":${fmt(s1)},"queries_s2":${fmt(s2)},"samples":[$t1,$t2],"failed":$failed,"sf":"$sfDir","load_avg_1m":$load,"nproc":$nproc}""")
+    // Self-reporting 2x contract (round 18): load the recorded band
+    // set (BASELINE_BANDS.json — per-query pair-min seconds keyed by
+    // SF directory name, maintained from BASELINE.md's definitive
+    // pairs) and publish per-query ratio vs band plus an explicit
+    // over_2x list, so a genuine regression turns the artifact red
+    // without manual cross-referencing. Queries with no recorded band
+    // yet (new gates) are listed in no_band. Failed-in-both-passes
+    // queries are excluded from ratios (a time-to-exception is not a
+    // measurement). Absent/unreadable band file -> band_sf null.
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS", "BASELINE_BANDS.json")
+    val sfName = new java.io.File(sfDir).getName
+    val failedBoth = s1.collect {
+      case (k, (_, false)) if !m2(k)._2 => k
+    }.toSet
+    val bandReport: String =
+      try {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(new java.io.File(bandsPath))
+        val node = root.get(sfName)
+        if (node == null) s""","band_sf":null"""
+        else {
+          val bands = {
+            val it = node.fields()
+            val b = Seq.newBuilder[(String, Double)]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asDouble() }
+            b.result().toMap
+          }
+          val measured = pairMin.filterNot { case (k, _) => failedBoth(k) }
+          val ratios = measured.collect {
+            case (k, v) if bands.get(k).exists(_ > 0) => k -> v / bands(k)
+          }
+          val over = ratios.collect { case (k, r) if r > 2.0 => k }
+            .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+          val noBand = measured.collect { case (k, _) if !bands.contains(k) => k }
+            .sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+          val rs = ratios.map { case (k, r) => "\"" + k + "\":" + (math.rint(r * 1000) / 1000) }
+            .mkString("{", ",", "}")
+          val sortedR = ratios.map(_._2).sorted
+          val med = if (sortedR.isEmpty) 0.0
+            else math.rint(sortedR(sortedR.size / 2) * 1000) / 1000
+          s""","band_sf":"$sfName","band_ratios":$rs,"band_median":$med,"over_2x":$over,"no_band":$noBand"""
+        }
+      } catch { case _: Throwable => s""","band_sf":null""" }
+    println(s"""{"metric":"pair_min_total","value":$total,"unit":"sec","queries":$qs,"queries_s1":${fmt(s1)},"queries_s2":${fmt(s2)},"samples":[$t1,$t2],"failed":$failed,"sf":"$sfDir","load_avg_1m":$load,"nproc":$nproc$bandReport}""")
     spark.stop()
   }
 }

@@ -290,13 +290,17 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     * corpus size. Adds `<valueCol>.cumsum` (inclusive running sum,
     * matching [[cumsum]]'s window frame) and preserves every other
     * column. Contracts differ from the windowed form, deliberately:
-    * `idCol` must be non-null UNIQUE (it totalizes the order),
-    * `valueCol` must be non-null and >= 0 (raise_error otherwise —
-    * the reference's skipna null pass-through needs a per-row window,
-    * the thing this form exists to avoid; fill or drop nulls
-    * upstream), and values are computed exactly in LONG (doubles stay
-    * on the windowed form: two-phase regrouping changes float
-    * rounding vs the sequential window). */
+    * `idCol` must be non-null UNIQUE (it totalizes the order) and
+    * `valueCol` must be non-null (raise_error otherwise — the
+    * reference's skipna null pass-through needs a per-row window, the
+    * thing this form exists to avoid; fill or drop nulls upstream).
+    * Negative values are fine — long addition is associative, so the
+    * two-phase regrouping is exact for any sign, matching the
+    * reference cumsum surface (numerical_column_cpu.py accumulate via
+    * operator.add). Values are computed exactly in LONG; doubles stay
+    * on the windowed form (two-phase regrouping changes float
+    * rounding vs the sequential window), and fixed-point money
+    * columns take [[cumsumExactDecimal]]. */
   def cumsumExact(valueCol: String, order: Seq[String], idCol: String,
       parts: Int = 64): TFrame = {
     val payload = columns.filterNot(c =>
@@ -306,6 +310,84 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     TFrame(out
       .withColumn(s"$valueCol.cumsum", col("global_start") + col(valueCol))
       .drop("global_start"))
+  }
+
+  /** [[cumsumExact]] for fixed-point DECIMAL columns — the money case
+    * (l_extendedprice at 100 TB): the value is scaled to its unscaled
+    * long (exact — a DECIMAL(p,s) with p <= 18 always fits), run
+    * through the same two-phase range-partitioned prefix sum, and
+    * scaled back, so the running sum is exact DECIMAL arithmetic with
+    * no one-partition window. Long addition on the unscaled units is
+    * exactly associative — the float objection to a two-phase double
+    * cumsum does not apply to fixed-point. Adds `<valueCol>.cumsum`
+    * as DECIMAL(min(p+12, 38), s); same contracts as [[cumsumExact]]
+    * (unique non-null idCol, non-null values, negatives fine). */
+  def cumsumExactDecimal(valueCol: String, order: Seq[String],
+      idCol: String, parts: Int = 64): TFrame = {
+    val (p, s) = df.schema(valueCol).dataType match {
+      case d: DecimalType => (d.precision, d.scale)
+      case other => throw new IllegalArgumentException(
+        s"cumsumExactDecimal: $valueCol is $other, need DecimalType " +
+          "(cast upstream; doubles take the windowed cumsum)")
+    }
+    require(p <= 18,
+      s"cumsumExactDecimal: precision $p > 18 — the unscaled value " +
+        "could overflow LONG; split the column or reduce precision")
+    val units = "__graft_units"
+    require(!columns.contains(units), s"column $units exists")
+    val payload = columns.filterNot(c => c == idCol || order.contains(c))
+    val scaled = df.withColumn(units,
+      (col(valueCol) * lit(java.math.BigDecimal.TEN.pow(s)))
+        .cast(LongType))
+    val out = graft.operators.Packing.prefixSumInOrder(
+      scaled, idCol, units, order, parts, payload)
+    TFrame(out
+      .withColumn(s"$valueCol.cumsum",
+        ((col("global_start") + col(units)).cast(DecimalType(38, 0)) *
+          lit(java.math.BigDecimal.ONE.movePointLeft(s)))
+          .cast(DecimalType(math.min(p + 12, 38), s)))
+      .drop("global_start", units))
+  }
+
+  /** Exact 0-based global rank in (order..., idCol) order on the user
+    * surface — [[graft.operators.Packing.rankInOrder]] (two-phase
+    * range-partitioned prefix count, gates q266/q268) wrapping the
+    * full frame: `row_number() OVER (ORDER BY ...)` funnels every row
+    * through ONE task at scale; this never plans a window. Adds
+    * `outCol`; preserves every other column. Contracts: idCol
+    * non-null UNIQUE (totalizes the order), order columns non-null. */
+  def rankExact(order: Seq[String], idCol: String, parts: Int = 64,
+      outCol: String = "rank"): TFrame = {
+    require(!columns.contains(outCol), s"rankExact: column $outCol exists")
+    val payload = columns.filterNot(c => c == idCol || order.contains(c))
+    val ranked = graft.operators.Packing.rankInOrder(
+      df, idCol, order, parts, payload)
+    TFrame(if (outCol == "rank") ranked
+      else ranked.withColumnRenamed("rank", outCol))
+  }
+
+  /** Dense-rank companion of [[rankExact]]: equal order keys share one
+    * rank and ranks are gapless (0-based `dense_rank() - 1`), again
+    * with no global window. Shape: the DISTINCT order keys (a groupBy
+    * — map-side partial agg, |distinct| rows shuffle) are ranked by
+    * the two-phase prefix count using each key group's min id as its
+    * unique representative, then broadcast-or-shuffle joined back on
+    * the key columns — three key-sized exchanges, nothing
+    * corpus-sized through one task. Contracts as [[rankExact]]. */
+  def denseRankExact(order: Seq[String], idCol: String, parts: Int = 64,
+      outCol: String = "dense_rank"): TFrame = {
+    require(order.nonEmpty,
+      "denseRankExact: empty order — every row would share rank 0")
+    require(!columns.contains(outCol),
+      s"denseRankExact: column $outCol exists")
+    val rep = "__graft_rep"
+    require(!columns.contains(rep), s"column $rep exists")
+    val keys = df.groupBy(order.map(df(_)): _*)
+      .agg(functions.min(col(idCol)).cast(LongType).as(rep))
+    val ranked = graft.operators.Packing.rankInOrder(
+      keys, rep, order, parts)
+      .select(order.map(col) :+ col("rank").as(outCol): _*)
+    TFrame(df.join(ranked, order))
   }
 
   def cummin(valueCols: Seq[String], order: Seq[String],

@@ -287,8 +287,12 @@ object Packing {
     * row's id (data-derived, coalesce-immune).
     *
     * Contracts: idCol integral non-null UNIQUE (ties in orderCols
-    * break on id, so the order is total); weightCol integral >= 0;
-    * orderCols non-null (raise_error otherwise — a null order value
+    * break on id, so the order is total); weightCol integral non-null
+    * — NEGATIVE weights are fine (long addition is associative, so the
+    * two-phase regrouping is exact for any sign; only
+    * [[contiguousOffsets]], whose output must be monotone addresses,
+    * additionally requires >= 0); orderCols non-null (raise_error
+    * otherwise — a null order value
     * has engine-specific sort position: Spark sorts NULLS FIRST
     * ascending where DuckDB defaults NULLS LAST, so a null would make
     * the "same total order" cross-engine claim false). Returns
@@ -315,9 +319,9 @@ object Packing {
       when(col(idCol).isNull, raise_error(lit(
         s"prefixSumInOrder: null $idCol — ids must be non-null")))
         .otherwise(col(idCol).cast(LongType)).as(idCol),
-      when(col(weightCol).isNull || col(weightCol) < 0, raise_error(lit(
-        s"prefixSumInOrder: null/negative $weightCol — offsets would " +
-          "go backwards")))
+      when(col(weightCol).isNull, raise_error(lit(
+        s"prefixSumInOrder: null $weightCol — a null weight has no " +
+          "defined running sum; fill or drop nulls upstream")))
         .otherwise(col(weightCol).cast(LongType)).as(weightCol)) ++
       orderCols.map(c => when(col(c).isNull, raise_error(lit(
         s"prefixSumInOrder: null order column $c — null sort position " +
