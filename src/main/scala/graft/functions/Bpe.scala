@@ -202,4 +202,43 @@ object Bpe {
       if (ts == null) null else ts.map(vocab.lookup).toArray)
     f(tokens)
   }
+
+  /** Per-document BPE token count by DISTRIBUTED dictionary encode —
+    * the any-vocabulary-size path (vs the bounded map-literal trick of
+    * gate q265): (1) the corpus's DISTINCT whitespace words become a
+    * TABLE (groupBy — map-side partial agg, |vocab| rows shuffle);
+    * (2) each distinct word is encoded ONCE through `encoder`,
+    * executor-side (the encoder ships with the task closure — one
+    * deserialized copy per executor, even for the full 50k-merge
+    * GPT-2 table); (3) the (word, token-count) dictionary joins back
+    * to the exploded corpus by word and re-aggregates per document.
+    * BPE cost is |vocab|, not |corpus|, and nothing is collected to
+    * the driver at any corpus size. Set `broadcastDict = false` when
+    * the vocabulary itself is too large to broadcast (a shuffle join
+    * on the word key, both sides word-partitioned).
+    *
+    * Returns (idCol, n_bpe) with exactly one row per input row.
+    * Contract: idCol unique non-null; a null/empty text counts the
+    * tokens of the empty word (= 0 for any encoder without empty
+    * merges). Gate q270 proves this path returns bit-identical counts
+    * to the q265 map-literal on the same corpus. */
+  def bpeDocTokenCounts(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      encoder: BpeEncoder,
+      broadcastDict: Boolean = true): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    val exploded = docs.select(col(idCol),
+      explode(split(trim(coalesce(col(textCol), lit(""))), "\\s+"))
+        .as("__w"))
+    val dict = exploded.select(col("__w")).distinct()
+      .select(col("__w"),
+        size(bpeTokenize(encoder)(col("__w"))).cast(LongType).as("__n"))
+    val d = if (broadcastDict) broadcast(dict) else dict
+    exploded.join(d, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__n")).as("n_bpe"))
+  }
 }

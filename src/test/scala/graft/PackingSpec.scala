@@ -325,6 +325,26 @@ class PackingSpec extends SparkSpec {
       s"rankInOrder must not plan a global window, got:\n$plan")
   }
 
+  test("prefixSumInOrder is exact for NEGATIVE weights (round-18 " +
+      "relaxed contract — two-phase long addition is sign-agnostic)") {
+    val rows = (0L until 120L).map(i => (i, (i % 11) - 5))
+    val df = rows.toDF("id", "w").repartition(3)
+    val got = Packing.prefixSumInOrder(df, "id", "w", Seq.empty, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    var off = 0L
+    rows.foreach { case (id, w) =>
+      assert(got(id) === off, s"id=$id")
+      off += w
+    }
+    // null weights still raise
+    val bad = Seq((0L, java.lang.Long.valueOf(1L)),
+      (1L, null.asInstanceOf[java.lang.Long])).toDF("id", "w")
+    val e = intercept[Exception] {
+      Packing.prefixSumInOrder(bad, "id", "w", Seq.empty, 2).collect()
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
   test("prefixSumInOrder rejects null order values (engine-specific " +
       "null sort position would break the portable total order)") {
     val bad = Seq((0L, 1L, "a"), (1L, 1L, null.asInstanceOf[String]))

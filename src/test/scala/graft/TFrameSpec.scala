@@ -189,6 +189,78 @@ class TFrameSpec extends SparkSpec {
       "cumsumExact must never plan a window")
   }
 
+  test("cumsumExact accepts negative values (round-18 relaxed " +
+      "contract: long addition is associative for any sign)") {
+    import graft.frame.TFrame
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = (0L until 100L).map(i => (i, (i % 7) - 3))
+    val tf = TFrame(rows.toDF("id", "v").repartition(3))
+    val got = tf.cumsumExact("v", order = Seq.empty, idCol = "id",
+      parts = 4).df.select(col("id"), col("`v.cumsum`")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.foreach { case (id, v) =>
+      acc += v
+      assert(got(id) === acc, s"id=$id")
+    }
+  }
+
+  test("cumsumExactDecimal equals the sequential decimal running sum " +
+      "(negatives included), emits exact DECIMAL, and plans no window") {
+    import graft.frame.TFrame
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // cents-scale decimals incl. negatives (a refund column)
+    val rows = (0L until 300L).map(i =>
+      (i, BigDecimal(i * 37 % 101) - BigDecimal("50.25")))
+    val df = rows.toDF("id", "p")
+      .select(col("id"), col("p").cast(DecimalType(18, 2)).as("p"))
+      .repartition(4)
+    val out = TFrame(df).cumsumExactDecimal("p", order = Seq.empty,
+      idCol = "id", parts = 5)
+    val field = out.df.schema("p.cumsum").dataType
+    assert(field === DecimalType(30, 2), s"got $field")
+    val got = out.df.select(col("id"), col("`p.cumsum`")).collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    var acc = BigDecimal(0)
+    rows.foreach { case (id, p) =>
+      acc += p
+      assert(BigDecimal(got(id)) === acc, s"id=$id")
+    }
+    assert(!out.df.queryExecution.executedPlan.toString.contains("Window"),
+      "cumsumExactDecimal must never plan a window")
+    // non-decimal input is rejected with a pointer to the right form
+    val e = intercept[IllegalArgumentException] {
+      TFrame(rows.toDF("id", "p")).cumsumExactDecimal("id",
+        Seq.empty, "id")
+    }
+    assert(e.getMessage.contains("DecimalType"))
+  }
+
+  test("rankExact/denseRankExact equal row_number()-1/dense_rank()-1 " +
+      "over the same total order, keep all columns, and plan no window") {
+    import graft.frame.TFrame
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = (0L until 240L).map(i => (i, (i * 31) % 11, s"t$i"))
+    val df = rows.toDF("id", "score", "tag").repartition(4)
+    val out = TFrame(df)
+      .rankExact(Seq("score"), "id", parts = 5, outCol = "rk")
+      .denseRankExact(Seq("score"), "id", parts = 5, outCol = "dr")
+    assert(out.columns.toSet === Set("id", "score", "tag", "rk", "dr"))
+    val got = out.df.collect().map(r => r.getAs[Long]("id") ->
+      ((r.getAs[Long]("rk"), r.getAs[Long]("dr"),
+        r.getAs[String]("tag")))).toMap
+    val sorted = rows.sortBy(t => (t._2, t._1))
+    val denseOf = sorted.map(_._2).distinct.sorted.zipWithIndex.toMap
+    sorted.zipWithIndex.foreach { case ((id, score, tag), rk) =>
+      val (grk, gdr, gtag) = got(id)
+      assert(grk === rk.toLong, s"rank id=$id")
+      assert(gdr === denseOf(score).toLong, s"dense id=$id")
+      assert(gtag === tag, "payload corrupted")
+    }
+    assert(!out.df.queryExecution.executedPlan.toString.contains("Window"),
+      "rank family must never plan a window")
+  }
+
   test("head/tail/append") {
     assert(abc.head(2).length === 2L)
     assert(col0(abc.tail(2).df.select("a")) === Seq(5L, 6L))
