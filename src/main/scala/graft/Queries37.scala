@@ -232,17 +232,97 @@ object Queries37 {
       |  CAST(dense_rank() OVER (ORDER BY qty) - 1 AS BIGINT) AS drank
       |FROM d""".stripMargin
 
+  // ---- q273: signed running balance (negative-weight cumsum), hashed --------
+
+  /** End-to-end witness for the round-18 relaxed prefix-sum contract
+    * (negatives are exact — long addition is sign-agnostic): a
+    * running NET-revenue balance where returned lineitems
+    * (l_returnflag = 'R') post as refunds — the sign-mixed delta
+    * column the >= 0 guard used to reject for no algorithmic reason
+    * (the reference cumsum supports negatives,
+    * numerical_column_cpu.py accumulate via operator.add). Cents are
+    * exact longs via the q269 DECIMAL(18,2) mediation; the running
+    * sum is [[TFrame.cumsumExact]]'s two-phase prefix sum in key
+    * order — no window at any corpus size. DuckDB replays the signed
+    * window sum over the same total order. */
+  def q273SignedBalance(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType)
+        .as("lk"),
+        (when($"l_returnflag" === "R", -1L).otherwise(1L) *
+          ($"l_extendedprice".cast(DecimalType(18, 2)) * lit(100))
+            .cast(LongType)).as("sc"))
+      .groupBy($"lk")
+      .agg(sum($"sc").cast(LongType).as("delta"))
+    TFrame(li)
+      .cumsumExact("delta", order = Seq.empty, idCol = "lk", parts = 32)
+      .df.select($"lk", $"delta",
+        col("`delta.cumsum`").as("run_cents"))
+  }
+
+  val q273Sql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS lk,
+      |    (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) *
+      |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS sc
+      |  FROM lineitem),
+      |g AS (SELECT lk, CAST(sum(sc) AS BIGINT) AS delta FROM d GROUP BY lk)
+      |SELECT lk, delta,
+      |  CAST(sum(delta) OVER (ORDER BY lk) AS BIGINT) AS run_cents
+      |FROM g""".stripMargin
+
+  // ---- q274: exact NTILE without the window funnel, hashed ------------------
+
+  /** [[TFrame.ntileExact]] proven against the SQL function it
+    * replaces: every unique lineitem key's ntile(7) bucket in (qty,
+    * lk) order — 7 deliberately not dividing the row count, so the
+    * ANSI remainder rule (first n mod k buckets take the extra row;
+    * NOT the (rank*k) div n equal-width cut, which places boundary
+    * rows differently) is what the hash certifies. The executed plan
+    * is the two-phase rank + a broadcast 1-row count + integer
+    * arithmetic — `ntile(k) OVER (ORDER BY ...)` is THE textbook
+    * one-task global funnel, and this gate pins its replacement
+    * window-free (TFrameSpec). DuckDB replays the native ntile(7). */
+  def q274Ntile(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType)
+        .as("lk"),
+        when($"l_quantity" =!= floor($"l_quantity"), raise_error(lit(
+          "q274: non-integer l_quantity — Spark truncates and DuckDB " +
+            "rounds on the long cast, the order would diverge")))
+          .otherwise($"l_quantity").cast(LongType).as("q"))
+      .groupBy($"lk")
+      .agg(sum($"q").as("qty"))
+    TFrame(li)
+      .ntileExact(7, Seq("qty"), "lk", parts = 32, outCol = "bucket")
+      .df.select($"lk", $"qty", $"bucket")
+  }
+
+  val q274Sql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS lk,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT lk, qty,
+      |  CAST(ntile(7) OVER (ORDER BY qty, lk) AS BIGINT) AS bucket
+      |FROM d""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q269_money_cumsum" -> (q269MoneyCumsum _),
     "q270_bpe_dict_distributed" -> (q270BpeDictDistributed _),
     "q271_gpt2_corpus" -> (q271Gpt2Corpus _),
-    "q272_rank_family" -> (q272RankFamily _)
+    "q272_rank_family" -> (q272RankFamily _),
+    "q273_signed_balance" -> (q273SignedBalance _),
+    "q274_ntile" -> (q274Ntile _)
   )
 
   val oracles: Map[String, String] = Map(
     "q269_money_cumsum" -> q269Sql,
     "q270_bpe_dict_distributed" -> Queries36.q265Sql,
     "q271_gpt2_corpus" -> q271Sql,
-    "q272_rank_family" -> q272Sql
+    "q272_rank_family" -> q272Sql,
+    "q273_signed_balance" -> q273Sql,
+    "q274_ntile" -> q274Sql
   )
 }

@@ -366,6 +366,30 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
       else ranked.withColumnRenamed("rank", outCol))
   }
 
+  /** Exact SQL-standard NTILE without the `ntile(k) OVER (ORDER BY
+    * ...)` one-task funnel: [[rankExact]]'s two-phase global rank fed
+    * through [[graft.operators.Packing.ntileFromRank]]'s integer
+    * remainder arithmetic against a broadcast 1-row count. Adds
+    * `outCol` (1-based bucket, matching the SQL function); contracts
+    * as [[rankExact]]. The eval-split / mixture-capping primitive at
+    * corpus scale. */
+  def ntileExact(k: Int, order: Seq[String], idCol: String,
+      parts: Int = 64, outCol: String = "ntile"): TFrame = {
+    require(!columns.contains(outCol), s"ntileExact: column $outCol exists")
+    val rk = "__graft_rank"
+    val cnt = "__graft_n"
+    require(!columns.contains(rk) && !columns.contains(cnt),
+      s"ntileExact: helper columns $rk/$cnt exist")
+    val ranked = rankExact(order, idCol, parts, outCol = rk)
+    TFrame(ranked.df
+      .crossJoin(org.apache.spark.sql.functions.broadcast(df.agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as(cnt))))
+      .withColumn(outCol,
+        graft.operators.Packing.ntileFromRank(col(rk), col(cnt), k))
+      .drop(rk, cnt))
+  }
+
   /** Dense-rank companion of [[rankExact]]: equal order keys share one
     * rank and ranks are gapless (0-based `dense_rank() - 1`), again
     * with no global window. Shape: the DISTINCT order keys (a groupBy

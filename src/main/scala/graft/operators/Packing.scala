@@ -410,6 +410,30 @@ object Packing {
       .drop(one)
   }
 
+  /** SQL-standard NTILE from an exact 0-based rank — pure integer
+    * arithmetic, no window: with n rows and k buckets, the first
+    * n mod k buckets hold floor(n/k)+1 rows and the rest floor(n/k)
+    * (the DuckDB/Spark/ANSI remainder rule — NOT the simpler
+    * (rank*k) div n equal-width cut, which distributes remainders
+    * differently). Feed it [[rankInOrder]]'s rank and a broadcast
+    * 1-row count and the classic `ntile(k) OVER (ORDER BY ...)`
+    * one-task funnel disappears. Returns the 1-based bucket as LONG;
+    * k must be >= 1. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    require(k >= 1, s"ntileFromRank: k=$k")
+    // `/` on Columns is DOUBLE division (the q264 lesson) — integral
+    // DIV goes through the Catalyst node directly, exact at any LONG
+    import org.apache.spark.sql.graftshim.Shim
+    def idiv(a: Column, b: Column): Column = Shim.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Shim.expression(a), Shim.expression(b)))
+    val size = idiv(n, lit(k.toLong))
+    val rem = n % k.toLong
+    val cut = rem * (size + 1L)
+    when(rank < cut, idiv(rank, size + 1L) + 1L)
+      .otherwise(rem + idiv(rank - cut, greatest(size, lit(1L))) + 1L)
+  }
+
   /** Reference-exact batch-max padding: every list in `arrCol` is
     * padded (never truncated) to the LONGEST list in the frame, the
     * `PadSequence` semantics of test/test_interop.py:190. The batch

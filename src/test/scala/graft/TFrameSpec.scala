@@ -261,6 +261,29 @@ class TFrameSpec extends SparkSpec {
       "rank family must never plan a window")
   }
 
+  test("ntileExact equals Spark's own ntile(k) window (ANSI remainder " +
+      "rule) including n < k, and plans no window") {
+    import graft.frame.TFrame
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    for ((n, k) <- Seq((237, 7), (20, 6), (4, 9))) {
+      val rows = (0L until n.toLong).map(i => (i, (i * 13) % 31))
+      val df = rows.toDF("id", "score").repartition(3)
+      val out = TFrame(df).ntileExact(k, Seq("score"), "id", parts = 4,
+        outCol = "b")
+      val want = df.withColumn("b2",
+        ntile(k).over(W.orderBy(col("score"), col("id"))))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Int]("b2"))
+        .toMap
+      out.df.collect().foreach { r =>
+        assert(r.getAs[Long]("b") === want(r.getAs[Long]("id")).toLong,
+          s"n=$n k=$k id=${r.getAs[Long]("id")}")
+      }
+      assert(!out.df.queryExecution.executedPlan.toString.contains("Window"),
+        "ntileExact must never plan a window")
+    }
+  }
+
   test("head/tail/append") {
     assert(abc.head(2).length === 2L)
     assert(col0(abc.tail(2).df.select("a")) === Seq(5L, 6L))
