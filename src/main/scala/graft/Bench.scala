@@ -128,8 +128,15 @@ object Bench {
           val rs = ratios.map { case (k, r) => "\"" + k + "\":" + (math.rint(r * 1000) / 1000) }
             .mkString("{", ",", "}")
           val sortedR = ratios.map(_._2).sorted
+          // conventional median: mean of the middle pair on even sizes
+          // (upper-middle alone would systematically overstate it)
           val med = if (sortedR.isEmpty) 0.0
-            else math.rint(sortedR(sortedR.size / 2) * 1000) / 1000
+            else {
+              val n = sortedR.size
+              val m = if (n % 2 == 1) sortedR(n / 2)
+                else (sortedR(n / 2 - 1) + sortedR(n / 2)) / 2
+              math.rint(m * 1000) / 1000
+            }
           s""","band_sf":"$sfName","band_ratios":$rs,"band_median":$med,"over_2x":$over,"no_band":$noBand"""
         }
       } catch { case _: Throwable => s""","band_sf":null""" }

@@ -260,8 +260,8 @@ object Queries36 {
     // joins back — no driver collect, no literal, any vocabulary size.
     require(words.length <= 4096,
       s"corpus vocabulary ${words.length} exceeds the map-literal " +
-        "bound — use bpeDocLens (the distributed dictionary-encode " +
-        "path, gate q270) instead")
+        "bound — use Bpe.bpeDocTokenCounts (the distributed " +
+        "dictionary-encode path, gate q270) instead")
     val dict = words.sorted.flatMap(w =>
       Seq(lit(w), lit(enc.encode(w).size.toLong)))
     val lens = map(dict.toIndexedSeq: _*)

@@ -166,10 +166,17 @@ object Queries37 {
       .select($"doc_id",
         size(Bpe.bpeTokenize(enc)($"__w")).cast(LongType).as("__n"))
       .groupBy($"doc_id").agg(sum($"__n").as("n_direct"))
+    // count + coalesce: an EMPTY check subset would make sum() NULL,
+    // and NULL === 0 is NULL -> the raise branch would fire with a
+    // misleading 'diverges' message; distinguish the two loudly
     val dictOk = counts.join(direct, Seq("doc_id"))
-      .agg(sum(when($"n_bpe" === $"n_direct", 0L).otherwise(1L))
-        .as("__mismatch"))
-      .select(when($"__mismatch" === 0L, lit(true))
+      .agg(count(lit(1)).as("__checked"),
+        coalesce(sum(when($"n_bpe" === $"n_direct", 0L).otherwise(1L)),
+          lit(0L)).as("__mismatch"))
+      .select(when($"__checked" === 0L, raise_error(lit(
+          "q271: empty dictionary-check subset (no doc_id < 50) — " +
+            "the dict-vs-direct equality check did not run")))
+        .when($"__mismatch" === 0L, lit(true))
         .otherwise(raise_error(lit(
           "q271: dictionary-path count diverges from direct per-word " +
             "encode under the production encoder"))).as("dict_ok"))

@@ -321,7 +321,11 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     * exactly associative — the float objection to a two-phase double
     * cumsum does not apply to fixed-point. Adds `<valueCol>.cumsum`
     * as DECIMAL(min(p+12, 38), s); same contracts as [[cumsumExact]]
-    * (unique non-null idCol, non-null values, negatives fine). */
+    * (unique non-null idCol, non-null values, negatives fine). The
+    * accumulator is the unscaled LONG, so a running total past
+    * +-9.2e18 unscaled units raises (Math.addExact inside
+    * prefixSumInOrder) rather than silently wrapping into the wider
+    * advertised DECIMAL headroom — split such columns upstream. */
   def cumsumExactDecimal(valueCol: String, order: Seq[String],
       idCol: String, parts: Int = 64): TFrame = {
     val (p, s) = df.schema(valueCol).dataType match {
@@ -381,8 +385,11 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     require(!columns.contains(rk) && !columns.contains(cnt),
       s"ntileExact: helper columns $rk/$cnt exist")
     val ranked = rankExact(order, idCol, parts, outCol = rk)
+    // count the RANKED frame: it reads from prefixSumInOrder's
+    // localCheckpoint; counting the source df would replay its full
+    // input lineage a second time
     TFrame(ranked.df
-      .crossJoin(org.apache.spark.sql.functions.broadcast(df.agg(
+      .crossJoin(org.apache.spark.sql.functions.broadcast(ranked.df.agg(
         org.apache.spark.sql.functions.count(
           org.apache.spark.sql.functions.lit(1)).as(cnt))))
       .withColumn(outCol,

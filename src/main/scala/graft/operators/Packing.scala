@@ -232,7 +232,7 @@ object Packing {
           val fk = first.getLong(2)
           val fid = first.getLong(0)
           var s = first.getLong(1)
-          rows.foreach(r => s += r.getLong(1))
+          rows.foreach(r => s = Math.addExact(s, r.getLong(1)))
           Iterator.single(Row(fk, fid, s))
         }
       }(Encoders.row(StructType(Seq(
@@ -248,7 +248,7 @@ object Packing {
     val bases = partInfo.sortBy(r => (r.getLong(0), r.getLong(1)))
       .map { r =>
         val b = ((r.getLong(0), r.getLong(1)), acc)
-        acc += r.getLong(2)
+        acc = Math.addExact(acc, r.getLong(2))
         b
       }.toMap
     val basesB = ordered.sparkSession.sparkContext.broadcast(bases)
@@ -266,7 +266,7 @@ object Packing {
         var off = basesB.value((first.getLong(2), first.getLong(0)))
         (Iterator.single(first) ++ rows).map { r =>
           val start = off
-          off += r.getLong(1)
+          off = Math.addExact(off, r.getLong(1))
           Row.fromSeq(Seq(r.getLong(0), r.getLong(1), start) ++
             (0 until nPayload).map(i => r.get(3 + i)))
         }
@@ -344,12 +344,17 @@ object Packing {
     // Pass 1: (first-row id, weight total, first-row order key) per
     // partition — identity data-derived, never TaskContext (the
     // coalesce-aliasing lesson, SCALE.md round 16)
+    // Math.addExact throughout (JIT intrinsic — free): a running sum
+    // past Long range must raise, never wrap. The DECIMAL surface
+    // (TFrame.cumsumExactDecimal) advertises wider output headroom
+    // than the unscaled-long accumulator, so silent wraparound would
+    // emit confidently-typed wrong values at extreme totals.
     val partInfo = ordered.mapPartitions { rows =>
       if (!rows.hasNext) Iterator.empty
       else {
         val first = rows.next()
         var s = first.getLong(1)
-        rows.foreach(r => s += r.getLong(1))
+        rows.foreach(r => s = Math.addExact(s, r.getLong(1)))
         Iterator.single(Row.fromSeq(Seq(first.getLong(0), s) ++
           (0 until nOrder).map(i => first.get(2 + i))))
       }
@@ -363,7 +368,7 @@ object Packing {
       .collect()
     var acc = 0L
     val bases = infoSorted.map { r =>
-      val b = (r.getLong(0), acc); acc += r.getLong(1); b
+      val b = (r.getLong(0), acc); acc = Math.addExact(acc, r.getLong(1)); b
     }.toMap
     val basesB = ordered.sparkSession.sparkContext.broadcast(bases)
     val tailFields = orderFields ++ payload.map(ordered.schema(_))
@@ -380,7 +385,7 @@ object Packing {
         var off = basesB.value(first.getLong(0))
         (Iterator.single(first) ++ rows).map { r =>
           val start = off
-          off += r.getLong(1)
+          off = Math.addExact(off, r.getLong(1))
           Row.fromSeq(Seq(r.getLong(0), r.getLong(1), start) ++
             (0 until nTail).map(i => r.get(2 + i)))
         }
@@ -404,6 +409,13 @@ object Packing {
       payload: Seq[String] = Nil): DataFrame = {
     val one = "__graft_one"
     require(!df.columns.contains(one), s"rankInOrder: column $one exists")
+    // the output renames global_start -> rank; an input column named
+    // 'rank' riding through payload/orderCols would duplicate the name
+    // (and a later withColumnRenamed would rename BOTH) — fail loudly
+    require(idCol != "rank" && !orderCols.contains("rank") &&
+      !payload.contains("rank"),
+      "rankInOrder: input carries a column named 'rank' — rename it " +
+        "upstream (the output's rank column would collide)")
     prefixSumInOrder(df.withColumn(one, lit(1L)), idCol, one,
       orderCols, parts, payload)
       .withColumnRenamed("global_start", "rank")

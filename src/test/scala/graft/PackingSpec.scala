@@ -325,6 +325,16 @@ class PackingSpec extends SparkSpec {
       s"rankInOrder must not plan a global window, got:\n$plan")
   }
 
+  test("rankInOrder rejects an input column named 'rank' (the output " +
+      "rename would silently duplicate it)") {
+    val df = Seq((1L, 2L, 3L)).toDF("id", "score", "rank")
+    val e = intercept[IllegalArgumentException] {
+      Packing.rankInOrder(df, "id", Seq("score"), 2,
+        payload = Seq("rank"))
+    }
+    assert(e.getMessage.contains("rename it upstream"))
+  }
+
   test("prefixSumInOrder is exact for NEGATIVE weights (round-18 " +
       "relaxed contract — two-phase long addition is sign-agnostic)") {
     val rows = (0L until 120L).map(i => (i, (i % 11) - 5))
