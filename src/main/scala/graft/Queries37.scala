@@ -135,13 +135,20 @@ object Queries37 {
     * The distinct-word dictionary is vocabulary-sized at any corpus
     * size; broadcast cost of the full encoder is recorded in
     * BASELINE.md. */
-  def q271Gpt2Corpus(s: SparkSession, dir: String): DataFrame = {
+  /** The production encoder parsed ONCE per JVM (model assets are
+    * immutable; re-parsing 50k merges per gate invocation would be
+    * pure waste in a suite that calls the gate repeatedly). */
+  private lazy val gpt2Encoder: BpeEncoder = {
     val assets = "/root/reference/torcharrow/test/asset"
     require(new java.io.File(s"$assets/gpt2_bpe_encoder.json").exists(),
       s"q271: GPT-2 assets not found under $assets — the reference " +
         "checkout provides the public encoder files")
-    val enc = BpeEncoder.fromFiles(s"$assets/gpt2_bpe_encoder.json",
+    BpeEncoder.fromFiles(s"$assets/gpt2_bpe_encoder.json",
       s"$assets/gpt2_bpe_vocab.bpe")
+  }
+
+  def q271Gpt2Corpus(s: SparkSession, dir: String): DataFrame = {
+    val enc = gpt2Encoder
 
     val fixture = s.range(1)
       .select(posexplode(
