@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.frame.TFrame
+import graft.operators.Retrieval
+
+/** Round-18 session-2 gates: the funnel-free analytic family completed
+  * on the user surface — peer-aware percent_rank/cume_dist (q275),
+  * global LAG/LEAD (q276), and a global ROWS-frame rolling sum (q277),
+  * each replacing a `... OVER (ORDER BY ...)` one-task window with the
+  * two-phase range-partitioned machinery of q260/q266 — plus BM25
+  * top-k lexical retrieval (q278), the data-selection primitive the
+  * LLM-pipeline surface was missing. Naming/oracle/float conventions
+  * as in [[Queries]].
+  */
+object Queries38 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Unique-key quantity frame shared by q275/q276/q277 — the q272
+    * composite key with an integrality raise (Spark truncates and
+    * DuckDB rounds on the long cast, so a fractional quantity would
+    * silently diverge the order). Quantities repeat heavily across
+    * keys, so peer groups are real, not degenerate. */
+  private def qtyKeys(s: SparkSession, dir: String, gate: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType).as("lk"),
+        when($"l_quantity" =!= floor($"l_quantity"), raise_error(lit(
+          s"$gate: non-integer l_quantity — Spark truncates and DuckDB " +
+            "rounds on the long cast, the order would diverge")))
+          .otherwise($"l_quantity").cast(LongType).as("q"))
+      .groupBy($"lk")
+      .agg(sum($"q").as("qty"))
+
+  // ---- q275: peer-aware percent_rank / cume_dist, hashed --------------------
+
+  /** [[TFrame.percentRankExact]] and [[TFrame.cumeDistExact]] proven
+    * against the SQL window functions they replace: both are one IEEE
+    * double division of exact integers — (rank−1)/(n−1) with
+    * peer-aware rank, and (rows at-or-before)/n — where the integer
+    * inputs come from the two-phase prefix count over the DISTINCT
+    * order keys (vocabulary-sized exchanges + one join back; the
+    * corpus never funnels through a window task). The qty column has
+    * heavy ties, so a green hash certifies the PEER semantics (equal
+    * keys share percent_rank and cume_dist), not just the ordering. */
+  def q275PercentRank(s: SparkSession, dir: String): DataFrame = {
+    val ranked = TFrame(qtyKeys(s, dir, "q275"))
+      .percentRankExact(Seq("qty"), "lk", parts = 32, outCol = "pr")
+      .cumeDistExact(Seq("qty"), "lk", parts = 32, outCol = "cd")
+    ranked.df.select($"lk", $"qty", $"pr", $"cd")
+  }
+
+  val q275Sql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS lk,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT lk, qty,
+      |  percent_rank() OVER (ORDER BY qty) AS pr,
+      |  cume_dist() OVER (ORDER BY qty) AS cd
+      |FROM d""".stripMargin
+
+  // ---- q276: global LAG/LEAD without the window funnel, hashed ---------------
+
+  /** [[TFrame.lagExact]](3) and [[TFrame.leadExact]](2) over the full
+    * unique-key frame in key order — `lag/lead OVER (ORDER BY ...)`
+    * plan the same one-task global sort as row_number, yet each row
+    * needs a value at most k rows away; the replacement is ONE range
+    * exchange plus a bounded parts·k driver carry
+    * ([[graft.operators.Packing.shiftInOrder]]), with lead computed
+    * as lag over the REVERSED total order. Nulls at both edges (the
+    * first 3 / last 2 rows) ride the hash, certifying SQL edge
+    * semantics as well as the carry threading across partitions. */
+  def q276LagLead(s: SparkSession, dir: String): DataFrame = {
+    val shifted = TFrame(qtyKeys(s, dir, "q276"))
+      .lagExact("qty", 3, order = Seq.empty, idCol = "lk", parts = 32,
+        outCol = "lag3")
+      .leadExact("qty", 2, order = Seq.empty, idCol = "lk", parts = 32,
+        outCol = "lead2")
+    shifted.df.select($"lk", $"qty", $"lag3", $"lead2")
+  }
+
+  val q276Sql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS lk,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1)
+      |SELECT lk, qty,
+      |  lag(qty, 3) OVER (ORDER BY lk) AS lag3,
+      |  lead(qty, 2) OVER (ORDER BY lk) AS lead2
+      |FROM d""".stripMargin
+
+  // ---- q277: exact global rolling sum (ROWS frame), hashed -------------------
+
+  /** [[TFrame.rollingSumExact]] proven against the ROWS-frame window
+    * it replaces: a 7-row moving net-revenue balance (6 preceding +
+    * current) over the SIGNED q273 cents deltas — returned lineitems
+    * post as refunds, so the moving sum crosses zero and certifies
+    * the sign-agnostic difference form moving(i) = run(i) − run(i−7).
+    * Both passes are the exact two-phase primitives (cumsum, then lag
+    * of the running sum); long arithmetic makes the difference form
+    * lossless. DuckDB replays the native windowed frame. */
+  def q277RollingSum(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(($"l_orderkey" * 8 + $"l_linenumber").cast(LongType)
+        .as("lk"),
+        (when($"l_returnflag" === "R", -1L).otherwise(1L) *
+          ($"l_extendedprice".cast(DecimalType(18, 2)) * lit(100))
+            .cast(LongType)).as("sc"))
+      .groupBy($"lk")
+      .agg(sum($"sc").cast(LongType).as("delta"))
+    TFrame(li)
+      .rollingSumExact("delta", w = 6, order = Seq.empty, idCol = "lk",
+        parts = 32, outCol = "roll_cents")
+      .df.select($"lk", $"delta", $"roll_cents")
+  }
+
+  val q277Sql: String =
+    """WITH d AS (
+      |  SELECT l_orderkey * 8 + l_linenumber AS lk,
+      |    (CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END) *
+      |      CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      AS sc
+      |  FROM lineitem),
+      |g AS (SELECT lk, CAST(sum(sc) AS BIGINT) AS delta FROM d GROUP BY lk)
+      |SELECT lk, delta,
+      |  CAST(sum(delta) OVER (ORDER BY lk
+      |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+      |FROM g""".stripMargin
+
+  // ---- q278: BM25 top-k lexical retrieval, hashed ----------------------------
+
+  /** [[Retrieval.bm25TopK]] over the documents corpus for four fixed
+    * queries: the full chain — whitespace postings, vocabulary-sized
+    * df/broadcast, per-term Lucene-form idf × tf-norm as the identical
+    * IEEE double expression on both engines, DECIMAL(20,12) mediation
+    * before the per-doc sum (partition-order-independent), and the
+    * window-free partial-merging k-heap per query — restated from
+    * first principles in DuckDB, including the ×10¹² integer score
+    * witness the top-k orders on. A green hash certifies scores AND
+    * the selected/ranked sets bit-for-bit. */
+  def q278Bm25(s: SparkSession, dir: String): DataFrame = {
+    val queries = Seq(
+      0L -> "hash join",
+      1L -> "sort merge join",
+      2L -> "window agg stream",
+      3L -> "vector scan fast")
+    Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queries, k = 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  val q278Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |tot AS (SELECT SUM(dl) AS tot FROM dl),
+      |q(qid, term) AS (VALUES
+      |  (0,'hash'),(0,'join'),
+      |  (1,'sort'),(1,'merge'),(1,'join'),
+      |  (2,'window'),(2,'agg'),(2,'stream'),
+      |  (3,'vector'),(3,'scan'),(3,'fast')),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    CAST(
+      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
+      |           (CAST(dl.dl AS DOUBLE) /
+      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
+      |      AS DECIMAL(20,12)) AS s
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
+      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |u AS (SELECT qid, doc_id,
+      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+      |r AS (SELECT qid, doc_id, score_units,
+      |  row_number() OVER (PARTITION BY qid
+      |    ORDER BY score_units DESC, doc_id) AS rk FROM u)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rank,
+      |  doc_id, score_units,
+      |  CAST(score_units AS DOUBLE) / 1e12 AS score
+      |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q275_percent_rank" -> (q275PercentRank _),
+    "q276_lag_lead" -> (q276LagLead _),
+    "q277_rolling_sum" -> (q277RollingSum _),
+    "q278_bm25_topk" -> (q278Bm25 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q275_percent_rank" -> q275Sql,
+    "q276_lag_lead" -> q276Sql,
+    "q277_rolling_sum" -> q277Sql,
+    "q278_bm25_topk" -> q278Sql
+  )
+}

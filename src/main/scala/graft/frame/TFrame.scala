@@ -421,6 +421,139 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     TFrame(df.join(ranked, order))
   }
 
+  /** Exact global LAG over the (order..., idCol) total order on the
+    * user surface — `lag(v, k) OVER (ORDER BY ...)` is the same
+    * one-task global-sort funnel as row_number;
+    * [[graft.operators.Packing.shiftInOrder]] replaces it with one
+    * range exchange plus a bounded (parts·offset) driver carry. Adds
+    * `outCol` (null for the first `offset` rows, SQL lag semantics);
+    * preserves every other column. Contracts as [[rankExact]];
+    * `valueCol` nulls are fine — they shift like any value. */
+  def lagExact(valueCol: String, offset: Int, order: Seq[String],
+      idCol: String, parts: Int = 64, outCol: String = "lag"): TFrame = {
+    require(!columns.contains(outCol), s"lagExact: column $outCol exists")
+    val payload = columns.filterNot(c =>
+      c == idCol || c == valueCol || order.contains(c))
+    TFrame(graft.operators.Packing.shiftInOrder(
+      df, idCol, valueCol, order, offset, parts, payload,
+      descending = false, outCol = outCol))
+  }
+
+  /** LEAD companion of [[lagExact]]: the value `offset` rows LATER in
+    * (order..., idCol) order — computed as lag over the REVERSED total
+    * order (lead(v, k) ORDER BY o ASC == lag(v, k) ORDER BY o DESC
+    * row-for-row), so the same two-phase machinery serves both
+    * directions. Null for the last `offset` rows. */
+  def leadExact(valueCol: String, offset: Int, order: Seq[String],
+      idCol: String, parts: Int = 64, outCol: String = "lead"): TFrame = {
+    require(!columns.contains(outCol), s"leadExact: column $outCol exists")
+    val payload = columns.filterNot(c =>
+      c == idCol || c == valueCol || order.contains(c))
+    TFrame(graft.operators.Packing.shiftInOrder(
+      df, idCol, valueCol, order, offset, parts, payload,
+      descending = true, outCol = outCol))
+  }
+
+  /** Exact global ROLLING SUM over the last `w` preceding rows plus
+    * the current one (`sum(v) OVER (ORDER BY ... ROWS BETWEEN w
+    * PRECEDING AND CURRENT ROW)`) with no one-partition window — pure
+    * composition of the two exact primitives this family already has:
+    * moving(i) = run(i) − run(i − w − 1), i.e. [[cumsumExact]]'s
+    * two-phase running sum followed by [[lagExact]] of that running
+    * sum by w+1 (each one range exchange; the second operates on the
+    * already-narrow ranked frame). Long addition/subtraction is exact,
+    * so the difference form loses nothing. Adds `outCol`; contracts as
+    * [[cumsumExact]] (unique non-null idCol, non-null integral values,
+    * negatives fine). */
+  def rollingSumExact(valueCol: String, w: Int, order: Seq[String],
+      idCol: String, parts: Int = 64,
+      outCol: String = "rolling_sum"): TFrame = {
+    require(w >= 0, s"rollingSumExact: w=$w")
+    require(!columns.contains(outCol),
+      s"rollingSumExact: column $outCol exists")
+    val run = s"$valueCol.cumsum"
+    val prev = "__graft_prev_run"
+    require(!columns.contains(run) && !columns.contains(prev),
+      s"rollingSumExact: helper columns $run/$prev exist")
+    val summed = cumsumExact(valueCol, order, idCol, parts)
+    val shifted = summed.lagExact(run, w + 1, order, idCol, parts,
+      outCol = prev)
+    TFrame(shifted.df
+      .withColumn(outCol, col(s"`$run`") - coalesce(col(prev), lit(0L)))
+      .drop(run, prev))
+  }
+
+  /** Shared core of [[percentRankExact]] / [[cumeDistExact]]: the
+    * peer-aware prefix counts. The DISTINCT order keys (a groupBy —
+    * map-side partial agg, |distinct| rows shuffle) carry their group
+    * counts through [[graft.operators.Packing.prefixSumInOrder]] using
+    * each group's min id as its unique representative, so per key:
+    * global_start = rows strictly BEFORE the key (= SQL rank() − 1)
+    * and global_start + count = rows at-or-before (the cume_dist
+    * numerator) — vocabulary-sized exchanges, then one join back on
+    * the key columns. Never a window. */
+  private def peerCountsExact(order: Seq[String], idCol: String,
+      parts: Int, belowCol: String, atOrBelowCol: String,
+      nCol: String): DataFrame = {
+    require(order.nonEmpty,
+      "peer-aware ranks need a non-empty order — every row would be " +
+        "one giant peer group")
+    val rep = "__graft_rep"
+    val cnt = "__graft_cnt"
+    Seq(rep, cnt, belowCol, atOrBelowCol, nCol).foreach(c =>
+      require(!columns.contains(c), s"column $c exists"))
+    import org.apache.spark.sql.{functions => F}
+    val keys = df.groupBy(order.map(df(_)): _*)
+      .agg(F.min(col(idCol)).cast(LongType).as(rep),
+        F.count(F.lit(1)).as(cnt))
+    val pre = graft.operators.Packing.prefixSumInOrder(
+      keys, rep, cnt, order, parts)
+      .select(order.map(col) ++ Seq(
+        col("global_start").as(belowCol),
+        (col("global_start") + col(cnt)).as(atOrBelowCol)): _*)
+    val n = keys.agg(F.sum(col(cnt)).cast(LongType).as(nCol))
+    df.join(pre, order)
+      .crossJoin(F.broadcast(n))
+  }
+
+  /** Exact SQL `percent_rank() OVER (ORDER BY ...)` without the
+    * one-task window: (rank − 1) / (n − 1) with peer-aware rank (equal
+    * keys share it), computed from the two-phase prefix count over the
+    * DISTINCT keys (see [[peerCountsExact]]). A single IEEE double
+    * division of exact integers, so the value is bit-identical on any
+    * engine; n = 1 yields 0.0 (the SQL convention — the division would
+    * be 0/0). Adds `outCol`; idCol must be integral non-null (only
+    * ties within the groupBy need breaking — it never orders). */
+  def percentRankExact(order: Seq[String], idCol: String,
+      parts: Int = 64, outCol: String = "percent_rank"): TFrame = {
+    require(!columns.contains(outCol),
+      s"percentRankExact: column $outCol exists")
+    val j = peerCountsExact(order, idCol, parts,
+      "__graft_below", "__graft_cume", "__graft_n")
+    TFrame(j
+      .withColumn(outCol,
+        when(col("__graft_n") === 1L, lit(0.0))
+          .otherwise(col("__graft_below").cast(DoubleType) /
+            (col("__graft_n") - 1L).cast(DoubleType)))
+      .drop("__graft_below", "__graft_cume", "__graft_n"))
+  }
+
+  /** Exact SQL `cume_dist() OVER (ORDER BY ...)` without the one-task
+    * window: (rows with key <= current) / n from the same two-phase
+    * peer counts as [[percentRankExact]]. One IEEE double division of
+    * exact integers — engine-portable bit-for-bit. */
+  def cumeDistExact(order: Seq[String], idCol: String,
+      parts: Int = 64, outCol: String = "cume_dist"): TFrame = {
+    require(!columns.contains(outCol),
+      s"cumeDistExact: column $outCol exists")
+    val j = peerCountsExact(order, idCol, parts,
+      "__graft_below", "__graft_cume", "__graft_n")
+    TFrame(j
+      .withColumn(outCol, col("__graft_cume").cast(DoubleType) /
+        col("__graft_n").cast(DoubleType))
+      .drop("__graft_below", "__graft_cume", "__graft_n"))
+  }
+
   def cummin(valueCols: Seq[String], order: Seq[String],
       by: Seq[String] = Nil): TFrame =
     cumApply("cummin", functions.min, valueCols, order, by)

@@ -446,6 +446,152 @@ object Packing {
       .otherwise(rem + idiv(rank - cut, greatest(size, lit(1L))) + 1L)
   }
 
+  /** Exact global LAG/LEAD over a total order without a one-partition
+    * window — `lag(v, k) OVER (ORDER BY ...)` plans the same global
+    * sort funnel as row_number, yet the value a row needs lives at
+    * most k rows away: the same two-phase shape as
+    * [[prefixSumInOrder]] (range partition on the order key, a bounded
+    * pass-1 collect, a second walk with carried state) works with the
+    * partition TAILS as the carried state. Pass 1 collects each
+    * partition's last min(k, n) values (`parts`·k values at the
+    * driver — bounded: k is a window offset, not a data size); the
+    * driver threads them in partition order so each partition receives
+    * exactly the k values preceding its first row; pass 2 is one local
+    * ring-buffer walk. Rows with fewer than k predecessors get null
+    * (SQL lag semantics with no default).
+    *
+    * `descending = true` reverses the ENTIRE total order (orderCols
+    * and the id tie-break), which turns the primitive into LEAD:
+    * lead(v, k) over (ORDER BY o ASC) == lag(v, k) over (ORDER BY o
+    * DESC) row-for-row.
+    *
+    * Contracts: idCol integral non-null UNIQUE (totalizes the order);
+    * orderCols non-null (engine-specific null sort position, the
+    * [[prefixSumInOrder]] rationale); `valueCol` MAY be null — nulls
+    * shift like any value (matching SQL lag). Returns (idCol,
+    * valueCol, outCol, orderCols..., payload...). */
+  def shiftInOrder(
+      df: DataFrame,
+      idCol: String,
+      valueCol: String,
+      orderCols: Seq[String],
+      k: Int,
+      parts: Int,
+      payload: Seq[String] = Nil,
+      descending: Boolean = false,
+      outCol: String = "shifted"): DataFrame = {
+    require(parts > 0, s"shiftInOrder: parts=$parts")
+    require(k >= 1, s"shiftInOrder: offset k=$k must be >= 1")
+    require(k <= 65536,
+      s"shiftInOrder: offset k=$k — the driver carries parts*k values; " +
+        "an offset this large is a data size, not a window offset")
+    val core = Set(idCol, valueCol, outCol)
+    require(valueCol != idCol && outCol != idCol && outCol != valueCol &&
+      !orderCols.exists(core) && !payload.exists(core) &&
+      !payload.exists(orderCols.toSet),
+      s"shiftInOrder: orderCols $orderCols / payload $payload collide " +
+        s"with core columns ($idCol, $valueCol, $outCol) or each other")
+    // backtick-quote every reference: callers legitimately shift
+    // columns whose names contain dots (TFrame's `<col>.cumsum`)
+    def qc(name: String): Column = col(s"`$name`")
+    val checked = df.select(Seq(
+      when(qc(idCol).isNull, raise_error(lit(
+        s"shiftInOrder: null $idCol — ids must be non-null")))
+        .otherwise(qc(idCol).cast(LongType)).as(idCol),
+      qc(valueCol)) ++
+      orderCols.map(c => when(qc(c).isNull, raise_error(lit(
+        s"shiftInOrder: null order column $c — null sort position is " +
+          "engine-specific, the total order would not be portable")))
+        .otherwise(qc(c)).as(c)) ++
+      payload.map(qc): _*)
+    val sortExprs =
+      if (descending) orderCols.map(qc(_).desc) :+ qc(idCol).desc
+      else orderCols.map(qc) :+ qc(idCol)
+    val ordered = checked
+      .repartitionByRange(parts, sortExprs: _*)
+      .sortWithinPartitions(sortExprs: _*)
+      .localCheckpoint()
+    // column layout after `checked`: id(0), value(1),
+    // order(2..1+nOrder), payload(2+nOrder..)
+    val nOrder = orderCols.length
+    val orderFields = orderCols.map(ordered.schema(_))
+    val valueField = ordered.schema(valueCol)
+    val infoSchema = StructType(
+      StructField("fid", LongType, nullable = false) +:
+      StructField("tail",
+        ArrayType(valueField.dataType, containsNull = true),
+        nullable = false) +:
+      orderFields.map(f => f.copy(name = "o_" + f.name)))
+    // Pass 1: (first-row id, last min(k, n) values in order, first-row
+    // order key) per partition — identity data-derived, never
+    // TaskContext (the coalesce-aliasing lesson, SCALE.md round 16)
+    val partInfo = ordered.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.next()
+        val ring = new Array[Any](k)
+        var seen = 0L
+        def push(r: Row): Unit = {
+          ring((seen % k).toInt) = r.get(1); seen += 1
+        }
+        push(first)
+        rows.foreach(push)
+        val kept = math.min(seen, k.toLong).toInt
+        val tail = (0 until kept).map(i =>
+          ring(((seen - kept + i) % k).toInt))
+        Iterator.single(Row.fromSeq(Seq(first.getLong(0), tail) ++
+          (0 until nOrder).map(i => first.get(2 + i))))
+      }
+    }(Encoders.row(infoSchema))
+    // range partitions are disjoint in the sort key, so first-row keys
+    // sort in partition order (REVERSED order when descending); the
+    // engine sorts the `parts` summaries so arbitrary order-column
+    // types stay out of driver code
+    val infoSort =
+      if (descending)
+        orderFields.map(f => qc("o_" + f.name).desc) :+ col("fid").desc
+      else orderFields.map(f => qc("o_" + f.name)) :+ col("fid")
+    val infoSorted = partInfo
+      .orderBy(infoSort: _*)
+      .select(col("fid"), col("tail"))
+      .collect()
+    // carry for partition i = the last k values before its first row =
+    // suffix of the concatenated preceding tails (each tail keeps
+    // min(k, n) values, so the concatenation's length-k suffix is the
+    // true one; when it is shorter than k, fewer than k rows precede)
+    var acc = Vector.empty[Any]
+    val carries = infoSorted.map { r =>
+      val c = (r.getLong(0), acc)
+      acc = (acc ++ r.getSeq[Any](1)).takeRight(k)
+      c
+    }.toMap
+    val carriesB = ordered.sparkSession.sparkContext.broadcast(carries)
+    val tailFields = orderFields ++ payload.map(ordered.schema(_))
+    val outSchema = StructType(Seq(
+      ordered.schema(idCol).copy(nullable = false),
+      valueField,
+      valueField.copy(name = outCol, nullable = true)) ++ tailFields)
+    val nTail = tailFields.length
+    ordered.mapPartitions { rows =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val first = rows.next()
+        val carry = carriesB.value(first.getLong(0))
+        val ring = new Array[Any](k)
+        var seen = 0L
+        // seed: carry.length == k exactly when >= k rows precede
+        carry.foreach { v => ring((seen % k).toInt) = v; seen += 1 }
+        (Iterator.single(first) ++ rows).map { r =>
+          val shifted = if (seen >= k) ring(((seen - k) % k).toInt)
+            else null
+          ring((seen % k).toInt) = r.get(1); seen += 1
+          Row.fromSeq(Seq(r.getLong(0), r.get(1), shifted) ++
+            (0 until nTail).map(i => r.get(2 + i)))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Reference-exact batch-max padding: every list in `arrCol` is
     * padded (never truncated) to the LONGEST list in the frame, the
     * `PadSequence` semantics of test/test_interop.py:190. The batch

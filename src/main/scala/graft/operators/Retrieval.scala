@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lexical retrieval over a document corpus: Okapi BM25 scoring with
+  * bounded top-k selection — the data-selection / decontamination-probe
+  * face of the text-analysis suite (TF-IDF ranks a document's own
+  * terms; BM25 ranks DOCUMENTS against a query set, the primitive
+  * behind "pull the k most relevant training docs per eval prompt" and
+  * importance-style corpus triage).
+  *
+  * Scale shape: the corpus text is scanned ONCE into (doc, term, tf)
+  * postings — one shuffle on (doc, term); the document-frequency table
+  * is VOCABULARY-sized and the query-term table is query-sized (both
+  * broadcast); per-document length joins on the doc key; the final
+  * per-query selection is [[GroupTopK]]'s partial-merging k-heap, so
+  * only k·|queries| rows survive each task — never a
+  * `row_number().over(partitionBy(query))` window, which would shuffle
+  * every scored row into |queries| partitions (maximally skewed when
+  * queries are few, the common case).
+  *
+  * Determinism / oracle portability: every per-term score is the SAME
+  * IEEE double expression over exact integers (tf, df, N, dl) plus one
+  * shared avgdl double on both engines (constants fold in double on
+  * both sides — ln() cross-engine bit-equality is the q87/q89
+  * precedent), then mediated through DECIMAL(20,12) BEFORE the
+  * per-document sum, so the total is independent of partition order
+  * (double summation would be association-sensitive). Ties break by
+  * doc id ascending.
+  *
+  * Reference analog: none — torcharrow stops at per-column text ops;
+  * retrieval is part of the training-data extension surface.
+  */
+object Retrieval {
+
+  /** BM25 top-`k` documents per query. `queries` is a bounded in-memory
+    * query set (qid, text) — queries are the SMALL side by contract
+    * (they broadcast); the corpus side is the DataFrame. Query terms
+    * are whitespace-tokenized and deduplicated per query (standard
+    * BM25 treats the query as a term SET; repeat a term via a custom
+    * weight upstream if query-side tf matters). Documents sharing no
+    * query term score nothing and never leave the scan.
+    *
+    * Returns (qid, rank, `idCol`, score_units, score) with rank 1..k
+    * by (score desc, id asc); `score_units` = score·10¹² as the exact
+    * integer witness, `score` the double it round-trips to.
+    *
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))  (the Lucene/ATIRE form —
+    * always positive, unlike the raw Robertson–Sparck Jones log odds);
+    * tf-norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bm25TopK: k=$k")
+    require(queries.nonEmpty, "bm25TopK: empty query set")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    val qterms = queries
+      .flatMap { case (qid, q) =>
+        q.trim.split("\\s+").filter(_.nonEmpty).distinct
+          .map(t => (qid, t))
+      }
+      .toDF("qid", "term")
+    require(!qterms.isEmpty, "bm25TopK: no query terms after tokenizing")
+
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count_distinct(col(idCol)).as("n"))
+    val tot = dl.agg(sum(col("dl")).as("tot"))
+
+    def d(c: Column): Column = c.cast(DoubleType)
+    val avgdl = d(col("tot")) / d(col("n"))
+    val idf = log(lit(1.0) +
+      (d(col("n")) - d(col("df")) + lit(0.5)) / (d(col("df")) + lit(0.5)))
+    val tfn = (d(col("tf")) * (lit(k1) + lit(1.0))) /
+      (d(col("tf")) + lit(k1) *
+        ((lit(1.0) - lit(b)) + lit(b) * (d(col("dl")) / col("avgdl"))))
+
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .join(dl, idCol)
+      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(tot))
+      .withColumn("avgdl", avgdl)
+      .withColumn("s", (idf * tfn).cast(DecimalType(20, 12)))
+      .groupBy(col("qid"), col(idCol))
+      .agg(sum(col("s")).cast(DecimalType(20, 12)).as("score"))
+      // exact: score has 12 decimals, so score·10¹² is integral; the
+      // max per-term score is ~ln(N)·(k1+1), far inside LONG at 10¹²
+      .withColumn("score_units",
+        (col("score") * lit(java.math.BigDecimal.TEN.pow(12)))
+          .cast(LongType))
+
+    GroupTopK.minKByKey(scored, Seq("qid"), idCol,
+        key = -col("score_units"), k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("id").as(idCol), (-col("key")).as("score_units"),
+        (-col("key")).cast(DoubleType) / lit(1.0e12) as "score")
+  }
+}

@@ -335,6 +335,42 @@ class PackingSpec extends SparkSpec {
     assert(e.getMessage.contains("rename it upstream"))
   }
 
+  test("shiftInOrder equals the brute-force shift in the caller's " +
+      "order (ties on id), is partition-count invariant, threads " +
+      "carries across short partitions, and reverses cleanly for lead") {
+    // order by a NON-UNIQUE string key — generic order types + id
+    // tiebreak; parts larger than rows/k so some carries span several
+    // partitions, the threading case
+    val rows = (0L until 150L).map(i =>
+      (i, (i * 7 % 13) + 1, s"g${i % 9}", s"p$i"))
+    val df = rows.toDF("id", "v", "grp", "tag").repartition(5)
+    val sorted = rows.sortBy(t => (t._3, t._1))
+    for (k <- Seq(1, 4, 40); parts <- Seq(3, 8, 64)) {
+      val got = Packing.shiftInOrder(df, "id", "v", Seq("grp"), k, parts,
+        payload = Seq("tag"), outCol = "sh")
+        .collect().map(r => r.getAs[Long]("id") ->
+          ((Option(r.getAs[Any]("sh")), r.getAs[String]("tag")))).toMap
+      sorted.zipWithIndex.foreach { case ((id, _, _, tag), i) =>
+        val want = if (i >= k) Some(sorted(i - k)._2) else None
+        assert(got(id) === ((want, tag)), s"k=$k parts=$parts id=$id")
+      }
+      val lead = Packing.shiftInOrder(df, "id", "v", Seq("grp"), k, parts,
+        descending = true, outCol = "sh")
+        .collect().map(r => r.getAs[Long]("id") ->
+          Option(r.getAs[Any]("sh"))).toMap
+      sorted.zipWithIndex.foreach { case ((id, _, _, _), i) =>
+        val want = if (i + k < sorted.length) Some(sorted(i + k)._2)
+          else None
+        assert(lead(id) === want, s"lead k=$k parts=$parts id=$id")
+      }
+    }
+    // offset past the whole frame: every row shifts to null, no crash
+    val allNull = Packing.shiftInOrder(df, "id", "v", Seq("grp"), 151, 4)
+      .collect()
+    assert(allNull.length === 150 &&
+      allNull.forall(r => r.isNullAt(r.fieldIndex("shifted"))))
+  }
+
   test("prefixSumInOrder is exact for NEGATIVE weights (round-18 " +
       "relaxed contract — two-phase long addition is sign-agnostic)") {
     val rows = (0L until 120L).map(i => (i, (i % 11) - 5))

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.execution.window.WindowExec
+
+import graft.operators.Retrieval
+
+/** BM25 retrieval: exact parity with an in-JVM brute-force model (the
+  * per-term expression is the same IEEE double chain, so score_units
+  * must match bit-for-bit), selection/tie-break determinism, and the
+  * window-free plan guarantee (q278 certifies the same chain against
+  * DuckDB from first principles). */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  private val corpus = Seq(
+    (0L, "hash join fast"),
+    (1L, "sort merge join join"),
+    (2L, "window agg stream window"),
+    (3L, "hash hash hash scan"),
+    (4L, "scan filter"),
+    (5L, "join"),
+    (6L, "agg sort"))
+
+  /** The operator's exact double chain, replayed sequentially. */
+  private def model(queries: Seq[(Long, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): Seq[(Long, Long, Long, Long)] = {
+    val toks = corpus.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq
+    }.toMap
+    val n = corpus.length
+    val dl = toks.map { case (id, ts) => id -> ts.length }
+    val avgdl = dl.values.sum.toDouble / n.toDouble
+    val tf = toks.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, g) => (id, t) -> g.length }
+    }
+    val dfreq = tf.keys.groupBy(_._2).map { case (t, g) => t -> g.size }
+    val perDoc = for {
+      (qid, q) <- queries
+      terms = q.trim.split("\\s+").filter(_.nonEmpty).distinct
+      (docId, _) <- corpus
+      s = terms.flatMap { t =>
+        tf.get((docId, t)).map { f =>
+          val df = dfreq(t)
+          val idf = math.log(1.0 +
+            (n.toDouble - df.toDouble + 0.5) / (df.toDouble + 0.5))
+          val tfn = (f.toDouble * (k1 + 1.0)) /
+            (f.toDouble + k1 *
+              ((1.0 - b) + b * (dl(docId).toDouble / avgdl)))
+          BigDecimal(idf * tfn)
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        }
+      }
+      if s.nonEmpty
+    } yield (qid, docId,
+      (s.sum * BigDecimal(10).pow(12)).toLongExact)
+    perDoc.groupBy(_._1).toSeq.flatMap { case (qid, ds) =>
+      ds.sortBy { case (_, id, u) => (-u, id) }.take(k).zipWithIndex
+        .map { case ((_, id, u), i) => (qid, i + 1L, id, u) }
+    }.sortBy(t => (t._1, t._2))
+  }
+
+  test("bm25TopK matches the sequential model bit-for-bit " +
+      "(score_units), ranks by score desc with doc-id ties, and only " +
+      "returns docs sharing a query term") {
+    val queries = Seq(0L -> "hash join", 1L -> "scan", 2L -> "join sort")
+    val got = Retrieval.bm25TopK(
+        corpus.toDF("doc_id", "text").repartition(3),
+        "doc_id", "text", queries, k = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_units")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got === model(queries, k = 4))
+    // doc 2 shares no term with any query — must never appear
+    assert(!got.exists(_._3 === 2L))
+    // score round-trips from the integer witness
+    got.foreach { case (_, _, _, u) => assert(u > 0L) }
+  }
+
+  test("bm25TopK caps at k, plans no window, and rejects empty input") {
+    val out = Retrieval.bm25TopK(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", Seq(0L -> "join hash scan sort"), k = 2)
+    assert(out.collect().length === 2)
+    assert(out.queryExecution.executedPlan.collect {
+      case w: WindowExec => w
+    }.isEmpty, "per-query top-k must be the partial-merging heap")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.bm25TopK(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        Seq.empty, k = 2)
+    }
+    assert(e.getMessage.contains("empty query set"))
+  }
+}

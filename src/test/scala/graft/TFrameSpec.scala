@@ -284,6 +284,99 @@ class TFrameSpec extends SparkSpec {
     }
   }
 
+  test("percentRankExact/cumeDistExact equal Spark's own " +
+      "percent_rank()/cume_dist() windows (ties included), keep all " +
+      "columns, and plan no window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = (0L until 240L).map(i => (i, (i * 31) % 11, s"t$i"))
+    val df = rows.toDF("id", "score", "tag").repartition(4)
+    val out = TFrame(df)
+      .percentRankExact(Seq("score"), "id", parts = 5, outCol = "pr")
+      .cumeDistExact(Seq("score"), "id", parts = 5, outCol = "cd")
+    assert(out.columns.toSet === Set("id", "score", "tag", "pr", "cd"))
+    val want = df
+      .withColumn("pr2", percent_rank().over(W.orderBy(col("score"))))
+      .withColumn("cd2", cume_dist().over(W.orderBy(col("score"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("pr2"), r.getAs[Double]("cd2")))).toMap
+    out.df.collect().foreach { r =>
+      val (wpr, wcd) = want(r.getAs[Long]("id"))
+      assert(r.getAs[Double]("pr") === wpr, s"pr id=${r.getAs[Long]("id")}")
+      assert(r.getAs[Double]("cd") === wcd, s"cd id=${r.getAs[Long]("id")}")
+      assert(r.getAs[String]("tag") === s"t${r.getAs[Long]("id")}",
+        "payload corrupted")
+    }
+    assert(!out.df.queryExecution.executedPlan.toString.contains("Window"),
+      "peer-rank family must never plan a window")
+    // single-row frame: percent_rank is 0.0 by SQL convention (the
+    // division would be 0/0), cume_dist is 1.0
+    val one = TFrame(Seq((7L, 3L)).toDF("id", "score"))
+      .percentRankExact(Seq("score"), "id", parts = 2, outCol = "pr")
+      .cumeDistExact(Seq("score"), "id", parts = 2, outCol = "cd")
+      .df.head()
+    assert(one.getAs[Double]("pr") === 0.0)
+    assert(one.getAs[Double]("cd") === 1.0)
+  }
+
+  test("lagExact/leadExact equal Spark's lag/lead windows (edge nulls " +
+      "included), thread carries across partitions, and plan no window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // parts far above offset so carries must cross partition boundaries
+    val rows = (0L until 200L).map(i => (i, (i * 13) % 37, s"t$i"))
+    val df = rows.toDF("id", "v", "tag").repartition(6)
+    val out = TFrame(df)
+      .lagExact("v", 3, order = Seq.empty, idCol = "id", parts = 9,
+        outCol = "lag3")
+      .leadExact("v", 2, order = Seq.empty, idCol = "id", parts = 9,
+        outCol = "lead2")
+    assert(out.columns.toSet === Set("id", "v", "tag", "lag3", "lead2"))
+    val want = df
+      .withColumn("l2", lag(col("v"), 3).over(W.orderBy(col("id"))))
+      .withColumn("d2", lead(col("v"), 2).over(W.orderBy(col("id"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((Option(r.getAs[Any]("l2")), Option(r.getAs[Any]("d2"))))).toMap
+    out.df.collect().foreach { r =>
+      val (wl, wd) = want(r.getAs[Long]("id"))
+      assert(Option(r.getAs[Any]("lag3")) === wl,
+        s"lag id=${r.getAs[Long]("id")}")
+      assert(Option(r.getAs[Any]("lead2")) === wd,
+        s"lead id=${r.getAs[Long]("id")}")
+      assert(r.getAs[String]("tag") === s"t${r.getAs[Long]("id")}",
+        "payload corrupted")
+    }
+    assert(!out.df.queryExecution.executedPlan.toString.contains("Window"),
+      "lag/lead family must never plan a window")
+    // null VALUES shift like any value (SQL lag semantics)
+    val withNulls = TFrame(Seq((0L, Some(1L)), (1L, None), (2L, Some(3L)))
+      .toDF("id", "v"))
+      .lagExact("v", 1, Seq.empty, "id", parts = 2, outCol = "lg")
+      .df.orderBy("id").collect()
+    assert(withNulls.map(r => Option(r.getAs[Any]("lg"))).toSeq ===
+      Seq(None, Some(1L), None))
+  }
+
+  test("rollingSumExact equals Spark's ROWS-frame window sum " +
+      "(negatives included) and plans no window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = (0L until 150L).map(i => (i, ((i * 17) % 23) - 11))
+    val df = rows.toDF("id", "v").repartition(4)
+    val out = TFrame(df).rollingSumExact("v", w = 6, order = Seq.empty,
+      idCol = "id", parts = 5, outCol = "roll")
+    assert(out.columns.toSet === Set("id", "v", "roll"))
+    val want = df.withColumn("r2", sum(col("v")).over(
+        W.orderBy(col("id")).rowsBetween(-6, 0)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("r2")).toMap
+    out.df.collect().foreach { r =>
+      assert(r.getAs[Long]("roll") === want(r.getAs[Long]("id")),
+        s"id=${r.getAs[Long]("id")}")
+    }
+    assert(!out.df.queryExecution.executedPlan.toString.contains("Window"),
+      "rollingSumExact must never plan a window")
+  }
+
   test("head/tail/append") {
     assert(abc.head(2).length === 2L)
     assert(col0(abc.tail(2).df.select("a")) === Seq(5L, 6L))
