@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.frame.TFrame
-import graft.operators.Retrieval
+import graft.operators.{Retrieval, Similarity}
 
 /** Round-18 session-2 gates: the funnel-free analytic family completed
   * on the user surface — peer-aware percent_rank/cume_dist (q275),
@@ -193,17 +193,106 @@ object Queries38 {
       |  CAST(score_units AS DOUBLE) / 1e12 AS score
       |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- q279: hybrid retrieval via reciprocal-rank fusion, hashed -------------
+
+  /** [[Retrieval.rrfFuse]] over two real sides — the q278 BM25 chain
+    * (lexical, k=20 over documents) and the q50 brute-cosine chain
+    * (dense, k=20 over embeddings; probe vectors = embeddings of ids
+    * 0..3, qid = probe id) — fused per query into top-10 by the exact
+    * packed integer key. Fusion is rank-only, so the dense side's
+    * doubles never enter the hash; what DuckDB must reproduce is the
+    * RANKINGS (the q50 fp-independent rank-compare precedent) and then
+    * pure integer arithmetic: u = 10¹² div (60+rank), packed = Σ(8u+1),
+    * rrf_units = packed div 8, sides_hit = packed mod 8, top-10 by
+    * (packed desc, id asc). Ids present on one side only (a doc with
+    * no embedding, a vector whose doc shares no query term) fuse with
+    * sides_hit = 1 — the realistic hybrid case — and the doc-id/vec-id
+    * spaces are the shared entity-id space by corpus construction. */
+  def q279HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val queries = Seq(
+      0L -> "hash join",
+      1L -> "sort merge join",
+      2L -> "window agg stream",
+      3L -> "vector scan fast")
+    val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        queries, k = 20)
+      .select($"qid", $"doc_id".as("id"), $"rank")
+    val emb = t(s, dir, "embeddings")
+    val den = Similarity.bruteForceTopK(emb, emb.where($"vec_id" < 4),
+        "embedding", "vec_id", "vec_id", k = 20)
+      .select($"probe_id".as("qid"), $"id", $"rank")
+    Retrieval.rrfFuse(Seq(lex, den), "qid", "id", "rank", k = 10)
+      .orderBy($"qid", $"rank")
+  }
+
+  val q279Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |tot AS (SELECT SUM(dl) AS tot FROM dl),
+      |q(qid, term) AS (VALUES
+      |  (0,'hash'),(0,'join'),
+      |  (1,'sort'),(1,'merge'),(1,'join'),
+      |  (2,'window'),(2,'agg'),(2,'stream'),
+      |  (3,'vector'),(3,'scan'),(3,'fast')),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    CAST(
+      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
+      |           (CAST(dl.dl AS DOUBLE) /
+      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
+      |      AS DECIMAL(20,12)) AS s
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
+      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |u AS (SELECT qid, doc_id,
+      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+      |lex AS (SELECT qid, doc_id AS id, rk AS rnk FROM (
+      |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY score_units DESC, doc_id) AS rk FROM u)
+      |  WHERE rk <= 20),
+      |den AS (SELECT probe_id AS qid, id, rank AS rnk FROM (
+      |  SELECT p.vec_id AS probe_id, c.vec_id AS id,
+      |    ROW_NUMBER() OVER (PARTITION BY p.vec_id ORDER BY
+      |      list_cosine_similarity(c.embedding, p.embedding) DESC,
+      |      c.vec_id ASC) AS rank
+      |  FROM embeddings c, embeddings p
+      |  WHERE p.vec_id < 4 AND c.vec_id <> p.vec_id)
+      |  WHERE rank <= 20),
+      |pk AS (SELECT qid, id,
+      |  CAST(SUM((1000000000000 // (60 + rnk)) * 8 + 1) AS BIGINT)
+      |    AS packed
+      |  FROM (SELECT * FROM lex UNION ALL SELECT * FROM den)
+      |  GROUP BY 1, 2),
+      |r AS (SELECT qid, id, packed, row_number() OVER (PARTITION BY qid
+      |  ORDER BY packed DESC, id) AS rank FROM pk)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank, id,
+      |  CAST(packed // 8 AS BIGINT) AS rrf_units,
+      |  CAST(packed % 8 AS BIGINT) AS sides_hit
+      |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_percent_rank" -> (q275PercentRank _),
     "q276_lag_lead" -> (q276LagLead _),
     "q277_rolling_sum" -> (q277RollingSum _),
-    "q278_bm25_topk" -> (q278Bm25 _)
+    "q278_bm25_topk" -> (q278Bm25 _),
+    "q279_hybrid_rrf" -> (q279HybridRrf _)
   )
 
   val oracles: Map[String, String] = Map(
     "q275_percent_rank" -> q275Sql,
     "q276_lag_lead" -> q276Sql,
     "q277_rolling_sum" -> q277Sql,
-    "q278_bm25_topk" -> q278Sql
+    "q278_bm25_topk" -> q278Sql,
+    "q279_hybrid_rrf" -> q279Sql
   )
 }

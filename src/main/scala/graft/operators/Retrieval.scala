@@ -110,4 +110,68 @@ object Retrieval {
         col("id").as(idCol), (-col("key")).as("score_units"),
         (-col("key")).cast(DoubleType) / lit(1.0e12) as "score")
   }
+
+  /** Reciprocal-rank fusion of up to 8 ranked retrieval lists — the
+    * standard hybrid-retrieval combiner (Cormack/Clarke/Buettcher,
+    * SIGIR'09: lexical BM25 + dense cosine fused by rank alone, no
+    * score calibration across heterogeneous sides). Each side must
+    * carry (`qidCol`, `idCol`, `rankCol`) with 1-based ranks over the
+    * SAME entity-id space; sides are top-k' lists by contract, so
+    * everything downstream of the union is k'·|queries|·|sides|-bounded
+    * — the heavy lifting (corpus scans, scoring) stays inside the
+    * sides.
+    *
+    * Exactness: the textbook Σ 1/(c+rank) is a float sum whose value
+    * depends on which sides hit — here each contribution is the exact
+    * integer `UNIT div (c+rank)` (IntegralDivide — `/` on Columns is
+    * DOUBLE division) and the per-row term is packed as `u·8 + 1`, so
+    * ONE long sum yields both the fused score (packed div 8) and the
+    * coverage count (packed mod 8) with no join-back re-executing the
+    * sides. Selection key = packed descending: ties in fused units
+    * break by coverage (more sides wins), then id ascending — a pure
+    * function of the data, replayable bit-for-bit by an external
+    * oracle. Overflow headroom: max packed = 8·|sides|·UNIT/(c+1) + 8
+    * ≈ 2.1e12 at 8 sides, c=60 — five decimal orders inside LONG.
+    *
+    * Returns (qid, rank, id, rrf_units, sides_hit) with rank 1..k per
+    * query via [[GroupTopK]]'s partial-merging heap (window-free).
+    * Reference analog: none — retrieval is extension surface. */
+  def rrfFuse(
+      sides: Seq[DataFrame],
+      qidCol: String,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      c: Long = 60L): DataFrame = {
+    require(sides.nonEmpty, "rrfFuse: empty side list")
+    require(sides.size <= 8,
+      s"rrfFuse: ${sides.size} sides — coverage packs into 3 bits, max 8")
+    require(k > 0, s"rrfFuse: k=$k")
+    require(c >= 0, s"rrfFuse: c=$c")
+    import org.apache.spark.sql.graftshim.Shim
+    def idiv(a: Column, b: Column): Column = Shim.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Shim.expression(a), Shim.expression(b)))
+    val UNIT = 1000000000000L // 10^12: the q278 score_units convention
+    val unioned = sides
+      .map(_.select(
+        col(qidCol).cast(LongType).as("qid"),
+        col(idCol).cast(LongType).as("id"),
+        col(rankCol).cast(LongType).as("rnk")))
+      .reduce(_ unionByName _)
+    val packed = unioned
+      .select(col("qid"), col("id"),
+        when(col("rnk") < 1L, raise_error(lit(
+          "rrfFuse: rank < 1 — sides must be 1-based top-k lists")))
+          .otherwise(idiv(lit(UNIT), lit(c) + col("rnk")) * 8L + 1L)
+          .as("pk"))
+      .groupBy(col("qid"), col("id"))
+      .agg(sum(col("pk")).cast(LongType).as("packed"))
+    GroupTopK.minKByKey(packed, Seq("qid"), "id",
+        key = -col("packed"), k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("id"),
+        idiv(-col("key"), lit(8L)).as("rrf_units"),
+        pmod(-col("key"), lit(8L)).as("sides_hit"))
+  }
 }

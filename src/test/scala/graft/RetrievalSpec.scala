@@ -90,4 +90,68 @@ class RetrievalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty query set"))
   }
+
+  test("rrfFuse matches the packed-integer model: units sum, coverage " +
+      "tie-break, id tie-break, one-sided ids fuse with sides_hit=1") {
+    // qid 0 certifies the exact unit arithmetic and two-sides-beat-one
+    // ordering; qid 1 certifies the id-asc tie-break on equal units AND
+    // equal coverage (the coverage tie-break itself is pinned in the
+    // next test, where c=0 makes equal-units-different-coverage
+    // constructible: 2·u(2) = u(1) exactly).
+    val lex = Seq((0L, 10L, 1L), (0L, 11L, 2L), (0L, 12L, 3L),
+      (1L, 20L, 1L), (1L, 21L, 2L)).toDF("qid", "id", "rank")
+    val den = Seq((0L, 10L, 2L), (0L, 13L, 1L), (0L, 12L, 3L),
+      (1L, 22L, 1L)).toDF("qid", "id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, den), "qid", "id", "rank", k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("id"), r.getAs[Long]("rrf_units"),
+        r.getAs[Long]("sides_hit")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    def u(r: Long) = 1000000000000L / (60L + r)
+    // qid 0 fused units: 10 -> u(1)+u(2) two sides; 13 -> u(1); 11 ->
+    // u(2); 12 -> u(3)+u(3) two sides (a TRUE full tie with nothing:
+    // unique units here; id order certified on qid 1 below)
+    assert(got.filter(_._1 == 0L) === Seq(
+      (0L, 1L, 10L, u(1) + u(2), 2L),
+      (0L, 2L, 12L, u(3) + u(3), 2L),
+      (0L, 3L, 13L, u(1), 1L)))
+    // qid 1: 20 and 22 both rank 1 on exactly one side — equal units,
+    // equal coverage -> id ascending breaks the tie
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, 1L, 20L, u(1), 1L),
+      (1L, 2L, 22L, u(1), 1L),
+      (1L, 3L, 21L, u(2), 1L)))
+  }
+
+  test("rrfFuse prefers coverage on equal units, plans no window, and " +
+      "rejects bad inputs") {
+    // c=0: u(r) = 1e12 div r, so {rank 2} twice = 2*u(2) = u(1) = 1e12
+    // exactly — equal fused units, different coverage: 2 sides wins
+    val a = Seq((0L, 1L, 2L)).toDF("qid", "id", "rank")
+    val b = Seq((0L, 1L, 2L), (0L, 2L, 1L)).toDF("qid", "id", "rank")
+    val tied = Retrieval.rrfFuse(Seq(a, b), "qid", "id", "rank",
+        k = 2, c = 0L)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("id"),
+        r.getAs[Long]("rrf_units"), r.getAs[Long]("sides_hit")))
+      .sortBy(_._1).toSeq
+    assert(tied === Seq((1L, 1L, 1000000000000L, 2L),
+      (2L, 2L, 1000000000000L, 1L)))
+    assert(Retrieval.rrfFuse(Seq(a, b), "qid", "id", "rank", k = 2)
+      .queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }.isEmpty, "fusion top-k must be the partial-merging heap")
+    val zeroRank = Seq((0L, 1L, 0L)).toDF("qid", "id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(zeroRank), "qid", "id", "rank", k = 1)
+        .collect()
+    }
+    assert(e.getMessage.contains("1-based"))
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, "qid", "id", "rank", k = 1)
+    }.getMessage.contains("empty side list"))
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.fill(9)(a), "qid", "id", "rank", k = 1)
+    }.getMessage.contains("max 8"))
+  }
 }
