@@ -52,7 +52,15 @@ object Bench {
 
     // warmup: session init, codegen, parquet footer reads
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // SPARK_GRAFT_ONLY: comma-separated name prefixes for a targeted
+    // quiet re-read (band exoneration of a single flagged query) —
+    // same contract as Verify's prefix args. Default: the full suite.
+    // Subset runs are for DIAGNOSIS; bands update only from full
+    // pairs, where cache/scheduler state matches the recorded set.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     names.headOption.foreach(materialize)
 
     // two full back-to-back samples; published number = per-query min
