@@ -280,12 +280,120 @@ object Queries38 {
       |  CAST(packed % 8 AS BIGINT) AS sides_hit
       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  // ---- q280: judged retrieval evaluation (nDCG/MRR/P/R @10), hashed ----------
+
+  /** [[Retrieval.evalAtK]] grading the q278 BM25 run (k=20) against a
+    * relevance set DERIVED FROM DATA: grade = number of distinct query
+    * terms a document contains, kept at grade >= 2 so the judgment is
+    * STRICTER than the retriever's match condition (single-term docs
+    * score BM25 points but count as non-relevant) — precision, MRR and
+    * nDCG are then real measurements, not tautologies. DCG uses the
+    * natural-log discount so both engines evaluate the identical IEEE
+    * chain; every term passes DECIMAL(20,12) before the per-query sum;
+    * mrr_units is pure integer division; each ratio is one double
+    * division of exact integers. The ideal ranking is the k-heap over
+    * the relevance set (grade desc, id asc), window-free. */
+  def q280RetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val queries = Seq(
+      0L -> "hash join",
+      1L -> "sort merge join",
+      2L -> "window agg stream",
+      3L -> "vector scan fast")
+    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val docs = t(s, dir, "documents")
+    val run = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 20)
+      .select($"qid", $"doc_id".as("id"), $"rank")
+    val qterms = queries
+      .flatMap { case (qid, q) =>
+        q.trim.split("\\s+").filter(_.nonEmpty).distinct
+          .map(tm => (qid, tm))
+      }
+      .toDF("qid", "term")
+    val rel = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .distinct()
+      .join(broadcast(qterms), "term")
+      .groupBy($"qid", $"doc_id")
+      .agg(count(lit(1)).as("grade"))
+      .where($"grade" >= 2L)
+      .select($"qid", $"doc_id".as("id"), $"grade")
+    Retrieval.evalAtK(run, rel, k = 10).orderBy($"qid")
+  }
+
+  val q280Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |tot AS (SELECT SUM(dl) AS tot FROM dl),
+      |q(qid, term) AS (VALUES
+      |  (0,'hash'),(0,'join'),
+      |  (1,'sort'),(1,'merge'),(1,'join'),
+      |  (2,'window'),(2,'agg'),(2,'stream'),
+      |  (3,'vector'),(3,'scan'),(3,'fast')),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    CAST(
+      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
+      |           (CAST(dl.dl AS DOUBLE) /
+      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
+      |      AS DECIMAL(20,12)) AS s
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
+      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |u AS (SELECT qid, doc_id,
+      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+      |run AS (SELECT qid, doc_id AS id, rk AS rank FROM (
+      |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+      |    ORDER BY score_units DESC, doc_id) AS rk FROM u)
+      |  WHERE rk <= 20),
+      |rel AS (
+      |  SELECT qid, doc_id AS id, COUNT(*) AS grade FROM (
+      |    SELECT DISTINCT q.qid, q.term, tok.doc_id FROM tok
+      |    JOIN q USING (term))
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |hits AS (SELECT run.qid, run.id, run.rank, rel.grade
+      |  FROM run JOIN rel USING (qid, id) WHERE run.rank <= 10),
+      |dcg AS (SELECT qid,
+      |  CAST(SUM(CAST(CAST((1 << grade) - 1 AS DOUBLE) / ln(CAST(rank AS DOUBLE) + 1.0)
+      |    AS DECIMAL(20,12))) * 1000000000000 AS BIGINT) AS dcg_units,
+      |  CAST(COUNT(*) AS BIGINT) AS hits,
+      |  CAST(1000000000000 // MIN(rank) AS BIGINT) AS mrr_units
+      |  FROM hits GROUP BY 1),
+      |ideal AS (SELECT qid, grade, row_number() OVER (PARTITION BY qid
+      |  ORDER BY grade DESC, id) AS rank FROM rel),
+      |idcg AS (SELECT qid,
+      |  CAST(SUM(CAST(CAST((1 << grade) - 1 AS DOUBLE) / ln(CAST(rank AS DOUBLE) + 1.0)
+      |    AS DECIMAL(20,12))) * 1000000000000 AS BIGINT) AS idcg_units
+      |  FROM ideal WHERE rank <= 10 GROUP BY 1),
+      |relt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS rel_total
+      |  FROM rel GROUP BY 1)
+      |SELECT CAST(qid AS BIGINT) AS qid, hits, rel_total, dcg_units,
+      |  idcg_units,
+      |  round(CAST(dcg_units AS DOUBLE) / CAST(idcg_units AS DOUBLE), 6)
+      |    AS ndcg,
+      |  mrr_units,
+      |  round(CAST(hits AS DOUBLE) / 10.0, 6) AS "precision",
+      |  round(CAST(hits AS DOUBLE) / CAST(rel_total AS DOUBLE), 6)
+      |    AS recall
+      |FROM dcg JOIN idcg USING (qid) JOIN relt USING (qid)
+      |ORDER BY qid""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_percent_rank" -> (q275PercentRank _),
     "q276_lag_lead" -> (q276LagLead _),
     "q277_rolling_sum" -> (q277RollingSum _),
     "q278_bm25_topk" -> (q278Bm25 _),
-    "q279_hybrid_rrf" -> (q279HybridRrf _)
+    "q279_hybrid_rrf" -> (q279HybridRrf _),
+    "q280_retrieval_eval" -> (q280RetrievalEval _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -293,6 +401,7 @@ object Queries38 {
     "q276_lag_lead" -> q276Sql,
     "q277_rolling_sum" -> q277Sql,
     "q278_bm25_topk" -> q278Sql,
-    "q279_hybrid_rrf" -> q279Sql
+    "q279_hybrid_rrf" -> q279Sql,
+    "q280_retrieval_eval" -> q280Sql
   )
 }

@@ -174,4 +174,92 @@ object Retrieval {
         idiv(-col("key"), lit(8L)).as("rrf_units"),
         pmod(-col("key"), lit(8L)).as("sides_hit"))
   }
+
+  /** Judged evaluation of a retrieval run at cutoff `k`: per query,
+    * nDCG@k, MRR@k, precision@k, recall@k — the numbers that decide
+    * whether a data-selection retriever is good enough to curate with.
+    *
+    * `ranked` carries (`qid`, `id`, `rank`) with 1-based ranks (any
+    * retriever output — BM25, ANN, fused); `rel` carries (`qid`, `id`,
+    * `grade`) with integer grades 1..30 (filter grade-0 rows upstream;
+    * 30 caps 2^grade inside INT before the LONG cast). Relevance sets
+    * are judgment-sized by nature, but nothing here assumes a bound:
+    * the ideal ranking per query is [[GroupTopK]]'s k-heap over `rel`
+    * (key = grade desc, id asc — deterministic), never a per-query
+    * window.
+    *
+    * Exactness/oracle portability: DCG uses the natural-log discount —
+    * dcg@k = Σ_{hits at r ≤ k} (2^grade − 1) / ln(r + 1) — so both
+    * engines evaluate the IDENTICAL IEEE chain (ln bit-equality is the
+    * q87/q89 precedent; log2 implementations differ). Each term passes
+    * through DECIMAL(20,12) BEFORE the per-query sum (q278 convention:
+    * partition-order independence), and every published ratio is ONE
+    * double division of exact integers: ndcg = dcg_units/idcg_units,
+    * mrr_units = 10¹² div first-relevant-rank (pure integer),
+    * precision = hits/k, recall = hits/rel_total. idcg_units = 0 is
+    * impossible by contract (every rel row has grade ≥ 1), so a zero
+    * raises rather than letting x/0 diverge cross-engine (NaN/Inf in
+    * Spark, NULL in DuckDB).
+    *
+    * Returns one row per qid present in BOTH inputs: (qid, hits,
+    * rel_total, dcg_units, idcg_units, ndcg, mrr_units, precision,
+    * recall), doubles rounded to 6. Reference analog: none —
+    * extension surface. */
+  def evalAtK(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"evalAtK: k=$k")
+    import org.apache.spark.sql.graftshim.Shim
+    def idiv(a: Column, b: Column): Column = Shim.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        Shim.expression(a), Shim.expression(b)))
+    val UNIT = 1000000000000L
+    def d(c: Column): Column = c.cast(DoubleType)
+    val grade = when(col("grade") < 1L || col("grade") > 30L,
+        raise_error(lit("evalAtK: grade outside 1..30 — 0-graded rows " +
+          "must be filtered upstream, >30 overflows the 2^grade gain")))
+      .otherwise(col("grade"))
+    // gain = 2^grade − 1, exact integer on both engines (1 << grade);
+    // both frames below carry the validated grade as __g
+    val gain: Column =
+      expr("cast(shiftleft(1, cast(__g as int)) as bigint) - 1")
+    def term(r: Column): Column =
+      (d(gain) / log(r.cast(DoubleType) + lit(1.0)))
+        .cast(DecimalType(20, 12))
+    val r = rel.select(col("qid").cast(LongType).as("qid"),
+      col("id").cast(LongType).as("id"), grade.cast(LongType).as("__g"))
+    val run = ranked.select(col("qid").cast(LongType).as("qid"),
+        col("id").cast(LongType).as("id"),
+        col("rank").cast(LongType).as("rank"))
+      .where(col("rank") <= k)
+    val hits = run.join(r, Seq("qid", "id"))
+    val dcg = hits
+      .select(col("qid"), term(col("rank")).as("__t"),
+        col("rank"))
+      .groupBy(col("qid"))
+      .agg((sum(col("__t")) * lit(UNIT)).cast(LongType).as("dcg_units"),
+        count(lit(1)).as("hits"),
+        idiv(lit(UNIT), min(col("rank"))).as("mrr_units"))
+    // ideal ranking: k best grades per query, deterministic (grade
+    // desc, id asc) via the partial-merging heap — window-free
+    val ideal = GroupTopK.minKByKey(r, Seq("qid"), "id",
+        key = -col("__g"), k)
+      .select(col("qid"), (-col("key")).as("__g"),
+        col("rank").cast(LongType).as("rank"))
+    val idcg = ideal
+      .select(col("qid"), term(col("rank")).as("__t"))
+      .groupBy(col("qid"))
+      .agg((sum(col("__t")) * lit(UNIT)).cast(LongType).as("idcg_units"))
+    val relTotal = r.groupBy(col("qid"))
+      .agg(count(lit(1)).as("rel_total"))
+    dcg.join(idcg, "qid").join(relTotal, "qid")
+      .select(col("qid"), col("hits"), col("rel_total"),
+        col("dcg_units"),
+        when(col("idcg_units") <= 0L, raise_error(lit(
+          "evalAtK: idcg_units <= 0 with grade >= 1 rows — impossible " +
+            "unless inputs violated the contract")))
+          .otherwise(col("idcg_units")).as("idcg_units"),
+        round(d(col("dcg_units")) / d(col("idcg_units")), 6).as("ndcg"),
+        col("mrr_units"),
+        round(d(col("hits")) / lit(k.toDouble), 6).as("precision"),
+        round(d(col("hits")) / d(col("rel_total")), 6).as("recall"))
+  }
 }

@@ -154,4 +154,47 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rrfFuse(Seq.fill(9)(a), "qid", "id", "rank", k = 1)
     }.getMessage.contains("max 8"))
   }
+
+  test("evalAtK matches the hand model: ln-discount DCG units, ideal " +
+      "ranking with grade/id ties, MRR/precision/recall, cutoff at k") {
+    val run = Seq((0L, 1L, 1L), (0L, 5L, 2L), (0L, 3L, 3L),
+      (0L, 2L, 4L)).toDF("qid", "id", "rank") // rank 4 is outside k=3
+    val rel = Seq((0L, 1L, 3L), (0L, 2L, 1L), (0L, 3L, 2L),
+      (0L, 9L, 1L)).toDF("qid", "id", "grade")
+    val got = Retrieval.evalAtK(run, rel, k = 3).collect()
+    assert(got.length === 1)
+    val r = got.head
+    def units(terms: Seq[(Long, Long)]): Long = // (grade, rank)
+      terms.map { case (g, rk) =>
+        BigDecimal(((1L << g) - 1).toDouble / math.log(rk + 1.0))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.*(BigDecimal(10).pow(12)).toLongExact
+    // hits@3: id 1 (g3, r1) and id 3 (g2, r3); id 5 unjudged, id 2 cut
+    val dcg = units(Seq((3L, 1L), (2L, 3L)))
+    // ideal: g3@1, g2@2, then the g1 tie breaks to id 2 over id 9
+    val idcg = units(Seq((3L, 1L), (2L, 2L), (1L, 3L)))
+    assert(r.getAs[Long]("hits") === 2L)
+    assert(r.getAs[Long]("rel_total") === 4L)
+    assert(r.getAs[Long]("dcg_units") === dcg)
+    assert(r.getAs[Long]("idcg_units") === idcg)
+    assert(r.getAs[Double]("ndcg") ===
+      math.rint(dcg.toDouble / idcg.toDouble * 1e6) / 1e6)
+    assert(r.getAs[Long]("mrr_units") === 1000000000000L)
+    assert(r.getAs[Double]("precision") === 0.666667)
+    assert(r.getAs[Double]("recall") === 0.5)
+  }
+
+  test("evalAtK raises on out-of-contract grades and rejects k <= 0") {
+    val run = Seq((0L, 1L, 1L)).toDF("qid", "id", "rank")
+    def relWith(g: Long) = Seq((0L, 1L, g)).toDF("qid", "id", "grade")
+    for (bad <- Seq(0L, 31L)) {
+      val e = intercept[Exception] {
+        Retrieval.evalAtK(run, relWith(bad), k = 3).collect()
+      }
+      assert(e.getMessage.contains("grade outside 1..30"))
+    }
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.evalAtK(run, relWith(1L), k = 0)
+    }.getMessage.contains("k=0"))
+  }
 }
