@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.frame.TFrame
-import graft.operators.{Retrieval, Similarity}
+import graft.operators.{Retrieval, Sampling, Similarity}
 
 /** Round-18 session-2 gates: the funnel-free analytic family completed
   * on the user surface — peer-aware percent_rank/cume_dist (q275),
@@ -387,13 +387,54 @@ object Queries38 {
       |FROM dcg JOIN idcg USING (qid) JOIN relt USING (qid)
       |ORDER BY qid""".stripMargin
 
+  // ---- q281: temperature-scaled domain mixture (alpha sampling), hashed ------
+
+  /** [[graft.operators.Sampling.mixByTemperature]] at alpha=0.5 over
+    * the documents languages — the XLM-R/mT5 low-resource boost,
+    * realized duplication-free: shares land exactly ∝ √n_lang with the
+    * smallest language kept in full. The oracle recomputes the counts,
+    * w = power(n, 0.5), m = min(n/w), the argmin-pinned fractions, the
+    * floor(f·8192) thresholds, and the splitmix64 buckets — the entire
+    * chain engine-portable (the q106 discipline; pow is the one
+    * cross-engine trust point and this hash pins it). Output is the
+    * q106 shape: per-language kept count + kept id sum. */
+  def q281TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val mixed = Sampling.mixByTemperature(t(s, dir, "documents"),
+      $"lang", $"doc_id", alpha = 0.5, seed = 47L)
+    mixed.groupBy($"lang")
+      .agg(count(lit(1)).as("kept_n"), sum($"doc_id").as("kept_id_sum"))
+      .orderBy($"lang")
+  }
+
+  val q281Sql: String =
+    s"""WITH ${Queries5.bucketCtes("tm", 47L, "documents", "doc_id")},
+       |cnt AS (SELECT lang, COUNT(*) AS n FROM documents
+       |  WHERE lang IS NOT NULL GROUP BY lang),
+       |w AS (SELECT lang, n,
+       |  power(CAST(n AS DOUBLE), CAST(0.5 AS DOUBLE)) AS w FROM cnt),
+       |mm AS (SELECT MIN(CAST(n AS DOUBLE) / w) AS m FROM w),
+       |thr AS (SELECT w.lang,
+       |  CAST(floor(CASE WHEN CAST(n AS DOUBLE) / w = mm.m
+       |    THEN CAST(1.0 AS DOUBLE)
+       |    ELSE LEAST(CAST(1.0 AS DOUBLE),
+       |      w * mm.m / CAST(n AS DOUBLE)) END * 8192) AS INTEGER) AS th
+       |  FROM w CROSS JOIN mm),
+       |j AS (SELECT d.lang, d.doc_id, tmb.bucket
+       |  FROM documents d JOIN tmb ON d.doc_id = tmb.k)
+       |SELECT j.lang, COUNT(*) AS kept_n,
+       |  CAST(SUM(j.doc_id) AS BIGINT) AS kept_id_sum
+       |FROM j JOIN thr ON j.lang = thr.lang
+       |WHERE j.bucket < thr.th
+       |GROUP BY j.lang ORDER BY j.lang""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_percent_rank" -> (q275PercentRank _),
     "q276_lag_lead" -> (q276LagLead _),
     "q277_rolling_sum" -> (q277RollingSum _),
     "q278_bm25_topk" -> (q278Bm25 _),
     "q279_hybrid_rrf" -> (q279HybridRrf _),
-    "q280_retrieval_eval" -> (q280RetrievalEval _)
+    "q280_retrieval_eval" -> (q280RetrievalEval _),
+    "q281_temperature_mix" -> (q281TemperatureMix _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -402,6 +443,7 @@ object Queries38 {
     "q277_rolling_sum" -> q277Sql,
     "q278_bm25_topk" -> q278Sql,
     "q279_hybrid_rrf" -> q279Sql,
-    "q280_retrieval_eval" -> q280Sql
+    "q280_retrieval_eval" -> q280Sql,
+    "q281_temperature_mix" -> q281Sql
   )
 }

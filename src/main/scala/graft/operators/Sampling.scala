@@ -150,6 +150,49 @@ object Sampling {
     stratified(df, strata, key, fractions, default = 0.0, seed)
   }
 
+  /** Temperature-scaled domain mixture (the multilingual-corpus
+    * rebalancing rule of XLM-R/mT5: sample domain d with probability
+    * q_d ∝ p_d^alpha, alpha in [0,1] — alpha=1 keeps natural
+    * proportions, alpha=0 is uniform, alpha≈0.3-0.7 boosts
+    * low-resource domains): realized WITHOUT duplication as the
+    * largest corpus whose domain shares are exactly q — every domain
+    * keeps fraction f_d = min(1, w_d·m/n_d) with w_d = n_d^alpha and
+    * m = min_d(n_d/w_d), the smallest-w_d-ratio domain riding in full.
+    * The algebra is deliberate: the textbook q_d = w_d/Σw_j needs an
+    * order-sensitive float SUM, but the normalizer cancels inside
+    * f_d, leaving only per-domain pow/division and a MIN — every step
+    * an order-independent IEEE expression an external oracle replays
+    * bit-for-bit (the one cross-engine trust point is pow itself,
+    * pinned by the gate at both verify SFs and the replica corpus).
+    * The argmin domain's fraction is pinned to exactly 1.0 by the
+    * same fp-equality-on-the-min-expression rule as [[mixToTarget]].
+    *
+    * Scale shape identical to [[mixToTarget]]: one label-cardinality
+    * counts aggregate to the driver, then the stateless splitmix64
+    * row filter — the corpus never shuffles. Rows with null strata
+    * are dropped (no domain, no share). */
+  def mixByTemperature(df: DataFrame, strata: Column, key: Column,
+      alpha: Double, seed: Long): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"mixByTemperature: alpha=$alpha outside [0,1]")
+    val counts = df.where(strata.isNotNull)
+      .groupBy(strata.cast(org.apache.spark.sql.types.StringType)
+        .as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      "mixByTemperature: no non-null domain labels in the corpus")
+    val w = counts.map { case (d, n) =>
+      d -> math.pow(n.toDouble, alpha)
+    }
+    val m = counts.map { case (d, n) => n.toDouble / w(d) }.min
+    val fractions = counts.map { case (d, n) =>
+      d -> (if (n.toDouble / w(d) == m) 1.0
+            else math.min(1.0, w(d) * m / n.toDouble))
+    }
+    stratified(df, strata, key, fractions, default = 0.0, seed)
+  }
+
   /** Deterministic global-shuffle key: the full 64-bit splitmix64
     * value behind [[bucket]] (signed comparison order). ORDER BY this
     * column is a reproducible, engine-portable permutation of the

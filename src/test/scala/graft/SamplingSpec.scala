@@ -263,4 +263,47 @@ class SamplingSpec extends SparkSpec {
       when(col("k") < 1000L, lit(Sampling.Buckets)))
     assert(kept(col("t"), withNull) === (0L until 1000L).toSet)
   }
+  test("mixByTemperature: alpha=1 is the identity, alpha=0 targets " +
+      "uniform counts, alpha=0.5 lands shares proportional to sqrt(n)") {
+    import spark.implicits._
+    // 6400 A, 1600 B, 400 C — sqrt ratio 80:40:20 = 4:2:1
+    val df = (0L until 8400L).map { k =>
+      (k, if (k < 6400) "A" else if (k < 8000) "B" else "C")
+    }.toDF("k", "g")
+    def counts(alpha: Double): Map[String, Long] =
+      Sampling.mixByTemperature(df, col("g"), col("k"), alpha, seed = 7L)
+        .groupBy("g").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha = 1: every n/w ratio is 1 = the min, every fraction pins
+    // to exactly 1.0 — the natural mixture at max size IS the corpus
+    assert(counts(1.0) === Map("A" -> 6400L, "B" -> 1600L, "C" -> 400L))
+    // alpha = 0: w = 1, m = min(n) = 400 — uniform counts, smallest
+    // domain in full
+    val u = counts(0.0)
+    assert(u("C") === 400L, s"argmin domain must ride in full: $u")
+    assert(math.abs(u("A") - 400L) < 90 && math.abs(u("B") - 400L) < 90,
+      u.toString)
+    // alpha = 0.5: f_A = sqrt(400/6400) = 1/4, f_B = sqrt(400/1600) =
+    // 1/2, C full -> expected 1600/800/400 (shares 4:2:1)
+    val h = counts(0.5)
+    assert(h("C") === 400L, h.toString)
+    assert(math.abs(h("A") - 1600L) < 220 && math.abs(h("B") - 800L) < 160,
+      h.toString)
+  }
+
+  test("mixByTemperature drops null-label rows and rejects alpha " +
+      "outside [0,1]") {
+    import spark.implicits._
+    val df = Seq((0L, "A"), (1L, "A"), (2L, null.asInstanceOf[String]))
+      .toDF("k", "g")
+    val out = Sampling.mixByTemperature(df, col("g"), col("k"),
+      alpha = 1.0, seed = 7L)
+    assert(out.count() === 2L && out.where(col("g").isNull).count() === 0)
+    for (bad <- Seq(-0.1, 1.1)) {
+      val e = intercept[IllegalArgumentException] {
+        Sampling.mixByTemperature(df, col("g"), col("k"), bad, seed = 7L)
+      }
+      assert(e.getMessage.contains("outside [0,1]"))
+    }
+  }
 }
