@@ -427,6 +427,96 @@ object Queries38 {
        |WHERE j.bucket < thr.th
        |GROUP BY j.lang ORDER BY j.lang""".stripMargin
 
+  // ---- q282: leakage-safe train/test split (split by dup-GROUP), hashed ------
+
+  /** Near-dup-aware train/test split — the data-hygiene rule that a
+    * duplicate GROUP must land on one side of the split (a test doc
+    * whose near-twin sits in train is leaked evaluation data). The
+    * composition: connected components over the q88 pair graph (the
+    * SAME jaccardPairFixture — one definition, three gates), split key
+    * = coalesce(component, doc_id), label =
+    * [[graft.operators.Sampling.splitLabel]] over THAT key, so every
+    * member follows its group representative by construction. Two
+    * witnesses ride the hash: an in-gate raise if any group spans
+    * splits (the end-to-end construction certificate), and
+    * `naive_leak_groups` — how many groups a doc-keyed split WOULD
+    * have torn apart on this corpus, the measured reason this
+    * operator exists. Scale shape: components are pair-graph-sized,
+    * the corpus takes one broadcast join + the stateless splitmix64
+    * filter — never shuffled. */
+  def q282LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val weights = Seq("train" -> 0.8, "test" -> 0.2)
+    val comp = graft.operators.Dedup
+      .connectedComponents(Queries6.jaccardPairFixture(s, dir))
+      .select($"id", $"component")
+    val docs = t(s, dir, "documents").select($"doc_id")
+    val rep = docs.join(broadcast(comp), $"doc_id" === $"id", "left")
+      .select($"doc_id", $"component",
+        coalesce($"component", $"doc_id").as("rep"))
+    val lab = rep
+      .withColumn("split", Sampling.splitLabel($"rep", weights, 23L))
+      .withColumn("nsplit", Sampling.splitLabel($"doc_id", weights, 23L))
+    val spanning = lab.where($"component".isNotNull)
+      .groupBy($"component")
+      .agg(count_distinct($"split").as("nl"))
+      .agg(coalesce(sum(when($"nl" > 1L, 1L).otherwise(0L)), lit(0L))
+        .as("spanning"))
+      .select(when($"spanning" === 0L, lit(0L)).otherwise(raise_error(
+        lit("q282: a duplicate group spans splits — the rep-keyed " +
+          "label is group-constant by construction, this is a bug")))
+        .as("spanning_groups"))
+    val naiveLeak = lab.where($"component".isNotNull)
+      .groupBy($"component")
+      .agg(count_distinct($"nsplit").as("nl"))
+      .agg(coalesce(sum(when($"nl" > 1L, 1L).otherwise(0L)), lit(0L))
+        .as("naive_leak_groups"))
+    lab.groupBy($"split")
+      .agg(count(lit(1)).as("n"),
+        sum($"doc_id").as("id_sum"),
+        sum(when($"component".isNotNull, 1L).otherwise(0L))
+          .as("grouped_n"))
+      .crossJoin(broadcast(spanning))
+      .crossJoin(broadcast(naiveLeak))
+      .orderBy($"split")
+  }
+
+  // threshold: floor(0.8*8192) = 6553 (Sampling.threshold floor
+  // semantics, spelled as a literal per the q83 discipline)
+  val q282Sql: String = {
+    val closure = Queries6.closureCtes
+    s"""WITH RECURSIVE $closure,
+       |comp AS (SELECT src AS id, MIN(dst) AS component
+       |  FROM reach GROUP BY src),
+       |rep AS (SELECT d2.doc_id, c.component,
+       |    coalesce(c.component, d2.doc_id) AS rep
+       |  FROM documents d2 LEFT JOIN comp c ON d2.doc_id = c.id),
+       |repd AS (SELECT DISTINCT rep FROM rep),
+       |${Queries5.bucketCtes("sg", 23L, "repd", "rep")},
+       |${Queries5.bucketCtes("nv", 23L, "documents", "doc_id")},
+       |lab AS (SELECT r.doc_id, r.component,
+       |    CASE WHEN sgb.bucket < 6553 THEN 'train' ELSE 'test' END
+       |      AS split,
+       |    CASE WHEN nvb.bucket < 6553 THEN 'train' ELSE 'test' END
+       |      AS nsplit
+       |  FROM rep r JOIN sgb ON r.rep = sgb.k
+       |    JOIN nvb ON r.doc_id = nvb.k),
+       |span AS (SELECT CAST(coalesce(SUM(CASE WHEN nl > 1 THEN 1 END), 0)
+       |    AS BIGINT) AS spanning_groups
+       |  FROM (SELECT component, COUNT(DISTINCT split) AS nl FROM lab
+       |    WHERE component IS NOT NULL GROUP BY component)),
+       |leak AS (SELECT CAST(coalesce(SUM(CASE WHEN nl > 1 THEN 1 END), 0)
+       |    AS BIGINT) AS naive_leak_groups
+       |  FROM (SELECT component, COUNT(DISTINCT nsplit) AS nl FROM lab
+       |    WHERE component IS NOT NULL GROUP BY component))
+       |SELECT split, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       |  CAST(SUM(CASE WHEN component IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS grouped_n,
+       |  spanning_groups, naive_leak_groups
+       |FROM lab CROSS JOIN span CROSS JOIN leak
+       |GROUP BY split, spanning_groups, naive_leak_groups
+       |ORDER BY split""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_percent_rank" -> (q275PercentRank _),
     "q276_lag_lead" -> (q276LagLead _),
@@ -434,7 +524,8 @@ object Queries38 {
     "q278_bm25_topk" -> (q278Bm25 _),
     "q279_hybrid_rrf" -> (q279HybridRrf _),
     "q280_retrieval_eval" -> (q280RetrievalEval _),
-    "q281_temperature_mix" -> (q281TemperatureMix _)
+    "q281_temperature_mix" -> (q281TemperatureMix _),
+    "q282_leakage_safe_split" -> (q282LeakageSafeSplit _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,6 +535,7 @@ object Queries38 {
     "q278_bm25_topk" -> q278Sql,
     "q279_hybrid_rrf" -> q279Sql,
     "q280_retrieval_eval" -> q280Sql,
-    "q281_temperature_mix" -> q281Sql
+    "q281_temperature_mix" -> q281Sql,
+    "q282_leakage_safe_split" -> q282Sql
   )
 }

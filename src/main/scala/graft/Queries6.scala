@@ -79,7 +79,7 @@ object Queries6 {
     * over the bounded doc_id < 200 subset — ONE definition, so the two
     * resolution gates provably consume the identical pair graph (they
     * are documented as the same graph resolved under two policies). */
-  private def jaccardPairFixture(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def jaccardPairFixture(s: SparkSession, dir: String): DataFrame = {
     val sh = sort_array(array_distinct(transform(
       sequence(lit(1), length($"text") - 2),
       i => xxhash64($"text".substr(i, lit(3))))))
@@ -98,7 +98,7 @@ object Queries6 {
   /** SQL half of [[jaccardPairFixture]] + transitive closure, shared
     * by q88Sql/q94Sql: CTEs d/p/e/edges/nodes/reach (d keeps text for
     * q94's scoring CTE). */
-  private val closureCtes: String =
+  private[graft] val closureCtes: String =
     """d AS (
       |  SELECT doc_id, text, list_distinct(list_transform(
       |    range(1, length(text) - 1),
