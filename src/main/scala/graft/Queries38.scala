@@ -517,6 +517,91 @@ object Queries38 {
        |ORDER BY split""".stripMargin
   }
 
+  // ---- q283: BM25 with pseudo-relevance-feedback expansion, hashed -----------
+
+  /** DuckDB BM25 scoring CTEs against query relation `qRel(qid, term)`
+    * — the q278 chain parameterized so q283 can run it twice (original
+    * and expanded query sets) in one statement. Emits `u$tag(qid,
+    * doc_id, score_units)`. */
+  private def bm25ScoreCtes(qRel: String, tag: String): String =
+    s"""sc$tag AS (
+       |  SELECT qq.qid, tf.doc_id,
+       |    CAST(
+       |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+       |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+       |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+       |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+       |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
+       |           (CAST(dl.dl AS DOUBLE) /
+       |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
+       |      AS DECIMAL(20,12)) AS s
+       |  FROM tf JOIN $qRel qq USING (term) JOIN dfreq USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
+       |agg$tag AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12))
+       |    AS score FROM sc$tag GROUP BY 1, 2),
+       |u$tag AS (SELECT qid, doc_id,
+       |  CAST(score * 1000000000000 AS BIGINT) AS score_units
+       |  FROM agg$tag)""".stripMargin
+
+  /** [[Retrieval.bm25PrfTopK]] end-to-end: BM25 feedback run (top-5
+    * docs per query), RM1 term weights Σ tf/dl over the feedback set
+    * (each division one IEEE expression, DECIMAL-mediated,
+    * ×10¹²-witnessed), the 3 heaviest terms (weight desc, term asc)
+    * appended to the query, and the expanded BM25 re-run — DuckDB
+    * replays BOTH scoring passes, the feedback selection, the RM1
+    * arithmetic, and the expansion pick in one statement. A green hash
+    * certifies the full two-stage chain, including that both engines
+    * chose the SAME expansion vocabulary. */
+  def q283PrfExpansion(s: SparkSession, dir: String): DataFrame = {
+    val queries = Seq(
+      0L -> "hash join",
+      1L -> "sort merge join",
+      2L -> "window agg stream",
+      3L -> "vector scan fast")
+    Retrieval.bm25PrfTopK(t(s, dir, "documents"), "doc_id", "text",
+        queries, k = 5, fbDocs = 5, fbTerms = 3)
+      .orderBy($"qid", $"rank")
+  }
+
+  val q283Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+       |tot AS (SELECT SUM(dl) AS tot FROM dl),
+       |q(qid, term) AS (VALUES
+       |  (0,'hash'),(0,'join'),
+       |  (1,'sort'),(1,'merge'),(1,'join'),
+       |  (2,'window'),(2,'agg'),(2,'stream'),
+       |  (3,'vector'),(3,'scan'),(3,'fast')),
+       |${bm25ScoreCtes("q", "1")},
+       |fb AS (SELECT qid, doc_id FROM (
+       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_units DESC, doc_id) AS rk FROM u1)
+       |  WHERE rk <= 5),
+       |rm1 AS (SELECT fb.qid, tf.term,
+       |  CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) / CAST(dl.dl AS DOUBLE)
+       |    AS DECIMAL(20,12))) * 1000000000000 AS BIGINT) AS wu
+       |  FROM fb JOIN tf USING (doc_id) JOIN dl USING (doc_id)
+       |  GROUP BY 1, 2),
+       |ex AS (SELECT qid, term FROM (
+       |  SELECT qid, term, row_number() OVER (PARTITION BY qid
+       |    ORDER BY wu DESC, term) AS rk FROM rm1)
+       |  WHERE rk <= 3),
+       |q2 AS (SELECT qid, term FROM q UNION
+       |  SELECT qid, term FROM ex),
+       |${bm25ScoreCtes("q2", "2")},
+       |r AS (SELECT qid, doc_id, score_units,
+       |  row_number() OVER (PARTITION BY qid
+       |    ORDER BY score_units DESC, doc_id) AS rk FROM u2)
+       |SELECT CAST(qid AS BIGINT) AS qid, CAST(rk AS BIGINT) AS rank,
+       |  doc_id, score_units,
+       |  CAST(score_units AS DOUBLE) / 1e12 AS score
+       |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_percent_rank" -> (q275PercentRank _),
     "q276_lag_lead" -> (q276LagLead _),
@@ -525,7 +610,8 @@ object Queries38 {
     "q279_hybrid_rrf" -> (q279HybridRrf _),
     "q280_retrieval_eval" -> (q280RetrievalEval _),
     "q281_temperature_mix" -> (q281TemperatureMix _),
-    "q282_leakage_safe_split" -> (q282LeakageSafeSplit _)
+    "q282_leakage_safe_split" -> (q282LeakageSafeSplit _),
+    "q283_prf_expansion" -> (q283PrfExpansion _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -536,6 +622,7 @@ object Queries38 {
     "q279_hybrid_rrf" -> q279Sql,
     "q280_retrieval_eval" -> q280Sql,
     "q281_temperature_mix" -> q281Sql,
-    "q282_leakage_safe_split" -> q282Sql
+    "q282_leakage_safe_split" -> q282Sql,
+    "q283_prf_expansion" -> q283Sql
   )
 }

@@ -175,6 +175,70 @@ object Retrieval {
         pmod(-col("key"), lit(8L)).as("sides_hit"))
   }
 
+  /** BM25 with pseudo-relevance-feedback query expansion (the RM1/
+    * Rocchio second stage): run BM25, treat the top `fbDocs` documents
+    * per query as relevant, weight their terms by the relevance-model
+    * estimate w(t) = Σ_d tf(t,d)/dl(d) (uniform feedback-doc prior),
+    * add the `fbTerms` heaviest terms to the query, and run BM25 again
+    * with the expanded term set. The classic fix for vocabulary
+    * mismatch — a query about "hash join" pulls in the co-occurring
+    * vocabulary of its own best matches.
+    *
+    * Exactness: each tf/dl is ONE double division of exact integers,
+    * mediated through DECIMAL(20,12) before the per-(query, term) sum
+    * (partition-order independence, the bm25 convention); expansion
+    * terms are picked by the exact ×10¹² integer weight with (weight
+    * desc, term asc) tie-break — fully replayable. Expansion that
+    * re-selects an original term is a no-op (BM25 treats the query as
+    * a term set).
+    *
+    * Scale shape: two BM25 passes (each one corpus scan) plus one
+    * feedback-weight aggregate whose input is the postings of
+    * fbDocs·|queries| documents — feedback-sized, not corpus-sized.
+    * The per-query expansion pick happens on the driver over the
+    * feedback VOCABULARY (bounded by fbDocs documents' distinct terms
+    * by construction) — the mixToTarget driver-bound discipline. */
+  def bm25PrfTopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      fbDocs: Int = 5,
+      fbTerms: Int = 3,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(fbDocs > 0, s"bm25PrfTopK: fbDocs=$fbDocs")
+    require(fbTerms > 0, s"bm25PrfTopK: fbTerms=$fbTerms")
+    val UNIT = java.math.BigDecimal.TEN.pow(12)
+    val first = bm25TopK(docs, idCol, textCol, queries, fbDocs, k1, b)
+      .select(col("qid"), col(idCol))
+    val tok = docs.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val wts = tf.join(dl, idCol)
+      .join(broadcast(first), idCol)
+      .select(col("qid"), col("term"),
+        (d(col("tf")) / d(col("dl"))).cast(DecimalType(20, 12)).as("w"))
+      .groupBy(col("qid"), col("term"))
+      .agg((sum(col("w")) * lit(UNIT)).cast(LongType).as("wu"))
+      .collect()
+    val topTerms = wts.map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2)))
+      .groupBy(_._1).map { case (qid, ts) =>
+        qid -> ts.sortBy { case (_, t, u) => (-u, t) }
+          .take(fbTerms).map(_._2).toSeq
+      }
+    val expanded = queries.map { case (qid, q) =>
+      qid -> (q.trim.split("\\s+").filter(_.nonEmpty).toSeq ++
+        topTerms.getOrElse(qid, Seq.empty)).mkString(" ")
+    }
+    bm25TopK(docs, idCol, textCol, expanded, k, k1, b)
+  }
+
   /** Judged evaluation of a retrieval run at cutoff `k`: per query,
     * nDCG@k, MRR@k, precision@k, recall@k — the numbers that decide
     * whether a data-selection retriever is good enough to curate with.

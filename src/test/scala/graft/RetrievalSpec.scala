@@ -197,4 +197,32 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.evalAtK(run, relWith(1L), k = 0)
     }.getMessage.contains("k=0"))
   }
+  test("bm25PrfTopK: expansion retrieves vocabulary-mismatched docs, " +
+      "ties in RM1 weight break by term ascending, originals are no-ops") {
+    // corpus: doc 0 is the only 'alpha' match and becomes the whole
+    // feedback set; its RM1 weights tie at 1/3 for alpha/beta/gamma,
+    // so the ascending tie-break makes fbTerms=2 pick {alpha, beta} —
+    // beta is the one EFFECTIVE expansion term (alpha re-selects the
+    // original), and fbTerms=3 adds gamma
+    val c2 = Seq((0L, "alpha beta gamma"), (3L, "beta beta"),
+      (4L, "gamma gamma")).toDF("doc_id", "text")
+    val q = Seq(0L -> "alpha")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    val plain = ids(Retrieval.bm25TopK(c2, "doc_id", "text", q, k = 5))
+    assert(plain === Set(0L), "only doc 0 contains an original term")
+    val exp2 = ids(Retrieval.bm25PrfTopK(c2, "doc_id", "text", q,
+      k = 5, fbDocs = 1, fbTerms = 2))
+    assert(exp2 === Set(0L, 3L),
+      "fbTerms=2 must pick {alpha, beta} by the ascending tie-break")
+    val exp3 = ids(Retrieval.bm25PrfTopK(c2, "doc_id", "text", q,
+      k = 5, fbDocs = 1, fbTerms = 3))
+    assert(exp3 === Set(0L, 3L, 4L), "fbTerms=3 adds gamma")
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.bm25PrfTopK(c2, "doc_id", "text", q, k = 5, fbDocs = 0)
+    }.getMessage.contains("fbDocs"))
+    assert(intercept[IllegalArgumentException] {
+      Retrieval.bm25PrfTopK(c2, "doc_id", "text", q, k = 5, fbTerms = 0)
+    }.getMessage.contains("fbTerms"))
+  }
 }
