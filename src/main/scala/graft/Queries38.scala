@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -144,11 +144,7 @@ object Queries38 {
     * witness the top-k orders on. A green hash certifies scores AND
     * the selected/ranked sets bit-for-bit. */
   def q278Bm25(s: SparkSession, dir: String): DataFrame = {
-    val queries = Seq(
-      0L -> "hash join",
-      1L -> "sort merge join",
-      2L -> "window agg stream",
-      3L -> "vector scan fast")
+    val queries = retrievalQueries
     Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queries, k = 5)
       .orderBy($"qid", $"rank")
@@ -209,11 +205,7 @@ object Queries38 {
     * sides_hit = 1 — the realistic hybrid case — and the doc-id/vec-id
     * spaces are the shared entity-id space by corpus construction. */
   def q279HybridRrf(s: SparkSession, dir: String): DataFrame = {
-    val queries = Seq(
-      0L -> "hash join",
-      1L -> "sort merge join",
-      2L -> "window agg stream",
-      3L -> "vector scan fast")
+    val queries = retrievalQueries
     val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         queries, k = 20)
       .select($"qid", $"doc_id".as("id"), $"rank")
@@ -280,6 +272,36 @@ object Queries38 {
       |  CAST(packed % 8 AS BIGINT) AS sides_hit
       |FROM r WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
 
+  /** The fixed retrieval query set shared by q278-q285. */
+  private val retrievalQueries = Seq(
+    0L -> "hash join",
+    1L -> "sort merge join",
+    2L -> "window agg stream",
+    3L -> "vector scan fast")
+
+  /** The q280/q285 shared judgment set: grade = number of distinct
+    * query terms the document contains, kept at grade >= 2 so the
+    * judgment is STRICTER than BM25's any-term match condition. ONE
+    * definition, so the evaluation gate and the hard-negative gate
+    * provably consume the identical relevance set. */
+  private def gradedRel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val qterms = retrievalQueries
+      .flatMap { case (qid, q) =>
+        q.trim.split("\\s+").filter(_.nonEmpty).distinct
+          .map(tm => (qid, tm))
+      }
+      .toDF("qid", "term")
+    t(s, dir, "documents")
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .distinct()
+      .join(broadcast(qterms), "term")
+      .groupBy($"qid", $"doc_id")
+      .agg(count(lit(1)).as("grade"))
+      .where($"grade" >= 2L)
+      .select($"qid", $"doc_id".as("id"), $"grade")
+  }
+
   // ---- q280: judged retrieval evaluation (nDCG/MRR/P/R @10), hashed ----------
 
   /** [[Retrieval.evalAtK]] grading the q278 BM25 run (k=20) against a
@@ -294,30 +316,10 @@ object Queries38 {
     * division of exact integers. The ideal ranking is the k-heap over
     * the relevance set (grade desc, id asc), window-free. */
   def q280RetrievalEval(s: SparkSession, dir: String): DataFrame = {
-    val queries = Seq(
-      0L -> "hash join",
-      1L -> "sort merge join",
-      2L -> "window agg stream",
-      3L -> "vector scan fast")
-    import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
-    val docs = t(s, dir, "documents")
-    val run = Retrieval.bm25TopK(docs, "doc_id", "text", queries, k = 20)
+    val run = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        retrievalQueries, k = 20)
       .select($"qid", $"doc_id".as("id"), $"rank")
-    val qterms = queries
-      .flatMap { case (qid, q) =>
-        q.trim.split("\\s+").filter(_.nonEmpty).distinct
-          .map(tm => (qid, tm))
-      }
-      .toDF("qid", "term")
-    val rel = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
-      .distinct()
-      .join(broadcast(qterms), "term")
-      .groupBy($"qid", $"doc_id")
-      .agg(count(lit(1)).as("grade"))
-      .where($"grade" >= 2L)
-      .select($"qid", $"doc_id".as("id"), $"grade")
-    Retrieval.evalAtK(run, rel, k = 10).orderBy($"qid")
+    Retrieval.evalAtK(run, gradedRel(s, dir), k = 10).orderBy($"qid")
   }
 
   val q280Sql: String =
@@ -553,11 +555,7 @@ object Queries38 {
     * certifies the full two-stage chain, including that both engines
     * chose the SAME expansion vocabulary. */
   def q283PrfExpansion(s: SparkSession, dir: String): DataFrame = {
-    val queries = Seq(
-      0L -> "hash join",
-      1L -> "sort merge join",
-      2L -> "window agg stream",
-      3L -> "vector scan fast")
+    val queries = retrievalQueries
     Retrieval.bm25PrfTopK(t(s, dir, "documents"), "doc_id", "text",
         queries, k = 5, fbDocs = 5, fbTerms = 3)
       .orderBy($"qid", $"rank")
@@ -602,6 +600,177 @@ object Queries38 {
        |  CAST(score_units AS DOUBLE) / 1e12 AS score
        |FROM r WHERE rk <= 5 ORDER BY qid, rank""".stripMargin
 
+  // ---- q284: Zipf fit over the term-frequency spectrum, hashed ---------------
+
+  /** Corpus-statistics capstone: the Zipf law fit ln(freq) ~ a + b·ln(rank)
+    * computed entirely on the FREQUENCY SPECTRUM — (freq → #types),
+    * O(√tokens) rows — with rank(f) = #types of frequency ≥ f derived
+    * by [[graft.operators.Packing.prefixSumInOrder]] over the spectrum
+    * in freq-descending order (idCol = freq itself: unique integral by
+    * construction — the two-phase primitive reused on a REAL derived
+    * table, not a key column). Never a per-term rank: the vocabulary
+    * is never ranked row-by-row, so there is no vocabulary-sized
+    * window anywhere. Exactness: each point's ln(rank), ln(freq),
+    * products mediate through DECIMAL(20,9) so the OLS sums are exact
+    * and partition-order-independent; slope/intercept are then ONE
+    * double chain over those exact sums (the q173 regr convention,
+    * made explicit), rounded to 6. Output: type/token/spectrum counts
+    * + the ×10⁹ integer sum witnesses + slope/intercept. */
+  def q284ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val tfreq = t(s, dir, "documents")
+      .select(explode(split(trim($"text"), "\\s+")).as("term"))
+      .groupBy($"term").agg(count(lit(1)).as("freq"))
+    val spec = tfreq.groupBy($"freq").agg(count(lit(1)).as("ntypes"))
+      .withColumn("negf", -$"freq")
+    val pre = graft.operators.Packing.prefixSumInOrder(
+      spec, "freq", "ntypes", Seq("negf"), parts = 8)
+    def d(c: Column): Column = c.cast(DoubleType)
+    def m9(c: Column): Column = c.cast(DecimalType(20, 9))
+    val pts = pre.select(
+      log(d($"global_start" + $"ntypes")).as("x"),
+      log(d($"freq")).as("y"),
+      $"ntypes", $"freq")
+    val UNIT9 = 1000000000L
+    val sums = pts.agg(
+      count(lit(1)).as("n_points"),
+      sum($"ntypes").cast(LongType).as("n_types"),
+      sum($"ntypes" * $"freq").cast(LongType).as("n_tokens"),
+      (sum(m9($"x")) * UNIT9).cast(LongType).as("sx_units"),
+      (sum(m9($"y")) * UNIT9).cast(LongType).as("sy_units"),
+      (sum(m9($"x" * $"y")) * UNIT9).cast(LongType).as("sxy_units"),
+      (sum(m9($"x" * $"x")) * UNIT9).cast(LongType).as("sxx_units"))
+    // slope/intercept: one IEEE chain over the exact integer sums
+    def f(c: Column): Column = d(c) / lit(1.0e9)
+    val nD = d($"n_points")
+    val den = nD * f($"sxx_units") - f($"sx_units") * f($"sx_units")
+    val slope = (nD * f($"sxy_units") - f($"sx_units") * f($"sy_units")) /
+      den
+    sums.select($"n_points", $"n_types", $"n_tokens",
+      $"sx_units", $"sy_units", $"sxy_units", $"sxx_units",
+      round(slope, 6).as("slope"),
+      round((f($"sy_units") - slope * f($"sx_units")) / nD, 6)
+        .as("icept"))
+  }
+
+  val q284Sql: String =
+    """WITH tok AS (
+      |  SELECT UNNEST(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tfreq AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY 1),
+      |spec AS (SELECT freq, COUNT(*) AS ntypes FROM tfreq GROUP BY 1),
+      |pre AS (SELECT freq, ntypes,
+      |  CAST(coalesce(SUM(ntypes) OVER (ORDER BY freq DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS global_start
+      |  FROM spec),
+      |pts AS (SELECT ntypes, freq,
+      |  ln(CAST(global_start + ntypes AS DOUBLE)) AS x,
+      |  ln(CAST(freq AS DOUBLE)) AS y FROM pre),
+      |sums AS (SELECT
+      |  CAST(COUNT(*) AS BIGINT) AS n_points,
+      |  CAST(SUM(ntypes) AS BIGINT) AS n_types,
+      |  CAST(SUM(ntypes * freq) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CAST(x AS DECIMAL(20,9))) * 1000000000 AS BIGINT)
+      |    AS sx_units,
+      |  CAST(SUM(CAST(y AS DECIMAL(20,9))) * 1000000000 AS BIGINT)
+      |    AS sy_units,
+      |  CAST(SUM(CAST(x * y AS DECIMAL(20,9))) * 1000000000 AS BIGINT)
+      |    AS sxy_units,
+      |  CAST(SUM(CAST(x * x AS DECIMAL(20,9))) * 1000000000 AS BIGINT)
+      |    AS sxx_units
+      |  FROM pts)
+      |SELECT n_points, n_types, n_tokens, sx_units, sy_units, sxy_units,
+      |  sxx_units,
+      |  round((CAST(n_points AS DOUBLE) * (CAST(sxy_units AS DOUBLE) / 1e9)
+      |    - (CAST(sx_units AS DOUBLE) / 1e9) * (CAST(sy_units AS DOUBLE) / 1e9))
+      |   / (CAST(n_points AS DOUBLE) * (CAST(sxx_units AS DOUBLE) / 1e9)
+      |    - (CAST(sx_units AS DOUBLE) / 1e9) * (CAST(sx_units AS DOUBLE) / 1e9)),
+      |   6) AS slope,
+      |  round(((CAST(sy_units AS DOUBLE) / 1e9)
+      |    - ((CAST(n_points AS DOUBLE) * (CAST(sxy_units AS DOUBLE) / 1e9)
+      |      - (CAST(sx_units AS DOUBLE) / 1e9) * (CAST(sy_units AS DOUBLE) / 1e9))
+      |     / (CAST(n_points AS DOUBLE) * (CAST(sxx_units AS DOUBLE) / 1e9)
+      |      - (CAST(sx_units AS DOUBLE) / 1e9) * (CAST(sx_units AS DOUBLE) / 1e9)))
+      |      * (CAST(sx_units AS DOUBLE) / 1e9)) / CAST(n_points AS DOUBLE),
+      |   6) AS icept
+      |FROM sums""".stripMargin
+
+  // ---- q285: hard-negative mining for contrastive training, hashed -----------
+
+  /** Contrastive-training data prep: per query, the highest-BM25-scored
+    * documents that are NOT in the judgment set — hard negatives, the
+    * examples that teach an embedding model the decision boundary
+    * (random negatives are trivially separable). Mined from the FULL
+    * scored set ([[Retrieval.bm25Scores]]) rather than a fixed-depth
+    * run: BM25 correctly puts multi-term matches first, so the
+    * non-relevant band starts BELOW the judgment set at a corpus-
+    * dependent depth — any top-k prefix deep enough at one SF is
+    * all-relevant at another (measured: k=1000 mines 12 negatives at
+    * sf0.01 and ZERO on the 10× replica). judgments = the SAME
+    * gradedRel set q280 evaluates against (one definition, two
+    * gates); negatives = scored ANTI-JOIN judgments, top-3 per query
+    * by (score desc, id asc) via the window-free k-heap. */
+  def q285HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val queries = retrievalQueries
+    val scored = Retrieval.bm25Scores(t(s, dir, "documents"), "doc_id",
+        "text", queries)
+      .select($"qid", $"doc_id".as("id"), $"score_units")
+    val negs = scored.join(gradedRel(s, dir).select($"qid", $"id"),
+      Seq("qid", "id"), "left_anti")
+    graft.operators.GroupTopK.minKByKey(negs, Seq("qid"), "id",
+        key = -$"score_units", k = 3)
+      .select($"qid", col("rank").cast(LongType).as("neg_rank"),
+        $"id", (-$"key").as("score_units"))
+      .orderBy($"qid", $"neg_rank")
+  }
+
+  val q285Sql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |tot AS (SELECT SUM(dl) AS tot FROM dl),
+      |q(qid, term) AS (VALUES
+      |  (0,'hash'),(0,'join'),
+      |  (1,'sort'),(1,'merge'),(1,'join'),
+      |  (2,'window'),(2,'agg'),(2,'stream'),
+      |  (3,'vector'),(3,'scan'),(3,'fast')),
+      |sc AS (
+      |  SELECT q.qid, tf.doc_id,
+      |    CAST(
+      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
+      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
+      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
+      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
+      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
+      |           (CAST(dl.dl AS DOUBLE) /
+      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
+      |      AS DECIMAL(20,12)) AS s
+      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
+      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
+      |  FROM sc GROUP BY 1, 2),
+      |u AS (SELECT qid, doc_id,
+      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+      |rel AS (
+      |  SELECT qid, doc_id AS id FROM (
+      |    SELECT DISTINCT q.qid, q.term, tok.doc_id FROM tok
+      |    JOIN q USING (term))
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |negs AS (SELECT u.qid, u.doc_id AS id, u.score_units FROM u
+      |  WHERE NOT EXISTS (SELECT 1 FROM rel
+      |    WHERE rel.qid = u.qid AND rel.id = u.doc_id)),
+      |nr AS (SELECT qid, id, score_units,
+      |  row_number() OVER (PARTITION BY qid
+      |    ORDER BY score_units DESC, id) AS neg_rank
+      |  FROM negs)
+      |SELECT CAST(qid AS BIGINT) AS qid, CAST(neg_rank AS BIGINT)
+      |    AS neg_rank, id, score_units
+      |FROM nr WHERE neg_rank <= 3 ORDER BY qid, neg_rank""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_percent_rank" -> (q275PercentRank _),
     "q276_lag_lead" -> (q276LagLead _),
@@ -611,7 +780,9 @@ object Queries38 {
     "q280_retrieval_eval" -> (q280RetrievalEval _),
     "q281_temperature_mix" -> (q281TemperatureMix _),
     "q282_leakage_safe_split" -> (q282LeakageSafeSplit _),
-    "q283_prf_expansion" -> (q283PrfExpansion _)
+    "q283_prf_expansion" -> (q283PrfExpansion _),
+    "q284_zipf_fit" -> (q284ZipfFit _),
+    "q285_hard_negatives" -> (q285HardNegatives _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,6 +794,8 @@ object Queries38 {
     "q280_retrieval_eval" -> q280Sql,
     "q281_temperature_mix" -> q281Sql,
     "q282_leakage_safe_split" -> q282Sql,
-    "q283_prf_expansion" -> q283Sql
+    "q283_prf_expansion" -> q283Sql,
+    "q284_zipf_fit" -> q284Sql,
+    "q285_hard_negatives" -> q285Sql
   )
 }

@@ -35,30 +35,20 @@ import org.apache.spark.sql.types._
   */
 object Retrieval {
 
-  /** BM25 top-`k` documents per query. `queries` is a bounded in-memory
-    * query set (qid, text) — queries are the SMALL side by contract
-    * (they broadcast); the corpus side is the DataFrame. Query terms
-    * are whitespace-tokenized and deduplicated per query (standard
-    * BM25 treats the query as a term SET; repeat a term via a custom
-    * weight upstream if query-side tf matters). Documents sharing no
-    * query term score nothing and never leave the scan.
-    *
-    * Returns (qid, rank, `idCol`, score_units, score) with rank 1..k
-    * by (score desc, id asc); `score_units` = score·10¹² as the exact
-    * integer witness, `score` the double it round-trips to.
-    *
-    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))  (the Lucene/ATIRE form —
-    * always positive, unlike the raw Robertson–Sparck Jones log odds);
-    * tf-norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). */
-  def bm25TopK(
+  /** The full BM25-scored set — every (query, document) pair sharing
+    * at least one term, with the exact ×10¹² integer score witness —
+    * BEFORE any top-k selection. The building block behind
+    * [[bm25TopK]] and the hard-negative miner (which must select from
+    * the whole scored band, not a fixed-depth prefix). Same scale
+    * shape as the top-k form minus the heap: output is
+    * matching-pairs-sized. */
+  def bm25Scores(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       queries: Seq[(Long, String)],
-      k: Int,
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(k > 0, s"bm25TopK: k=$k")
     require(queries.nonEmpty, "bm25TopK: empty query set")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -88,7 +78,7 @@ object Retrieval {
       (d(col("tf")) + lit(k1) *
         ((lit(1.0) - lit(b)) + lit(b) * (d(col("dl")) / col("avgdl"))))
 
-    val scored = tf
+    tf
       .join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
       .join(dl, idCol)
@@ -103,6 +93,33 @@ object Retrieval {
       .withColumn("score_units",
         (col("score") * lit(java.math.BigDecimal.TEN.pow(12)))
           .cast(LongType))
+  }
+
+  /** BM25 top-`k` documents per query. `queries` is a bounded in-memory
+    * query set (qid, text) — queries are the SMALL side by contract
+    * (they broadcast); the corpus side is the DataFrame. Query terms
+    * are whitespace-tokenized and deduplicated per query (standard
+    * BM25 treats the query as a term SET; repeat a term via a custom
+    * weight upstream if query-side tf matters). Documents sharing no
+    * query term score nothing and never leave the scan.
+    *
+    * Returns (qid, rank, `idCol`, score_units, score) with rank 1..k
+    * by (score desc, id asc); `score_units` = score·10¹² as the exact
+    * integer witness, `score` the double it round-trips to.
+    *
+    * idf = ln(1 + (N − df + 0.5)/(df + 0.5))  (the Lucene/ATIRE form —
+    * always positive, unlike the raw Robertson–Sparck Jones log odds);
+    * tf-norm = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: Seq[(Long, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, s"bm25TopK: k=$k")
+    val scored = bm25Scores(docs, idCol, textCol, queries, k1, b)
 
     GroupTopK.minKByKey(scored, Seq("qid"), idCol,
         key = -col("score_units"), k)
