@@ -38,7 +38,8 @@ object Queries38 {
 
   // ---- q275: peer-aware percent_rank / cume_dist, hashed --------------------
 
-  /** [[TFrame.percentRankExact]] and [[TFrame.cumeDistExact]] proven
+  /** [[TFrame.peerRanksExact]] (percent_rank + cume_dist from ONE
+    * shared prefix-count pass) proven
     * against the SQL window functions they replace: both are one IEEE
     * double division of exact integers — (rank−1)/(n−1) with
     * peer-aware rank, and (rows at-or-before)/n — where the integer
@@ -49,8 +50,8 @@ object Queries38 {
     * keys share percent_rank and cume_dist), not just the ordering. */
   def q275PercentRank(s: SparkSession, dir: String): DataFrame = {
     val ranked = TFrame(qtyKeys(s, dir, "q275"))
-      .percentRankExact(Seq("qty"), "lk", parts = 32, outCol = "pr")
-      .cumeDistExact(Seq("qty"), "lk", parts = 32, outCol = "cd")
+      .peerRanksExact(Seq("qty"), "lk", parts = 32,
+        prCol = "pr", cdCol = "cd")
     ranked.df.select($"lk", $"qty", $"pr", $"cd")
   }
 
@@ -151,36 +152,8 @@ object Queries38 {
   }
 
   val q278Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents),
-      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
-      |tot AS (SELECT SUM(dl) AS tot FROM dl),
-      |q(qid, term) AS (VALUES
-      |  (0,'hash'),(0,'join'),
-      |  (1,'sort'),(1,'merge'),(1,'join'),
-      |  (2,'window'),(2,'agg'),(2,'stream'),
-      |  (3,'vector'),(3,'scan'),(3,'fast')),
-      |sc AS (
-      |  SELECT q.qid, tf.doc_id,
-      |    CAST(
-      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
-      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
-      |           (CAST(dl.dl AS DOUBLE) /
-      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
-      |      AS DECIMAL(20,12)) AS s
-      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
-      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
-      |  FROM sc GROUP BY 1, 2),
-      |u AS (SELECT qid, doc_id,
-      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+    s"""WITH $bm25CorpusCtes,
+      |${bm25ScoreCtes("q", "")},
       |r AS (SELECT qid, doc_id, score_units,
       |  row_number() OVER (PARTITION BY qid
       |    ORDER BY score_units DESC, doc_id) AS rk FROM u)
@@ -218,36 +191,8 @@ object Queries38 {
   }
 
   val q279Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents),
-      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
-      |tot AS (SELECT SUM(dl) AS tot FROM dl),
-      |q(qid, term) AS (VALUES
-      |  (0,'hash'),(0,'join'),
-      |  (1,'sort'),(1,'merge'),(1,'join'),
-      |  (2,'window'),(2,'agg'),(2,'stream'),
-      |  (3,'vector'),(3,'scan'),(3,'fast')),
-      |sc AS (
-      |  SELECT q.qid, tf.doc_id,
-      |    CAST(
-      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
-      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
-      |           (CAST(dl.dl AS DOUBLE) /
-      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
-      |      AS DECIMAL(20,12)) AS s
-      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
-      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
-      |  FROM sc GROUP BY 1, 2),
-      |u AS (SELECT qid, doc_id,
-      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+    s"""WITH $bm25CorpusCtes,
+      |${bm25ScoreCtes("q", "")},
       |lex AS (SELECT qid, doc_id AS id, rk AS rnk FROM (
       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
       |    ORDER BY score_units DESC, doc_id) AS rk FROM u)
@@ -323,36 +268,8 @@ object Queries38 {
   }
 
   val q280Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents),
-      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
-      |tot AS (SELECT SUM(dl) AS tot FROM dl),
-      |q(qid, term) AS (VALUES
-      |  (0,'hash'),(0,'join'),
-      |  (1,'sort'),(1,'merge'),(1,'join'),
-      |  (2,'window'),(2,'agg'),(2,'stream'),
-      |  (3,'vector'),(3,'scan'),(3,'fast')),
-      |sc AS (
-      |  SELECT q.qid, tf.doc_id,
-      |    CAST(
-      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
-      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
-      |           (CAST(dl.dl AS DOUBLE) /
-      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
-      |      AS DECIMAL(20,12)) AS s
-      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
-      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
-      |  FROM sc GROUP BY 1, 2),
-      |u AS (SELECT qid, doc_id,
-      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+    s"""WITH $bm25CorpusCtes,
+      |${bm25ScoreCtes("q", "")},
       |run AS (SELECT qid, doc_id AS id, rk AS rank FROM (
       |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
       |    ORDER BY score_units DESC, doc_id) AS rk FROM u)
@@ -377,16 +294,21 @@ object Queries38 {
       |    AS DECIMAL(20,12))) * 1000000000000 AS BIGINT) AS idcg_units
       |  FROM ideal WHERE rank <= 10 GROUP BY 1),
       |relt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS rel_total
-      |  FROM rel GROUP BY 1)
-      |SELECT CAST(qid AS BIGINT) AS qid, hits, rel_total, dcg_units,
+      |  FROM rel GROUP BY 1),
+      |base AS (SELECT DISTINCT qid FROM run
+      |  INTERSECT SELECT DISTINCT qid FROM rel)
+      |SELECT CAST(qid AS BIGINT) AS qid,
+      |  CAST(coalesce(hits, 0) AS BIGINT) AS hits, rel_total,
+      |  CAST(coalesce(dcg_units, 0) AS BIGINT) AS dcg_units,
       |  idcg_units,
-      |  round(CAST(dcg_units AS DOUBLE) / CAST(idcg_units AS DOUBLE), 6)
-      |    AS ndcg,
-      |  mrr_units,
-      |  round(CAST(hits AS DOUBLE) / 10.0, 6) AS "precision",
-      |  round(CAST(hits AS DOUBLE) / CAST(rel_total AS DOUBLE), 6)
-      |    AS recall
-      |FROM dcg JOIN idcg USING (qid) JOIN relt USING (qid)
+      |  round(CAST(coalesce(dcg_units, 0) AS DOUBLE)
+      |    / CAST(idcg_units AS DOUBLE), 6) AS ndcg,
+      |  CAST(coalesce(mrr_units, 0) AS BIGINT) AS mrr_units,
+      |  round(CAST(coalesce(hits, 0) AS DOUBLE) / 10.0, 6) AS "precision",
+      |  round(CAST(coalesce(hits, 0) AS DOUBLE)
+      |    / CAST(rel_total AS DOUBLE), 6) AS recall
+      |FROM base JOIN idcg USING (qid) JOIN relt USING (qid)
+      |  LEFT JOIN dcg USING (qid)
       |ORDER BY qid""".stripMargin
 
   // ---- q281: temperature-scaled domain mixture (alpha sampling), hashed ------
@@ -521,6 +443,30 @@ object Queries38 {
 
   // ---- q283: BM25 with pseudo-relevance-feedback expansion, hashed -----------
 
+  /** The shared DuckDB corpus/query CTE prefix for the BM25 oracles
+    * (q278/q279/q280/q283/q285): postings, lengths, document
+    * frequencies, corpus totals, and the fixed [[retrievalQueries]] as
+    * a VALUES relation — ONE definition, so a tweak to the corpus
+    * statistics cannot silently diverge one gate's oracle from the
+    * operator. */
+  // a def, not a val: the q278/q279/q280 oracle vals above initialize
+  // BEFORE this point in object-init order — a val here would
+  // interpolate as null into them
+  private def bm25CorpusCtes: String =
+    """tok AS (
+      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+      |tot AS (SELECT SUM(dl) AS tot FROM dl),
+      |q(qid, term) AS (VALUES
+      |  (0,'hash'),(0,'join'),
+      |  (1,'sort'),(1,'merge'),(1,'join'),
+      |  (2,'window'),(2,'agg'),(2,'stream'),
+      |  (3,'vector'),(3,'scan'),(3,'fast'))""".stripMargin
+
   /** DuckDB BM25 scoring CTEs against query relation `qRel(qid, term)`
     * — the q278 chain parameterized so q283 can run it twice (original
     * and expanded query sets) in one statement. Emits `u$tag(qid,
@@ -562,19 +508,7 @@ object Queries38 {
   }
 
   val q283Sql: String =
-    s"""WITH tok AS (
-       |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
-       |  FROM documents),
-       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-       |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-       |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-       |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
-       |tot AS (SELECT SUM(dl) AS tot FROM dl),
-       |q(qid, term) AS (VALUES
-       |  (0,'hash'),(0,'join'),
-       |  (1,'sort'),(1,'merge'),(1,'join'),
-       |  (2,'window'),(2,'agg'),(2,'stream'),
-       |  (3,'vector'),(3,'scan'),(3,'fast')),
+    s"""WITH $bm25CorpusCtes,
        |${bm25ScoreCtes("q", "1")},
        |fb AS (SELECT qid, doc_id FROM (
        |  SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
@@ -642,7 +576,14 @@ object Queries38 {
     // slope/intercept: one IEEE chain over the exact integer sums
     def f(c: Column): Column = d(c) / lit(1.0e9)
     val nD = d($"n_points")
-    val den = nD * f($"sxx_units") - f($"sx_units") * f($"sx_units")
+    val den0 = nD * f($"sxx_units") - f($"sx_units") * f($"sx_units")
+    // a single-point spectrum (every term equally frequent) zeroes the
+    // OLS denominator: x/0 is NaN in Spark but NULL in DuckDB — raise
+    // loudly instead of silently diverging (the q260/q268 convention)
+    val den = when(den0 === 0.0, raise_error(lit(
+      "q284: degenerate frequency spectrum (single point) — the Zipf " +
+        "OLS denominator is zero; the fit is undefined on this corpus")))
+      .otherwise(den0)
     val slope = (nD * f($"sxy_units") - f($"sx_units") * f($"sy_units")) /
       den
     sums.select($"n_points", $"n_types", $"n_tokens",
@@ -725,36 +666,8 @@ object Queries38 {
   }
 
   val q285Sql: String =
-    """WITH tok AS (
-      |  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\s+')) AS term
-      |  FROM documents),
-      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
-      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
-      |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
-      |tot AS (SELECT SUM(dl) AS tot FROM dl),
-      |q(qid, term) AS (VALUES
-      |  (0,'hash'),(0,'join'),
-      |  (1,'sort'),(1,'merge'),(1,'join'),
-      |  (2,'window'),(2,'agg'),(2,'stream'),
-      |  (3,'vector'),(3,'scan'),(3,'fast')),
-      |sc AS (
-      |  SELECT q.qid, tf.doc_id,
-      |    CAST(
-      |      ln(1.0 + (CAST(n.n AS DOUBLE) - CAST(dfreq.df AS DOUBLE) + 0.5)
-      |        / (CAST(dfreq.df AS DOUBLE) + 0.5))
-      |      * ((CAST(tf.tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + 1.0)) /
-      |         (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) *
-      |          ((1.0 - CAST(0.75 AS DOUBLE)) + CAST(0.75 AS DOUBLE) *
-      |           (CAST(dl.dl AS DOUBLE) /
-      |            (CAST(tot.tot AS DOUBLE) / CAST(n.n AS DOUBLE))))))
-      |      AS DECIMAL(20,12)) AS s
-      |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
-      |    JOIN dl USING (doc_id) CROSS JOIN n CROSS JOIN tot),
-      |agg AS (SELECT qid, doc_id, CAST(SUM(s) AS DECIMAL(20,12)) AS score
-      |  FROM sc GROUP BY 1, 2),
-      |u AS (SELECT qid, doc_id,
-      |  CAST(score * 1000000000000 AS BIGINT) AS score_units FROM agg),
+    s"""WITH $bm25CorpusCtes,
+      |${bm25ScoreCtes("q", "")},
       |rel AS (
       |  SELECT qid, doc_id AS id FROM (
       |    SELECT DISTINCT q.qid, q.term, tok.doc_id FROM tok

@@ -554,6 +554,30 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
       .drop("__graft_below", "__graft_cume", "__graft_n"))
   }
 
+  /** [[percentRankExact]] and [[cumeDistExact]] together from ONE
+    * [[peerCountsExact]] pass — both numerators come out of the same
+    * prefix count, so asking for both through the single-column
+    * methods runs the distinct-key groupBy, the two-phase prefix sum,
+    * the count aggregate, and the join back twice for nothing. Same
+    * semantics, same contracts, half the exchanges (the q275 shape). */
+  def peerRanksExact(order: Seq[String], idCol: String,
+      parts: Int = 64, prCol: String = "percent_rank",
+      cdCol: String = "cume_dist"): TFrame = {
+    require(prCol != cdCol, s"peerRanksExact: prCol == cdCol ($prCol)")
+    Seq(prCol, cdCol).foreach(c => require(!columns.contains(c),
+      s"peerRanksExact: column $c exists"))
+    val j = peerCountsExact(order, idCol, parts,
+      "__graft_below", "__graft_cume", "__graft_n")
+    TFrame(j
+      .withColumn(prCol,
+        when(col("__graft_n") === 1L, lit(0.0))
+          .otherwise(col("__graft_below").cast(DoubleType) /
+            (col("__graft_n") - 1L).cast(DoubleType)))
+      .withColumn(cdCol, col("__graft_cume").cast(DoubleType) /
+        col("__graft_n").cast(DoubleType))
+      .drop("__graft_below", "__graft_cume", "__graft_n"))
+  }
+
   def cummin(valueCols: Seq[String], order: Seq[String],
       by: Seq[String] = Nil): TFrame =
     cumApply("cummin", functions.min, valueCols, order, by)

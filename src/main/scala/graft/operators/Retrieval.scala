@@ -49,17 +49,18 @@ object Retrieval {
       queries: Seq[(Long, String)],
       k1: Double = 1.2,
       b: Double = 0.75): DataFrame = {
-    require(queries.nonEmpty, "bm25TopK: empty query set")
+    require(queries.nonEmpty, "bm25Scores: empty query set")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val qterms = queries
+    val qtermSeq = queries
       .flatMap { case (qid, q) =>
         q.trim.split("\\s+").filter(_.nonEmpty).distinct
           .map(t => (qid, t))
       }
-      .toDF("qid", "term")
-    require(!qterms.isEmpty, "bm25TopK: no query terms after tokenizing")
+    require(qtermSeq.nonEmpty,
+      "bm25Scores: no query terms after tokenizing")
+    val qterms = qtermSeq.toDF("qid", "term")
 
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
@@ -128,7 +129,7 @@ object Retrieval {
         (-col("key")).cast(DoubleType) / lit(1.0e12) as "score")
   }
 
-  /** Reciprocal-rank fusion of up to 8 ranked retrieval lists — the
+  /** Reciprocal-rank fusion of up to 7 ranked retrieval lists — the
     * standard hybrid-retrieval combiner (Cormack/Clarke/Buettcher,
     * SIGIR'09: lexical BM25 + dense cosine fused by rank alone, no
     * score calibration across heterogeneous sides). Each side must
@@ -147,8 +148,10 @@ object Retrieval {
     * sides. Selection key = packed descending: ties in fused units
     * break by coverage (more sides wins), then id ascending — a pure
     * function of the data, replayable bit-for-bit by an external
-    * oracle. Overflow headroom: max packed = 8·|sides|·UNIT/(c+1) + 8
-    * ≈ 2.1e12 at 8 sides, c=60 — five decimal orders inside LONG.
+    * oracle. Overflow headroom: max packed = 8·|sides|·UNIT/(c+1) + 7
+    * ≈ 1.8e12 at 7 sides, c=60 — five decimal orders inside LONG.
+    * The cap is 7, not 8: coverage is recovered as packed mod 8, and
+    * a full-coverage count of 8 would wrap to 0.
     *
     * Returns (qid, rank, id, rrf_units, sides_hit) with rank 1..k per
     * query via [[GroupTopK]]'s partial-merging heap (window-free).
@@ -161,8 +164,9 @@ object Retrieval {
       k: Int,
       c: Long = 60L): DataFrame = {
     require(sides.nonEmpty, "rrfFuse: empty side list")
-    require(sides.size <= 8,
-      s"rrfFuse: ${sides.size} sides — coverage packs into 3 bits, max 8")
+    require(sides.size <= 7,
+      s"rrfFuse: ${sides.size} sides — coverage packs into 3 bits " +
+        "(mod 8), so a count of 8 is unrepresentable: max 7")
     require(k > 0, s"rrfFuse: k=$k")
     require(c >= 0, s"rrfFuse: c=$c")
     import org.apache.spark.sql.graftshim.Shim
@@ -211,7 +215,9 @@ object Retrieval {
     *
     * Scale shape: two BM25 passes (each one corpus scan) plus one
     * feedback-weight aggregate whose input is the postings of
-    * fbDocs·|queries| documents — feedback-sized, not corpus-sized.
+    * fbDocs·|queries| documents — feedback-sized, not corpus-sized
+    * (the feedback broadcast-join happens BEFORE the tf aggregate, so
+    * non-feedback tokens never reach an exchange).
     * The per-query expansion pick happens on the driver over the
     * feedback VOCABULARY (bounded by fbDocs documents' distinct terms
     * by construction) — the mixToTarget driver-bound discipline. */
@@ -230,14 +236,20 @@ object Retrieval {
     val UNIT = java.math.BigDecimal.TEN.pow(12)
     val first = bm25TopK(docs, idCol, textCol, queries, fbDocs, k1, b)
       .select(col("qid"), col(idCol))
-    val tok = docs.select(col(idCol),
-      explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val tf = tok.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    def d(c: Column): Column = c.cast(DoubleType)
-    val wts = tf.join(dl, idCol)
+    // broadcast-join the feedback set BEFORE aggregating: a join does
+    // not push below a groupBy, so aggregating first would shuffle the
+    // whole corpus's (doc, term) postings — only feedback-doc tokens
+    // may reach the exchange (per-(qid, doc) tf/dl equal the per-doc
+    // values, so the weights are unchanged)
+    val fbTok = docs.select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("term"))
       .join(broadcast(first), idCol)
+    val fbTf = fbTok.groupBy(col("qid"), col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val fbDl = fbTf.groupBy(col("qid"), col(idCol))
+      .agg(sum(col("tf")).as("dl"))
+    def d(c: Column): Column = c.cast(DoubleType)
+    val wts = fbTf.join(fbDl, Seq("qid", idCol))
       .select(col("qid"), col("term"),
         (d(col("tf")) / d(col("dl"))).cast(DecimalType(20, 12)).as("w"))
       .groupBy(col("qid"), col("term"))
@@ -284,8 +296,11 @@ object Retrieval {
     *
     * Returns one row per qid present in BOTH inputs: (qid, hits,
     * rel_total, dcg_units, idcg_units, ndcg, mrr_units, precision,
-    * recall), doubles rounded to 6. Reference analog: none —
-    * extension surface. */
+    * recall), doubles rounded to 6. A query whose top-k contains no
+    * judged doc emits the ZERO row (hits/dcg/ndcg/precision/recall =
+    * 0; mrr_units = 0 encodes "no relevant retrieved") rather than
+    * vanishing — dropping exactly the worst queries would inflate
+    * macro averages. Reference analog: none — extension surface. */
   def evalAtK(ranked: DataFrame, rel: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"evalAtK: k=$k")
     import org.apache.spark.sql.graftshim.Shim
@@ -331,16 +346,25 @@ object Retrieval {
       .agg((sum(col("__t")) * lit(UNIT)).cast(LongType).as("idcg_units"))
     val relTotal = r.groupBy(col("qid"))
       .agg(count(lit(1)).as("rel_total"))
-    dcg.join(idcg, "qid").join(relTotal, "qid")
-      .select(col("qid"), col("hits"), col("rel_total"),
-        col("dcg_units"),
+    // base = qids present in BOTH inputs; dcg only has rows for qids
+    // with >= 1 judged doc in the top-k, so it joins LEFT and the
+    // zero row (hits/dcg/mrr = 0) survives — dropping the worst
+    // queries would silently inflate any macro-averaged metric
+    val base = run.select(col("qid")).distinct()
+      .join(r.select(col("qid")).distinct(), "qid")
+    val hitsC = coalesce(col("hits"), lit(0L))
+    val dcgC = coalesce(col("dcg_units"), lit(0L))
+    base.join(idcg, "qid").join(relTotal, "qid")
+      .join(dcg, Seq("qid"), "left")
+      .select(col("qid"), hitsC.as("hits"), col("rel_total"),
+        dcgC.as("dcg_units"),
         when(col("idcg_units") <= 0L, raise_error(lit(
           "evalAtK: idcg_units <= 0 with grade >= 1 rows — impossible " +
             "unless inputs violated the contract")))
           .otherwise(col("idcg_units")).as("idcg_units"),
-        round(d(col("dcg_units")) / d(col("idcg_units")), 6).as("ndcg"),
-        col("mrr_units"),
-        round(d(col("hits")) / lit(k.toDouble), 6).as("precision"),
-        round(d(col("hits")) / d(col("rel_total")), 6).as("recall"))
+        round(d(dcgC) / d(col("idcg_units")), 6).as("ndcg"),
+        coalesce(col("mrr_units"), lit(0L)).as("mrr_units"),
+        round(d(hitsC) / lit(k.toDouble), 6).as("precision"),
+        round(d(hitsC) / d(col("rel_total")), 6).as("recall"))
   }
 }

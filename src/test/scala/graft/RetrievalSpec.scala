@@ -151,8 +151,9 @@ class RetrievalSpec extends SparkSpec {
       Retrieval.rrfFuse(Seq.empty, "qid", "id", "rank", k = 1)
     }.getMessage.contains("empty side list"))
     assert(intercept[IllegalArgumentException] {
-      Retrieval.rrfFuse(Seq.fill(9)(a), "qid", "id", "rank", k = 1)
-    }.getMessage.contains("max 8"))
+      Retrieval.rrfFuse(Seq.fill(8)(a), "qid", "id", "rank", k = 1)
+    }.getMessage.contains("max 7"),
+      "8 sides must be rejected: coverage is packed mod 8")
   }
 
   test("evalAtK matches the hand model: ln-discount DCG units, ideal " +
@@ -182,6 +183,22 @@ class RetrievalSpec extends SparkSpec {
     assert(r.getAs[Long]("mrr_units") === 1000000000000L)
     assert(r.getAs[Double]("precision") === 0.666667)
     assert(r.getAs[Double]("recall") === 0.5)
+  }
+
+  test("evalAtK emits the zero row for a query with no judged doc in " +
+      "its top-k instead of dropping it") {
+    val run = Seq((0L, 1L, 1L), (7L, 50L, 1L)).toDF("qid", "id", "rank")
+    val rel = Seq((0L, 1L, 2L), (7L, 99L, 3L)).toDF("qid", "id", "grade")
+    val got = Retrieval.evalAtK(run, rel, k = 3).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Long]("hits"), r.getAs[Long]("dcg_units"),
+          r.getAs[Long]("mrr_units"), r.getAs[Double]("ndcg"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall")))
+      .toMap
+    assert(got.keySet === Set(0L, 7L))
+    // qid 7 retrieved doc 50 but only doc 99 is judged: the zero row
+    assert(got(7L) === ((0L, 0L, 0L, 0.0, 0.0, 0.0)))
+    assert(got(0L)._1 === 1L && got(0L)._4 === 1.0)
   }
 
   test("evalAtK raises on out-of-contract grades and rejects k <= 0") {

@@ -317,6 +317,22 @@ class TFrameSpec extends SparkSpec {
       .df.head()
     assert(one.getAs[Double]("pr") === 0.0)
     assert(one.getAs[Double]("cd") === 1.0)
+    // the fused one-pass form equals the chained singles bit-for-bit
+    // (same arithmetic from one shared peerCountsExact pass)
+    val fused = TFrame(df)
+      .peerRanksExact(Seq("score"), "id", parts = 5,
+        prCol = "pr", cdCol = "cd")
+      .df.collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("pr"), r.getAs[Double]("cd")))).toMap
+    out.df.collect().foreach { r =>
+      assert(fused(r.getAs[Long]("id")) ===
+        ((r.getAs[Double]("pr"), r.getAs[Double]("cd"))),
+        "peerRanksExact must equal the chained single-column forms")
+    }
+    assert(intercept[IllegalArgumentException] {
+      TFrame(df).peerRanksExact(Seq("score"), "id", prCol = "x",
+        cdCol = "x")
+    }.getMessage.contains("prCol == cdCol"))
   }
 
   test("lagExact/leadExact equal Spark's lag/lead windows (edge nulls " +
