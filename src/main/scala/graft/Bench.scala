@@ -59,8 +59,14 @@ object Bench {
     // pairs, where cache/scheduler state matches the recorded set.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    only.foreach(p => require(p.nonEmpty,
+      "SPARK_GRAFT_ONLY is set but empty — unset it for the full suite"))
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.exists(n.startsWith)))
+    // fail fast on a typo'd prefix: a silent zero-query "pair" wastes
+    // a multi-minute bench invocation and prints a meaningless JSON
+    only.foreach(p => require(names.nonEmpty,
+      s"SPARK_GRAFT_ONLY=${p.mkString(",")} matches no query names"))
     names.headOption.foreach(materialize)
 
     // two full back-to-back samples; published number = per-query min

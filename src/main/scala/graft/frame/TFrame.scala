@@ -430,14 +430,9 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     * preserves every other column. Contracts as [[rankExact]];
     * `valueCol` nulls are fine — they shift like any value. */
   def lagExact(valueCol: String, offset: Int, order: Seq[String],
-      idCol: String, parts: Int = 64, outCol: String = "lag"): TFrame = {
-    require(!columns.contains(outCol), s"lagExact: column $outCol exists")
-    val payload = columns.filterNot(c =>
-      c == idCol || c == valueCol || order.contains(c))
-    TFrame(graft.operators.Packing.shiftInOrder(
-      df, idCol, valueCol, order, offset, parts, payload,
-      descending = false, outCol = outCol))
-  }
+      idCol: String, parts: Int = 64, outCol: String = "lag"): TFrame =
+    shiftExact(valueCol, offset, order, idCol, parts, outCol,
+      descending = false, what = "lagExact")
 
   /** LEAD companion of [[lagExact]]: the value `offset` rows LATER in
     * (order..., idCol) order — computed as lag over the REVERSED total
@@ -445,13 +440,36 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
     * row-for-row), so the same two-phase machinery serves both
     * directions. Null for the last `offset` rows. */
   def leadExact(valueCol: String, offset: Int, order: Seq[String],
-      idCol: String, parts: Int = 64, outCol: String = "lead"): TFrame = {
-    require(!columns.contains(outCol), s"leadExact: column $outCol exists")
-    val payload = columns.filterNot(c =>
-      c == idCol || c == valueCol || order.contains(c))
-    TFrame(graft.operators.Packing.shiftInOrder(
-      df, idCol, valueCol, order, offset, parts, payload,
-      descending = true, outCol = outCol))
+      idCol: String, parts: Int = 64, outCol: String = "lead"): TFrame =
+    shiftExact(valueCol, offset, order, idCol, parts, outCol,
+      descending = true, what = "leadExact")
+
+  /** Shared body of [[lagExact]]/[[leadExact]]. SQL's most common lag
+    * idiom orders by the value itself — `lag(v) OVER (ORDER BY v)`,
+    * the sorted-diff / gap-detection pattern — which would trip
+    * shiftInOrder's core-column collision; an internal duplicate of
+    * the value column rides as the shift payload key instead, so the
+    * caller never needs a manual workaround. */
+  private def shiftExact(valueCol: String, offset: Int,
+      order: Seq[String], idCol: String, parts: Int, outCol: String,
+      descending: Boolean, what: String): TFrame = {
+    require(!columns.contains(outCol), s"$what: column $outCol exists")
+    if (order.contains(valueCol)) {
+      val dup = "__graft_shift_v"
+      require(!columns.contains(dup), s"$what: column $dup exists")
+      val payload = columns.filterNot(c =>
+        c == idCol || order.contains(c))
+      val out = graft.operators.Packing.shiftInOrder(
+        df.withColumn(dup, col(s"`$valueCol`")), idCol, dup, order,
+        offset, parts, payload, descending, outCol)
+      TFrame(out.drop(dup))
+    } else {
+      val payload = columns.filterNot(c =>
+        c == idCol || c == valueCol || order.contains(c))
+      TFrame(graft.operators.Packing.shiftInOrder(
+        df, idCol, valueCol, order, offset, parts, payload,
+        descending, outCol))
+    }
   }
 
   /** Exact global ROLLING SUM over the last `w` preceding rows plus
@@ -511,7 +529,11 @@ final case class TFrame(df: DataFrame) extends TFrameArith {
       .select(order.map(col) ++ Seq(
         col("global_start").as(belowCol),
         (col("global_start") + col(cnt)).as(atOrBelowCol)): _*)
-    val n = keys.agg(F.sum(col(cnt)).cast(LongType).as(nCol))
+    // n = max at-or-before over the prefix output: prefixSumInOrder
+    // localCheckpoints, so this vocabulary-sized aggregate is free —
+    // summing cnt over `keys` instead would re-run the corpus-wide
+    // distinct-key groupBy a second time
+    val n = pre.agg(F.max(col(atOrBelowCol)).cast(LongType).as(nCol))
     df.join(pre, order)
       .crossJoin(F.broadcast(n))
   }

@@ -485,6 +485,12 @@ object Packing {
     require(k <= 65536,
       s"shiftInOrder: offset k=$k — the driver carries parts*k values; " +
         "an offset this large is a data size, not a window offset")
+    // the driver collect AND the carries broadcast scale with parts*k,
+    // so the bound must be on the product — k=65536 with parts=2048
+    // would be ~134M boxed values on the driver despite a green k check
+    require(parts.toLong * k <= (1L << 22),
+      s"shiftInOrder: parts*k = ${parts.toLong * k} carried values — " +
+        "exceeds the 4M driver/broadcast bound; lower parts or k")
     val core = Set(idCol, valueCol, outCol)
     require(valueCol != idCol && outCol != idCol && outCol != valueCol &&
       !orderCols.exists(core) && !payload.exists(core) &&

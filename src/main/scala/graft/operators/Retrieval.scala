@@ -182,8 +182,10 @@ object Retrieval {
       .reduce(_ unionByName _)
     val packed = unioned
       .select(col("qid"), col("id"),
-        when(col("rnk") < 1L, raise_error(lit(
-          "rrfFuse: rank < 1 — sides must be 1-based top-k lists")))
+        when(col("rnk").isNull || col("rnk") < 1L, raise_error(lit(
+          "rrfFuse: null or < 1 rank — sides must be 1-based top-k " +
+            "lists (a NULL would silently drop the side's contribution " +
+            "from the fused sum)")))
           .otherwise(idiv(lit(UNIT), lit(c) + col("rnk")) * 8L + 1L)
           .as("pk"))
       .groupBy(col("qid"), col("id"))
@@ -309,9 +311,12 @@ object Retrieval {
         Shim.expression(a), Shim.expression(b)))
     val UNIT = 1000000000000L
     def d(c: Column): Column = c.cast(DoubleType)
-    val grade = when(col("grade") < 1L || col("grade") > 30L,
-        raise_error(lit("evalAtK: grade outside 1..30 — 0-graded rows " +
-          "must be filtered upstream, >30 overflows the 2^grade gain")))
+    val grade = when(col("grade").isNull ||
+          col("grade") < 1L || col("grade") > 30L,
+        raise_error(lit("evalAtK: null grade or grade outside 1..30 — " +
+          "0-graded rows must be filtered upstream, >30 overflows the " +
+          "2^grade gain, and a NULL would silently count in rel_total " +
+          "while contributing no gain")))
       .otherwise(col("grade"))
     // gain = 2^grade − 1, exact integer on both engines (1 << grade);
     // both frames below carry the validated grade as __g

@@ -127,25 +127,43 @@ object Sampling {
     val tot = targets.values.sum
     require(math.abs(tot - 1.0) < 1e-6,
       s"mixToTarget: target shares must sum to 1 (got $tot)")
-    val counts = df.where(strata.isNotNull)
-      .groupBy(strata.cast(org.apache.spark.sql.types.StringType)
-        .as("__s"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = domainCounts(df, strata)
     targets.keys.foreach { d =>
       require(counts.getOrElse(d, 0L) > 0L,
         s"mixToTarget: target domain '$d' has no rows — the requested " +
           "mixture is unachievable")
     }
-    val t = targets.map { case (d, p) => counts(d) / p }.min
-    // the argmin domain is kept IN FULL by contract; computing its
-    // fraction as p*(n/p)/n would round to 0.99999... and floor away a
-    // bucket, so pin any domain whose n/p equals the min to exactly 1
-    // (fp-equality on the same expression that produced the min — the
-    // q106 oracle replays the same CASE)
-    val fractions = targets.map { case (d, p) =>
-      d -> (if (counts(d) / p == t) 1.0
-            else math.min(1.0, p * t / counts(d)))
+    mixByWeights(df, strata, key, counts, targets, seed)
+  }
+
+  /** One label-cardinality counts aggregate shared by the mixture
+    * samplers (domains are a label column, not a key column); null
+    * strata drop — no domain, no share. */
+  private def domainCounts(df: DataFrame,
+      strata: Column): Map[String, Long] =
+    df.where(strata.isNotNull)
+      .groupBy(strata.cast(org.apache.spark.sql.types.StringType)
+        .as("__s"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Shared realization of the weighted-mixture samplers
+    * ([[mixToTarget]] w = target share, [[mixByTemperature]]
+    * w = n^alpha): keep fraction f_d = min(1, w_d·m/n_d) with
+    * m = min_d(n_d/w_d) — the largest duplication-free corpus whose
+    * domain shares are exactly ∝ w. The argmin domain pins to exactly
+    * 1.0: computing its fraction as w·(n/w)/n would round to
+    * 0.99999... and floor away a bucket, so fp-equality on the SAME
+    * n/w expression that produced the min keeps it whole (the
+    * q106/q281 oracles replay the same CASE). Domains without a
+    * weight drop (fraction 0 via stratified's default). */
+  private def mixByWeights(df: DataFrame, strata: Column, key: Column,
+      counts: Map[String, Long], w: Map[String, Double],
+      seed: Long): DataFrame = {
+    val m = w.map { case (d, wd) => counts(d) / wd }.min
+    val fractions = w.map { case (d, wd) =>
+      d -> (if (counts(d) / wd == m) 1.0
+            else math.min(1.0, wd * m / counts(d)))
     }
     stratified(df, strata, key, fractions, default = 0.0, seed)
   }
@@ -175,22 +193,13 @@ object Sampling {
       alpha: Double, seed: Long): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0,
       s"mixByTemperature: alpha=$alpha outside [0,1]")
-    val counts = df.where(strata.isNotNull)
-      .groupBy(strata.cast(org.apache.spark.sql.types.StringType)
-        .as("__s"))
-      .agg(count(lit(1)).as("__n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val counts = domainCounts(df, strata)
     require(counts.nonEmpty,
       "mixByTemperature: no non-null domain labels in the corpus")
     val w = counts.map { case (d, n) =>
       d -> math.pow(n.toDouble, alpha)
     }
-    val m = counts.map { case (d, n) => n.toDouble / w(d) }.min
-    val fractions = counts.map { case (d, n) =>
-      d -> (if (n.toDouble / w(d) == m) 1.0
-            else math.min(1.0, w(d) * m / n.toDouble))
-    }
-    stratified(df, strata, key, fractions, default = 0.0, seed)
+    mixByWeights(df, strata, key, counts, w, seed)
   }
 
   /** Deterministic global-shuffle key: the full 64-bit splitmix64

@@ -335,6 +335,32 @@ class TFrameSpec extends SparkSpec {
     }.getMessage.contains("prCol == cdCol"))
   }
 
+  test("lagExact over the VALUE column itself (the sorted-diff idiom " +
+      "lag(v) OVER (ORDER BY v)) equals Spark's window") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val rows = (0L until 120L).map(i => (i, (i * 17) % 23, s"t$i"))
+    val df = rows.toDF("id", "v", "tag").repartition(5)
+    val out = TFrame(df)
+      .lagExact("v", 1, order = Seq("v"), idCol = "id", parts = 7,
+        outCol = "prev")
+    assert(out.columns.toSet === Set("id", "v", "tag", "prev"))
+    val want = df
+      .withColumn("p2", lag(col("v"), 1).over(
+        W.orderBy(col("v"), col("id"))))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.get(r.fieldIndex("p2"))).map(_.asInstanceOf[Long]))
+      .toMap
+    out.df.collect().foreach { r =>
+      val got = Option(r.get(r.fieldIndex("prev")))
+        .map(_.asInstanceOf[Long])
+      assert(got === want(r.getAs[Long]("id")),
+        s"id=${r.getAs[Long]("id")}")
+      assert(r.getAs[String]("tag") === s"t${r.getAs[Long]("id")}",
+        "payload corrupted")
+    }
+  }
+
   test("lagExact/leadExact equal Spark's lag/lead windows (edge nulls " +
       "included), thread carries across partitions, and plan no window") {
     import org.apache.spark.sql.expressions.{Window => W}

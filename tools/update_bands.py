@@ -20,6 +20,8 @@ import sys
 
 
 def main() -> None:
+    if len(sys.argv) < 3:
+        sys.exit("usage: update_bands.py <pair_json> <sf_key> [--force]")
     pair_path, sf = sys.argv[1], sys.argv[2]
     force = "--force" in sys.argv[3:]
     with open(pair_path) as f:
@@ -27,6 +29,10 @@ def main() -> None:
     with open("BASELINE_BANDS.json") as f:
         bands = json.load(f)
     flagged = set(pair.get("failed", []))
+    if sf not in bands and not force:
+        sys.exit(f"unknown SF key '{sf}' (have: {sorted(bands)}) — a "
+                 "typo here would silently seed a bogus band section; "
+                 "pass --force to create a genuinely new SF.")
     cur = bands.setdefault(sf, {})
     if cur and len(pair["queries"]) < 0.9 * len(cur) and not force:
         sys.exit(
