@@ -684,6 +684,57 @@ object Queries38 {
       |    AS neg_rank, id, score_units
       |FROM nr WHERE neg_rank <= 3 ORDER BY qid, neg_rank""".stripMargin
 
+  // ---- q286: SFT prompt-masking prep, hashed ---------------------------------
+
+  /** [[graft.operators.Denoise.sftMask]] end-to-end: deterministic
+    * ragged prompt/response token arrays derived arithmetically from
+    * doc_id (prompt length 1..7, response length 2..6 — totals span
+    * 4..14 around maxLen=10, so the LEFT-truncation path and the
+    * no-truncation path both ride the hash), eos appended, prompt
+    * masked to −100 in the labels, truncation dropping only
+    * ignore-labeled positions (n_supervised = |response|+1 always —
+    * the raise guarantees the supervised span fits). DuckDB rebuilds
+    * the arrays with range() and replays concat/transform/slice
+    * bit-for-bit — the q251 array-hash precedent. */
+  def q286SftMask(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select($"doc_id",
+      sequence($"doc_id" * 1000 + 1,
+        $"doc_id" * 1000 + ($"doc_id" % 7 + 1)).as("p"),
+      sequence($"doc_id" * 1000 + 100,
+        $"doc_id" * 1000 + 99 + ($"doc_id" % 5 + 2)).as("r"))
+    def flat(c: Column): Column =
+      array_join(transform(c, _.cast(StringType)), ",")
+    graft.operators.Denoise.sftMask(base, "p", "r", eosId = 2L,
+        maxLen = 10)
+      .select($"doc_id", flat($"input_ids").as("input_ids"),
+        flat($"labels").as("labels"), $"n_tokens", $"n_supervised")
+      .orderBy($"doc_id")
+  }
+
+  val q286Sql: String =
+    """WITH d AS (SELECT doc_id,
+      |    doc_id % 7 + 1 AS np, doc_id % 5 + 2 AS nr FROM documents),
+      |arr AS (SELECT doc_id, np, nr,
+      |  range(doc_id * 1000 + 1, doc_id * 1000 + np + 1) AS p,
+      |  range(doc_id * 1000 + 100, doc_id * 1000 + 100 + nr) AS r
+      |  FROM d),
+      |built AS (SELECT doc_id, np, nr,
+      |  np + nr + 1 AS tot_len,
+      |  p || r || [CAST(2 AS BIGINT)] AS ids,
+      |  list_transform(p, x -> CAST(-100 AS BIGINT)) || r ||
+      |    [CAST(2 AS BIGINT)] AS labels
+      |  FROM arr)
+      |SELECT doc_id,
+      |  array_to_string(CASE WHEN tot_len > 10
+      |    THEN ids[tot_len - 9 : tot_len] ELSE ids END, ',')
+      |    AS input_ids,
+      |  array_to_string(CASE WHEN tot_len > 10
+      |    THEN labels[tot_len - 9 : tot_len] ELSE labels END, ',')
+      |    AS labels,
+      |  CAST(least(tot_len, 10) AS BIGINT) AS n_tokens,
+      |  CAST(nr + 1 AS BIGINT) AS n_supervised
+      |FROM built ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q275_percent_rank" -> (q275PercentRank _),
     "q276_lag_lead" -> (q276LagLead _),
@@ -695,7 +746,8 @@ object Queries38 {
     "q282_leakage_safe_split" -> (q282LeakageSafeSplit _),
     "q283_prf_expansion" -> (q283PrfExpansion _),
     "q284_zipf_fit" -> (q284ZipfFit _),
-    "q285_hard_negatives" -> (q285HardNegatives _)
+    "q285_hard_negatives" -> (q285HardNegatives _),
+    "q286_sft_mask" -> (q286SftMask _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -709,6 +761,7 @@ object Queries38 {
     "q282_leakage_safe_split" -> q282Sql,
     "q283_prf_expansion" -> q283Sql,
     "q284_zipf_fit" -> q284Sql,
-    "q285_hard_negatives" -> q285Sql
+    "q285_hard_negatives" -> q285Sql,
+    "q286_sft_mask" -> q286Sql
   )
 }

@@ -340,4 +340,58 @@ object Denoise {
       branchCount(maskThr, randThr).as("n_rand"),
       branchCount(randThr, Sampling.Buckets).as("n_keep"))
   }
+  /** Supervised-fine-tuning example prep: concatenate prompt and
+    * response token ids, mask the prompt out of the LABEL stream with
+    * `ignoreIndex` (the cross-entropy ignore convention), append
+    * `eosId` to both, and left-truncate to `maxLen` — dropping the
+    * OLDEST prompt tokens first, never the supervised signal (HF
+    * `DataCollatorForCompletionOnlyLM` semantics). The most common
+    * objective-prep step there is, completing the family beside MLM /
+    * T5 span / UL2 / FIM / NSP / preference pairs.
+    *
+    * Contracts, loudly enforced: null or empty prompt/response arrays
+    * raise (an all-ignore example contributes zero gradient — filter
+    * upstream); a response whose supervised span (|response| + 1 for
+    * eos) exceeds `maxLen` raises rather than silently clipping the
+    * training signal. Left-truncation removes only ignore-labeled
+    * positions, so n_supervised = |response| + 1 always.
+    *
+    * Adds: input_ids, labels (same length, position-aligned),
+    * n_tokens (post-truncation), n_supervised. Pure row-local
+    * collection expressions — zero shuffles, codegen-friendly, scales
+    * as the scan. */
+  def sftMask(
+      df: DataFrame,
+      promptCol: String,
+      responseCol: String,
+      eosId: Long,
+      maxLen: Int,
+      ignoreIndex: Long = -100L): DataFrame = {
+    require(maxLen >= 2,
+      s"sftMask: maxLen=$maxLen cannot hold a response token + eos")
+    val p = col(promptCol)
+    val r = col(responseCol)
+    val checkedP = when(p.isNull || size(p) === 0, raise_error(lit(
+      s"sftMask: null or empty $promptCol — an all-ignore example " +
+        "contributes zero gradient; filter upstream"))).otherwise(p)
+    val checkedR = when(r.isNull || size(r) === 0, raise_error(lit(
+      s"sftMask: null or empty $responseCol — nothing to supervise; " +
+        "filter upstream")))
+      .when(size(r) + 1 > maxLen, raise_error(lit(
+        s"sftMask: response + eos exceeds maxLen=$maxLen — truncating " +
+          "the supervised span silently corrupts training; raise " +
+          "maxLen or split upstream"))).otherwise(r)
+    val ids = concat(checkedP, checkedR, array(lit(eosId)))
+    val labels = concat(
+      transform(checkedP, _ => lit(ignoreIndex)),
+      checkedR, array(lit(eosId)))
+    val full = size(ids)
+    def trunc(c: Column): Column =
+      when(full > maxLen, slice(c, full - maxLen + 1, lit(maxLen)))
+        .otherwise(c)
+    df.withColumn("input_ids", trunc(ids))
+      .withColumn("labels", trunc(labels))
+      .withColumn("n_tokens", least(full, lit(maxLen)).cast("long"))
+      .withColumn("n_supervised", (size(checkedR) + 1).cast("long"))
+  }
 }

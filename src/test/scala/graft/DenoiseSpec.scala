@@ -400,4 +400,55 @@ class DenoiseSpec extends SparkSpec {
     assert(e2.getMessage.contains("PosSpace") ||
       e2.getMessage.contains("4096"))
   }
+  test("sftMask matches the hand model: concat + eos, prompt masked to " +
+      "-100, left-truncation drops only prompt positions") {
+    val df = Seq(
+      (0L, Seq(10L, 11L), Seq(20L, 21L, 22L)),          // fits (6 <= 8)
+      (1L, Seq(30L, 31L, 32L, 33L, 34L), Seq(40L, 41L)) // 8+eos > 8 -> trunc
+    ).toDF("id", "p", "r")
+    val got = Denoise.sftMask(df, "p", "r", eosId = 2L, maxLen = 8)
+      .collect().map(row => row.getAs[Long]("id") -> ((
+        row.getSeq[Long](row.fieldIndex("input_ids")),
+        row.getSeq[Long](row.fieldIndex("labels")),
+        row.getAs[Long]("n_tokens"), row.getAs[Long]("n_supervised"))))
+      .toMap
+    assert(got(0L) === ((Seq(10L, 11L, 20L, 21L, 22L, 2L),
+      Seq(-100L, -100L, 20L, 21L, 22L, 2L), 6L, 4L)))
+    // id 1: 5 prompt + 2 response + eos = 8 == maxLen -> no truncation
+    assert(got(1L) === ((Seq(30L, 31L, 32L, 33L, 34L, 40L, 41L, 2L),
+      Seq(-100L, -100L, -100L, -100L, -100L, 40L, 41L, 2L), 8L, 3L)))
+    val tr = Denoise.sftMask(df.where(col("id") === 1L), "p", "r",
+        eosId = 2L, maxLen = 6)
+      .collect().head
+    // maxLen 6 cuts the two OLDEST prompt tokens, never the response
+    assert(tr.getSeq[Long](tr.fieldIndex("input_ids")) ===
+      Seq(32L, 33L, 34L, 40L, 41L, 2L))
+    assert(tr.getSeq[Long](tr.fieldIndex("labels")) ===
+      Seq(-100L, -100L, -100L, 40L, 41L, 2L))
+    assert(tr.getAs[Long]("n_supervised") === 3L)
+  }
+
+  test("sftMask raises on empty prompt/response, on a supervised span " +
+      "exceeding maxLen, and plans zero exchanges") {
+    val ok = Seq((0L, Seq(1L), Seq(2L, 3L))).toDF("id", "p", "r")
+    val plan = Denoise.sftMask(ok, "p", "r", eosId = 2L, maxLen = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"sftMask must be row-local:\n$plan")
+    def boom(df: org.apache.spark.sql.DataFrame, msg: String): Unit = {
+      val e = intercept[Exception] {
+        Denoise.sftMask(df, "p", "r", eosId = 2L, maxLen = 4).collect()
+      }
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    boom(Seq((0L, Seq.empty[Long], Seq(2L))).toDF("id", "p", "r"),
+      "empty p")
+    boom(Seq((0L, Seq(1L), Seq.empty[Long])).toDF("id", "p", "r"),
+      "empty r")
+    boom(Seq((0L, Seq(1L), Seq(2L, 3L, 4L, 5L))).toDF("id", "p", "r"),
+      "exceeds maxLen")
+    assert(intercept[IllegalArgumentException] {
+      Denoise.sftMask(ok, "p", "r", eosId = 2L, maxLen = 1)
+    }.getMessage.contains("maxLen=1"))
+  }
 }
