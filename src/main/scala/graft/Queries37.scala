@@ -137,12 +137,19 @@ object Queries37 {
     * BASELINE.md. */
   /** The production encoder parsed ONCE per JVM (model assets are
     * immutable; re-parsing 50k merges per gate invocation would be
-    * pure waste in a suite that calls the gate repeatedly). */
+    * pure waste in a suite that calls the gate repeatedly). The asset
+    * directory is overridable via SPARK_GRAFT_GPT2_ASSETS so the gate
+    * survives the reference checkout moving (the files themselves are
+    * the public GPT-2 encoder/vocab that ship with the reference's
+    * test assets). */
   private lazy val gpt2Encoder: BpeEncoder = {
-    val assets = "/root/reference/torcharrow/test/asset"
+    val assets = sys.env.getOrElse("SPARK_GRAFT_GPT2_ASSETS",
+      "/root/reference/torcharrow/test/asset")
     require(new java.io.File(s"$assets/gpt2_bpe_encoder.json").exists(),
-      s"q271: GPT-2 assets not found under $assets — the reference " +
-        "checkout provides the public encoder files")
+      s"q271: GPT-2 assets not found under $assets — point " +
+        "SPARK_GRAFT_GPT2_ASSETS at a directory holding " +
+        "gpt2_bpe_encoder.json + gpt2_bpe_vocab.bpe (the reference " +
+        "checkout's public test assets provide both)")
     BpeEncoder.fromFiles(s"$assets/gpt2_bpe_encoder.json",
       s"$assets/gpt2_bpe_vocab.bpe")
   }

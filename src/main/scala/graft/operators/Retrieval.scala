@@ -174,14 +174,22 @@ object Retrieval {
       new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         Shim.expression(a), Shim.expression(b)))
     val UNIT = 1000000000000L // 10^12: the q278 score_units convention
-    val unioned = sides
-      .map(_.select(
+    val unioned = sides.zipWithIndex
+      .map { case (df, i) => df.select(
         col(qidCol).cast(LongType).as("qid"),
         col(idCol).cast(LongType).as("id"),
-        col(rankCol).cast(LongType).as("rnk")))
+        col(rankCol).cast(LongType).as("rnk"),
+        lit(i).as("__side")) }
       .reduce(_ unionByName _)
+    // duplicate contract, enforced as loudly as the rank contract: a
+    // repeated (qid,id) WITHIN one side would add another u·8+1 term —
+    // silently inflating rrf_units and sides_hit (which could exceed
+    // the real side count and, past 7 rows for one id, wrap mod 8).
+    // Detection is fused into the existing aggregate: within a
+    // (qid,id) group, rows == distinct sides iff every side
+    // contributed at most once.
     val packed = unioned
-      .select(col("qid"), col("id"),
+      .select(col("qid"), col("id"), col("__side"),
         when(col("rnk").isNull || col("rnk") < 1L, raise_error(lit(
           "rrfFuse: null or < 1 rank — sides must be 1-based top-k " +
             "lists (a NULL would silently drop the side's contribution " +
@@ -189,7 +197,15 @@ object Retrieval {
           .otherwise(idiv(lit(UNIT), lit(c) + col("rnk")) * 8L + 1L)
           .as("pk"))
       .groupBy(col("qid"), col("id"))
-      .agg(sum(col("pk")).cast(LongType).as("packed"))
+      .agg(sum(col("pk")).cast(LongType).as("__pksum"),
+        count(lit(1)).as("__n"),
+        countDistinct(col("__side")).as("__nd"))
+      .select(col("qid"), col("id"),
+        when(col("__n") =!= col("__nd"), raise_error(lit(
+          "rrfFuse: duplicate (qid,id) within one side — each side " +
+            "must be a deduplicated ranked list (a duplicate would " +
+            "silently inflate rrf_units and wrap sides_hit mod 8)")))
+          .otherwise(col("__pksum")).cast(LongType).as("packed"))
     GroupTopK.minKByKey(packed, Seq("qid"), "id",
         key = -col("packed"), k)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
@@ -349,14 +365,33 @@ object Retrieval {
       .select(col("qid"), term(col("rank")).as("__t"))
       .groupBy(col("qid"))
       .agg((sum(col("__t")) * lit(UNIT)).cast(LongType).as("idcg_units"))
+    // uniqueness contract, enforced as loudly as the grade range: a
+    // duplicate (qid,id) in `rel` inflates rel_total and idcg, and a
+    // duplicate within the cutoff of `ranked` fans out the hits join,
+    // double-counting hits/dcg — all silently. Both checks are fused
+    // into aggregates the metric already needs (rows == distinct ids
+    // per qid iff no duplicate), so enforcement costs no extra scan.
     val relTotal = r.groupBy(col("qid"))
-      .agg(count(lit(1)).as("rel_total"))
-    // base = qids present in BOTH inputs; dcg only has rows for qids
+      .agg(count(lit(1)).as("__rt"), countDistinct(col("id")).as("__rtd"))
+      .select(col("qid"),
+        when(col("__rt") =!= col("__rtd"), raise_error(lit(
+          "evalAtK: duplicate (qid,id) in rel — rel_total, idcg and " +
+            "the hits join would all double-count; deduplicate the " +
+            "judgments upstream")))
+          .otherwise(col("__rt")).as("rel_total"))
+    // base = qids present in BOTH inputs (the relTotal inner join
+    // below restricts to judged qids); dcg only has rows for qids
     // with >= 1 judged doc in the top-k, so it joins LEFT and the
     // zero row (hits/dcg/mrr = 0) survives — dropping the worst
     // queries would silently inflate any macro-averaged metric
-    val base = run.select(col("qid")).distinct()
-      .join(r.select(col("qid")).distinct(), "qid")
+    val base = run.groupBy(col("qid"))
+      .agg(count(lit(1)).as("__rn"), countDistinct(col("id")).as("__rnd"))
+      .select(
+        when(col("__rn") =!= col("__rnd"), raise_error(lit(
+          "evalAtK: duplicate (qid,id) within the cutoff of ranked — " +
+            "the rel join would fan out and double-count hits/dcg; a " +
+            "retriever must emit each doc at most once per query")))
+          .otherwise(col("qid")).as("qid"))
     val hitsC = coalesce(col("hits"), lit(0L))
     val dcgC = coalesce(col("dcg_units"), lit(0L))
     base.join(idcg, "qid").join(relTotal, "qid")

@@ -156,6 +156,23 @@ class RetrievalSpec extends SparkSpec {
       "8 sides must be rejected: coverage is packed mod 8")
   }
 
+  test("rrfFuse raises on a duplicate (qid,id) WITHIN one side but " +
+      "still fuses the same id across different sides") {
+    val dup = Seq((0L, 1L, 1L), (0L, 1L, 3L)).toDF("qid", "id", "rank")
+    val e = intercept[Exception] {
+      Retrieval.rrfFuse(Seq(dup), "qid", "id", "rank", k = 2).collect()
+    }
+    assert(e.getMessage.contains("duplicate (qid,id) within one side"))
+    // the legitimate case — same id ranked by BOTH sides — must keep
+    // fusing (that is the whole point of RRF), so the check can't be
+    // a blanket count-per-(qid,id)
+    val a = Seq((0L, 1L, 1L)).toDF("qid", "id", "rank")
+    val b = Seq((0L, 1L, 2L)).toDF("qid", "id", "rank")
+    val ok = Retrieval.rrfFuse(Seq(a, b), "qid", "id", "rank", k = 1)
+      .collect()
+    assert(ok.length === 1 && ok.head.getAs[Long]("sides_hit") === 2L)
+  }
+
   test("evalAtK matches the hand model: ln-discount DCG units, ideal " +
       "ranking with grade/id ties, MRR/precision/recall, cutoff at k") {
     val run = Seq((0L, 1L, 1L), (0L, 5L, 2L), (0L, 3L, 3L),
@@ -213,6 +230,25 @@ class RetrievalSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Retrieval.evalAtK(run, relWith(1L), k = 0)
     }.getMessage.contains("k=0"))
+  }
+
+  test("evalAtK raises on duplicate (qid,id) in rel or within the " +
+      "ranked cutoff; a duplicate OUTSIDE the cutoff is harmless") {
+    val run = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("qid", "id", "rank")
+    val rel = Seq((0L, 1L, 2L)).toDF("qid", "id", "grade")
+    val dupRel = Seq((0L, 1L, 2L), (0L, 1L, 1L)).toDF("qid", "id", "grade")
+    assert(intercept[Exception] {
+      Retrieval.evalAtK(run, dupRel, k = 3).collect()
+    }.getMessage.contains("duplicate (qid,id) in rel"))
+    val dupRun = Seq((0L, 1L, 1L), (0L, 1L, 2L)).toDF("qid", "id", "rank")
+    assert(intercept[Exception] {
+      Retrieval.evalAtK(dupRun, rel, k = 3).collect()
+    }.getMessage.contains("duplicate (qid,id) within the cutoff"))
+    // the same id re-appearing BEYOND rank k never reaches the hits
+    // join, so it must not trip the contract
+    val dupBeyond = Seq((0L, 1L, 1L), (0L, 1L, 9L)).toDF("qid", "id", "rank")
+    val row = Retrieval.evalAtK(dupBeyond, rel, k = 3).collect()
+    assert(row.length === 1 && row.head.getAs[Long]("hits") === 1L)
   }
   test("bm25PrfTopK: expansion retrieves vocabulary-mismatched docs, " +
       "ties in RM1 weight break by term ascending, originals are no-ops") {
