@@ -1369,4 +1369,67 @@ public final class Kernels {
     }
     return out;
   }
+
+  /** 64-bit difference hash (dHash) of an encoded image: decode the
+   * bytes (any ImageIO-supported container — PNG/JPEG/BMP/GIF ship in
+   * the JDK), reduce to a 9x8 grid of box-filtered luma averages, and
+   * set bit r*8+c (MSB-first) when cell (r,c) is darker than its right
+   * neighbor. Every step is INTEGER arithmetic over the decoded pixels
+   * — luma = (299R + 587G + 114B)/1000, cell membership x*9/w and
+   * y*8/h by floor division, cell value = floor(sum/count) — so the
+   * signature is bit-replayable by any engine that can restate the
+   * pixels (the q289 oracle re-derives it from the generator
+   * arithmetic in DuckDB; PNG's losslessness makes encode->decode the
+   * identity). Gradient-based, so invariant to uniform brightness
+   * shifts and to pixel-replication upscales — the two classic
+   * near-dup perturbations. The standard perceptual hash of the
+   * content-dedup literature (dHash; Krawetz 2013, public).
+   *
+   * <p>Decode happens once per row inside codegen via StaticInvoke —
+   * no UDF serialization; a memory-backed stream keeps ImageIO off
+   * its disk cache. Undecodable or sub-grid images raise: silently
+   * hashing garbage would poison a dedup pass. */
+  public static long dhash64(byte[] bytes) {
+    java.awt.image.BufferedImage img;
+    try {
+      img = javax.imageio.ImageIO.read(
+          new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes)));
+    } catch (java.io.IOException e) {
+      throw new IllegalArgumentException("dhash64: image decode failed", e);
+    }
+    if (img == null) {
+      throw new IllegalArgumentException(
+          "dhash64: bytes are not a decodable image");
+    }
+    int w = img.getWidth(), h = img.getHeight();
+    if (w < 9 || h < 8) {
+      throw new IllegalArgumentException(
+          "dhash64: image smaller than the 9x8 dHash grid: " + w + "x" + h);
+    }
+    long[] sum = new long[72];
+    long[] cnt = new long[72];
+    for (int y = 0; y < h; y++) {
+      int cy = y * 8 / h;
+      for (int x = 0; x < w; x++) {
+        int cx = x * 9 / w;
+        int rgb = img.getRGB(x, y);
+        long gray = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
+            + 114L * (rgb & 0xff)) / 1000L;
+        sum[cy * 9 + cx] += gray;
+        cnt[cy * 9 + cx]++;
+      }
+    }
+    long out = 0L;
+    for (int r = 0; r < 8; r++) {
+      for (int c = 0; c < 8; c++) {
+        long a = sum[r * 9 + c] / cnt[r * 9 + c];
+        long b = sum[r * 9 + c + 1] / cnt[r * 9 + c + 1];
+        if (a < b) {
+          out |= 1L << (63 - (r * 8 + c));
+        }
+      }
+    }
+    return out;
+  }
 }

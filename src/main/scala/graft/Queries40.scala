@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Functional
+import graft.operators.{Dedup, Multimodal}
+
+/** Round-19 gates: content-level image near-duplicate detection — the
+  * multimodal story extended from container metadata (q70/q223/q229)
+  * to DECODED PIXELS. q289 certifies the perceptual dHash of every
+  * image bit-for-bit (real PNG encode on the executors, real
+  * javax.imageio decode inside the kernel, and a DuckDB oracle that
+  * re-derives every signature from the pixel-generator arithmetic —
+  * PNG losslessness makes the codec roundtrip the identity); q290
+  * certifies the banded Hamming near-dup join over those signatures,
+  * with brightness-shift / 2× pixel-replication upscale / local-cell
+  * perturbation planted near-dups that MUST surface (in-gate raise).
+  * Naming/oracle/float conventions as in [[Queries]].
+  */
+object Queries40 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  private val ImgSeed = 1019L
+  private val W = 18
+  private val H = 16
+
+  /** (doc_id, blob): one seeded 18×16 PNG per document plus four
+    * planted variants of one base image — verbatim re-encode,
+    * +5 brightness (clamp-free by the 0..249 gray range; dHash is
+    * gradient-based so Hamming 0), 2× pixel-replication upscale
+    * (box averages are the same multisets scaled ×4, so Hamming 0),
+    * and a 2×2-cell blown to white (flips at most the one comparison
+    * bit that touches cell (0,0), so Hamming ≤ 1). PNG encode runs on
+    * the executors (fixture synthesis, the q223 WAV precedent); the
+    * dHash decode path then reads REAL codec output, not a stub. */
+  private def imageCorpus(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((id: Long) =>
+      Multimodal.encodeGrayPng(Multimodal.synthGray(id, W, H, ImgSeed), W, H))
+    val corpus = t(s, dir, "documents")
+      .select($"doc_id", synth($"doc_id").as("blob"))
+    val p0 = Queries2.plantBase
+    val base = Multimodal.synthGray(p0, W, H, ImgSeed)
+    val bright = base.map(_ + 5)
+    val up = Array.tabulate(2 * W * 2 * H) { p =>
+      val x = p % (2 * W); val y = p / (2 * W)
+      base((y / 2) * W + (x / 2))
+    }
+    val pert = Array.tabulate(W * H) { p =>
+      val x = p % W; val y = p / W
+      if (x < 2 && y < 2) 255 else base(p)
+    }
+    val plants = Seq(
+      (p0, Multimodal.encodeGrayPng(base, W, H)),
+      (p0 + 1L, Multimodal.encodeGrayPng(bright, W, H)),
+      (p0 + 2L, Multimodal.encodeGrayPng(up, 2 * W, 2 * H)),
+      (p0 + 3L, Multimodal.encodeGrayPng(pert, W, H)))
+    corpus.unionByName(
+      s.createDataFrame(plants).toDF("doc_id", "blob"))
+  }
+
+  /** Every image's 64-bit dHash — full oracle: DuckDB regenerates the
+    * pixels (splitmix64 replay, the q83 machinery), box-filters to the
+    * 9×8 grid with the same floor divisions, and packs the same
+    * MSB-first gradient bits. A green run certifies the whole chain:
+    * PNG encode → javax.imageio decode → integer luma → box filter →
+    * dHash, bit for bit, for every document and every planted variant. */
+  def q289ImageDhash(s: SparkSession, dir: String): DataFrame =
+    imageCorpus(s, dir)
+      .select($"doc_id", Functional.dhash64($"blob").as("dhash"))
+      .orderBy($"doc_id")
+
+  /** Content-level near-dup pairs via [[Dedup.hammingPairs]] (4×16
+    * banding — lossless to Hamming 3 — + capGroups + exact verify) over
+    * the image dHashes; raises unless all six planted pairs among the
+    * four variants surface. Full oracle: DuckDB re-derives every
+    * signature and takes the EXACT all-pairs Hamming ≤ 3 set — pair
+    * equality certifies the banded join lost nothing (and the cap
+    * dropped nothing) on this corpus. */
+  def q290ImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sig = imageCorpus(s, dir)
+      .select($"doc_id", Functional.dhash64($"blob").as("dhash"))
+    val pairs = Dedup.hammingPairs(sig, "doc_id", "dhash",
+      maxHamming = 3, maxBucket = 1000)
+    val p0 = Queries2.plantBase
+    val expected = Seq(
+      (p0, p0 + 1L), (p0, p0 + 2L), (p0, p0 + 3L),
+      (p0 + 1L, p0 + 2L), (p0 + 1L, p0 + 3L), (p0 + 2L, p0 + 3L))
+    val expDf = s.createDataFrame(expected).toDF("id_a", "id_b")
+    val found = pairs.join(broadcast(expDf), Seq("id_a", "id_b"),
+        "left_semi")
+      .agg(count(lit(1)).as("__nplanted"))
+    pairs.crossJoin(broadcast(found))
+      .select($"id_a", $"id_b", $"hamming", $"dropped_candidates",
+        when($"__nplanted" =!= 6L, raise_error(lit(
+          "q290: a planted near-dup pair (brightness shift, 2x " +
+            "upscale, or cell perturbation of the same base image) " +
+            "is missing from the banded Hamming join — content-level " +
+            "image dedup lost a true duplicate")))
+          .otherwise(lit(true)).as("planted_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Shared oracle derivation: pixels → cells → bits → signed dHash.
+    * `mode` 0 = direct synth (+`adj` brightness), 1 = 2× upscale of the
+    * base image (bkey addresses the base pixel), 2 = base with the 2×2
+    * corner forced to 255. splitmix64 replay via Queries5.hashCtes —
+    * ONE definition of the mix across the sampling and image gates. */
+  private val dhashCtes: String = {
+    val p0 = Queries2.plantBase
+    s"""geom AS (
+       |  SELECT doc_id AS id, $W AS w, $H AS h, doc_id AS src,
+       |    0 AS adj, 0 AS mode FROM documents
+       |  UNION ALL SELECT $p0, $W, $H, $p0, 0, 0
+       |  UNION ALL SELECT ${p0 + 1}, $W, $H, $p0, 5, 0
+       |  UNION ALL SELECT ${p0 + 2}, ${2 * W}, ${2 * H}, $p0, 0, 1
+       |  UNION ALL SELECT ${p0 + 3}, $W, $H, $p0, 0, 2),
+       |pix0 AS (
+       |  SELECT g.id, g.w, g.h, g.adj, g.mode,
+       |    CAST(r.range % g.w AS BIGINT) AS x,
+       |    CAST(r.range // g.w AS BIGINT) AS y,
+       |    g.src * 65536 + (CASE WHEN g.mode = 1
+       |      THEN ((r.range // g.w) // 2) * $W + ((r.range % g.w) // 2)
+       |      ELSE r.range END) AS bkey
+       |  FROM geom g CROSS JOIN range(${4 * W * H}) r
+       |  WHERE r.range < g.w * g.h),
+       |keys AS (SELECT DISTINCT bkey FROM pix0),
+       |${Queries5.hashCtes("px", ImgSeed, "keys", "bkey")},
+       |pxu AS (SELECT k, CAST(CASE WHEN h < 0
+       |    THEN CAST(h AS HUGEINT) + 18446744073709551616
+       |    ELSE CAST(h AS HUGEINT) END AS UBIGINT) AS u FROM pxh),
+       |pix AS (SELECT p.id, p.w, p.h, p.x, p.y,
+       |  CASE WHEN p.mode = 2 AND p.x < 2 AND p.y < 2 THEN 255
+       |    ELSE CAST((pxu.u >> 8) % 250 AS BIGINT) + p.adj END AS gray
+       |  FROM pix0 p JOIN pxu ON p.bkey = pxu.k),
+       |cells AS (SELECT id, (y * 8) // h AS cy, (x * 9) // w AS cx,
+       |    SUM(gray) // COUNT(*) AS avgv
+       |  FROM pix GROUP BY 1, 2, 3),
+       |bits AS (SELECT a.id, a.cy * 8 + a.cx AS i,
+       |    CASE WHEN a.avgv < b.avgv THEN 1 ELSE 0 END AS bit
+       |  FROM cells a JOIN cells b
+       |    ON a.id = b.id AND a.cy = b.cy AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |sigh AS (SELECT id,
+       |    SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (63 - i)))
+       |      AS sh
+       |  FROM bits GROUP BY 1),
+       |sig AS (SELECT id, CAST(CASE WHEN sh >= 9223372036854775808
+       |    THEN sh - 18446744073709551616 ELSE sh END AS BIGINT) AS dhash
+       |  FROM sigh)""".stripMargin
+  }
+
+  val q289Sql: String =
+    s"""WITH $dhashCtes
+       |SELECT id AS doc_id, dhash FROM sig ORDER BY doc_id""".stripMargin
+
+  val q290Sql: String =
+    s"""WITH $dhashCtes,
+       |u AS (SELECT id, CAST(CASE WHEN dhash < 0
+       |    THEN CAST(dhash AS HUGEINT) + 18446744073709551616
+       |    ELSE CAST(dhash AS HUGEINT) END AS UBIGINT) AS ud FROM sig),
+       |pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.ud, b.ud)) AS INTEGER) AS hamming
+       |  FROM u a JOIN u b ON a.id < b.id)
+       |SELECT id_a, id_b, hamming, CAST(0 AS BIGINT) AS dropped_candidates,
+       |  true AS planted_ok
+       |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q289_image_dhash" -> (q289ImageDhash _),
+    "q290_image_neardup" -> (q290ImageNeardup _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q289_image_dhash" -> q289Sql,
+    "q290_image_neardup" -> q290Sql
+  )
+}

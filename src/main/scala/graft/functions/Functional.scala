@@ -226,6 +226,11 @@ object Functional {
   def hamming64(a: Column, b: Column): Column =
     invoke("hamming64", IntegerType, Seq(a, b))
 
+  /** 64-bit perceptual dHash of an encoded image blob (decode + 9×8
+    * box-filter + gradient bits, all integer — Kernels.dhash64). */
+  def dhash64(blob: Column): Column =
+    invoke("dhash64", LongType, Seq(blob))
+
   /** Cosine similarity between two array<float> embeddings — native
     * Catalyst expression with hand-written doGenCode
     * (graft.expressions.CosineSimF); Kernels.cosineF stays as the

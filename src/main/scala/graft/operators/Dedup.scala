@@ -213,9 +213,31 @@ object Dedup {
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    hammingPairs(
+      df.select(col(idCol).as("id"),
+        Functional.simhash64(TextAnalysis.tokens(col(textCol))).as("sh")),
+      "id", "sh", maxHamming, maxBucket)
+
+  /** Banded Hamming near-dup join over ANY 64-bit signature column
+    * (simhash, image dHash, audio fingerprint): band into 4×16-bit
+    * chunks, bucket-join within chunks under [[Skew.capGroups]],
+    * verify with exact Hamming. LOSSLESS for maxHamming ≤ 3 — by
+    * pigeonhole, a pair within distance 3 shares at least one
+    * untouched chunk (q290 oracles pair-set equality against exact
+    * all-pairs on that promise); beyond 3 it degrades to a recall<1
+    * LSH-style candidate generator (the contract q41's planted
+    * self-check covers). Emits (id_a, id_b, hamming,
+    * dropped_candidates). Never all-pairs: the shuffle carries
+    * (chunk, chunkVal, id, sh) rows, 4 per signature, at any corpus
+    * size. */
+  def hammingPairs(
+      sig0: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val sig = df.select(col(idCol).as("id"),
-      Functional.simhash64(TextAnalysis.tokens(col(textCol))).as("sh"))
+    val sig = sig0.select(col(idCol).as("id"), col(sigCol).as("sh"))
     val chunks = sig.select(col("id"), col("sh"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))

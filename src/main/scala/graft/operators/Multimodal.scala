@@ -294,6 +294,38 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic grayscale test pixels for content-level image
+    * gates: gray(p) = (splitmix64(id·2¹⁶ + p, seed) >>> 8) mod 250 —
+    * pure integer arithmetic over the SAME splitmix64 finalizer the
+    * sampling family already replays in DuckDB (Queries5.hashCtes), so
+    * an oracle can re-derive every pixel. The 0..249 range leaves
+    * +5-brightness perturbations clamp-free (a clamp at 255 would
+    * break dHash's brightness invariance on saturated cells). */
+  def synthGray(id: Long, w: Int, h: Int, seed: Long): Array[Int] =
+    Array.tabulate(w * h) { p =>
+      ((graft.functions.Kernels.sampleHash(id * 65536L + p, seed)
+        >>> 8) % 250L).toInt
+    }
+
+  /** Encode a gray buffer as a REAL PNG via the JDK encoder (r=g=b,
+    * TYPE_INT_RGB). PNG is lossless, so decode(encode(px)) == px and a
+    * pixel-level oracle stays exact through the codec roundtrip. */
+  def encodeGrayPng(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(gray.length == w * h,
+      s"encodeGrayPng: ${gray.length} pixels for ${w}x$h")
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < gray.length) {
+      val g = gray(p)
+      img.setRGB(p % w, p / w, (g << 16) | (g << 8) | g)
+      p += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Synthesize a REAL RIFF/WAVE byte stream from a seed: valid RIFF
     * framing, a spec-exact 16-byte PCM "fmt " chunk with seed-derived
     * sample rate / bit depth / channel count, and a fixed 20-byte

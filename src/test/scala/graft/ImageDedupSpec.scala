@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Functional, Kernels}
+import graft.operators.{Dedup, Multimodal}
+
+/** Content-level image dedup: dHash invariances on real PNG
+  * encode/decode roundtrips (brightness shift, pixel-replication
+  * upscale, local perturbation), decode-failure contracts, and the
+  * banded Hamming join surfacing planted near-dups (q289/q290 certify
+  * the same signatures and pair set against a DuckDB pixel-arithmetic
+  * restatement). */
+class ImageDedupSpec extends SparkSpec {
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  private val W = 18
+  private val H = 16
+  private def png(g: Array[Int], w: Int = W, h: Int = H): Array[Byte] =
+    Multimodal.encodeGrayPng(g, w, h)
+  private val base = Multimodal.synthGray(7L, W, H, seed = 1019L)
+
+  test("dhash64 is invariant to uniform brightness and to 2x " +
+      "pixel-replication upscale; a local perturbation moves <= 1 bit") {
+    val h0 = Kernels.dhash64(png(base))
+    assert(h0 === Kernels.dhash64(png(base.map(_ + 5))),
+      "+5 brightness must not move a gradient hash (clamp-free range)")
+    val up = Array.tabulate(2 * W * 2 * H) { p =>
+      val x = p % (2 * W); val y = p / (2 * W)
+      base((y / 2) * W + (x / 2))
+    }
+    assert(h0 === Kernels.dhash64(png(up, 2 * W, 2 * H)),
+      "pixel replication preserves every box average exactly")
+    val pert = base.zipWithIndex.map { case (g, p) =>
+      if (p % W < 2 && p / W < 2) 255 else g
+    }
+    val d = Kernels.hamming64(h0, Kernels.dhash64(png(pert)))
+    assert(d <= 1, s"corner-cell perturbation moved $d bits (max 1)")
+    // a DIFFERENT image must be far away: 64 iid-ish gradient bits
+    val other = Multimodal.synthGray(8L, W, H, seed = 1019L)
+    assert(Kernels.hamming64(h0, Kernels.dhash64(png(other))) > 3,
+      "distinct noise images must not collide within the dedup radius")
+  }
+
+  test("dhash64 raises on undecodable bytes and on sub-grid images") {
+    assert(intercept[IllegalArgumentException] {
+      Kernels.dhash64(Array[Byte](1, 2, 3, 4))
+    }.getMessage.contains("not a decodable image"))
+    val tiny = Multimodal.encodeGrayPng(Array.fill(8 * 8)(100), 8, 8)
+    assert(intercept[IllegalArgumentException] {
+      Kernels.dhash64(tiny)
+    }.getMessage.contains("9x8"))
+  }
+
+  test("hammingPairs surfaces planted near-dups and verifies with " +
+      "exact Hamming") {
+    val sigs = Seq(
+      (1L, Kernels.dhash64(png(base))),
+      (2L, Kernels.dhash64(png(base.map(_ + 5)))),
+      (3L, Kernels.dhash64(png(Multimodal.synthGray(99L, W, H, 1019L)))))
+      .toDF("doc_id", "dhash")
+    val got = Dedup.hammingPairs(sigs, "doc_id", "dhash").collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("id_a") === 1L &&
+      got.head.getAs[Long]("id_b") === 2L &&
+      got.head.getAs[Int]("hamming") === 0 &&
+      got.head.getAs[Long]("dropped_candidates") === 0L)
+  }
+
+  test("kernel dhash agrees with an in-JVM pixel-arithmetic model " +
+      "(the q289 oracle's derivation), certifying the PNG roundtrip") {
+    def model(g: Array[Int], w: Int, h: Int): Long = {
+      val sum = Array.fill(72)(0L); val cnt = Array.fill(72)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val c = (y * 8 / h) * 9 + (x * 9 / w)
+        sum(c) += g(y * w + x); cnt(c) += 1
+      }
+      var out = 0L
+      for (r <- 0 until 8; c <- 0 until 8) {
+        if (sum(r * 9 + c) / cnt(r * 9 + c) <
+            sum(r * 9 + c + 1) / cnt(r * 9 + c + 1))
+          out |= 1L << (63 - (r * 8 + c))
+      }
+      out
+    }
+    for (seed <- Seq(3L, 4L, 5L)) {
+      val g = Multimodal.synthGray(seed, W, H, 1019L)
+      assert(Kernels.dhash64(png(g)) === model(g, W, H),
+        s"decoded-pixel dhash diverged from the generator model (seed $seed)")
+    }
+  }
+
+  test("dhash64 runs as a codegen'd column over a blob frame") {
+    val df = Seq((1L, png(base)), (2L, png(base.map(_ + 5))))
+      .toDF("doc_id", "blob")
+      .select($"doc_id", Functional.dhash64($"blob").as("dh"))
+    val rows = df.collect().map(r => r.getAs[Long]("dh")).distinct
+    assert(rows.length === 1, "brightness twin must hash identically")
+  }
+}
