@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.functions.Functional
 import graft.operators.{Dedup, Multimodal}
@@ -168,9 +169,119 @@ object Queries40 {
        |  true AS planted_ok
        |FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q291: streaming near-dup ingestion (MinHash store join) --------------
+
+  /** The near-dup complement of q135's incremental exact dedup, run as
+    * a STREAMING query: new document shards arrive through readStream,
+    * their minhash band signatures probe the static signature store of
+    * everything already ingested ([[Dedup.minHashStoreCandidates]] —
+    * stateless fresh side, so the watermark-free append plan is
+    * legal), and candidates drain to the sink where pair-dedup (the
+    * groupBy max) lives, exactly where a production ingest would merge
+    * into the store. Self-certifying (the LSH family is hash-defined,
+    * q40's no-oracle convention) with two raises:
+    *
+    *  1. stream == batch: the drained pair set must equal the SAME
+    *     operator run in batch mode over the same corpus, element for
+    *     element including the est_jaccard doubles (the q261
+    *     stream==batch precedent);
+    *  2. planted near-dups surface: a verbatim duplicate (est = 1.0
+    *     exactly — identical text, identical signature, every band
+    *     collides) and a one-token-appended near-dup (shingle Jaccard
+    *     78/79) of a store document arrive through the STREAM and must
+    *     be caught.
+    *
+    * The planted fresh shard is written as a real parquet file and
+    * arrives through the same file-stream source as the corpus shard —
+    * the stream sees files, not fixtures. */
+  def q291StreamNeardup(s: SparkSession, dir: String): DataFrame = {
+    val spark = s.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val p0 = Queries2.plantBase
+    val baseText = (0 until 80).map(i => s"planted$i").mkString(" ")
+    val plantFreshRows =
+      Seq((p0 + 1L, baseText), (p0 + 2L, baseText + " plantedtail"))
+    val docsPath = new java.io.File(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(docsPath.getPath)
+      .select($"doc_id", $"text")
+    val store = docs.where($"doc_id" < 250)
+      .unionByName(spark.createDataFrame(Seq((p0, baseText)))
+        .toDF("doc_id", "text"))
+    val plantDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q291_plants")
+    spark.createDataFrame(plantFreshRows).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
+    val schema = spark.read.parquet(docsPath.getPath).schema
+    val sDocs = {
+      val base = spark.readStream.schema(schema)
+      val raw =
+        if (docsPath.isDirectory) base.parquet(docsPath.getPath)
+        else base.option("pathGlobFilter", "documents.parquet")
+          .parquet(dir)
+      raw.select($"doc_id", $"text").where($"doc_id" >= 250)
+    }
+    val sPlants = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("text", StringType, nullable = true))))
+      .parquet(plantDir.getPath)
+      .select($"doc_id", $"text")
+    val fresh = sDocs.unionByName(sPlants)
+    val cand = Dedup.minHashStoreCandidates(store, fresh,
+      "text", "doc_id")
+    val name = s"graft_q291_${System.nanoTime()}"
+    val q = cand.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = spark.table(name)
+    drained.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    def pairify(c: DataFrame): DataFrame = c
+      .groupBy($"id_a", $"id_b")
+      .agg(max($"est_jaccard").as("est_jaccard"))
+    val streamPairs = pairify(drained)
+    val batchFresh = docs.where($"doc_id" >= 250)
+      .unionByName(spark.createDataFrame(plantFreshRows)
+        .toDF("doc_id", "text"))
+    val batchPairs = pairify(
+      Dedup.minHashStoreCandidates(store, batchFresh, "text", "doc_id"))
+    val ns = streamPairs.agg(count(lit(1)).as("n_stream"))
+    val nb = batchPairs.agg(count(lit(1)).as("n_batch"))
+    // the inner join keys include est_jaccard: the same deterministic
+    // kernel on the same rows must produce the same double bit-for-bit
+    val nm = streamPairs
+      .join(batchPairs, Seq("id_a", "id_b", "est_jaccard"))
+      .agg(count(lit(1)).as("n_match"))
+    val planted = streamPairs
+      .where($"id_a" === p0 &&
+        ($"id_b" === p0 + 1L || $"id_b" === p0 + 2L))
+      .agg(count(lit(1)).as("n_planted"),
+        max(when($"id_b" === p0 + 1L, $"est_jaccard")).as("est_dup"))
+    streamPairs
+      .crossJoin(broadcast(ns)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nm)).crossJoin(broadcast(planted))
+      .select($"id_a", $"id_b", $"est_jaccard",
+        when($"n_stream" =!= $"n_batch" || $"n_match" =!= $"n_stream",
+          raise_error(lit(
+            "q291: streamed near-dup pair set differs from the batch " +
+              "run of the same operator on the same corpus — " +
+              "incremental ingest and batch dedup disagree")))
+          .otherwise(lit(true)).as("stream_eq_batch"),
+        when($"n_planted" =!= 2L || $"est_dup" =!= 1.0,
+          raise_error(lit(
+            "q291: a planted near-dup (verbatim duplicate at est 1.0 " +
+              "or one-token-appended variant) of a store document " +
+              "arrived through the stream and was not caught")))
+          .otherwise(lit(true)).as("planted_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_image_dhash" -> (q289ImageDhash _),
-    "q290_image_neardup" -> (q290ImageNeardup _)
+    "q290_image_neardup" -> (q290ImageNeardup _),
+    "q291_stream_neardup" -> (q291StreamNeardup _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -161,6 +161,32 @@ object Dedup {
     * `threshold` are dropped. 100 TB path: the only shuffled payload is
     * (long bandHash, id, signature), ~1 KB/doc.
     */
+  /** (id, sig, band, bandHash) rows — the shared signature/banding
+    * front end of [[minHashLsh]] and [[minHashStoreCandidates]]: ONE
+    * definition of the minhash, the band slicing, and the band-hash
+    * seeding, so the batch self-join and the incremental store join
+    * can never drift. Stateless and row-local (kernel + generator),
+    * hence legal under Structured Streaming. */
+  private def bandedMinhash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int,
+      bands: Int,
+      shingleSize: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val rows = k / bands
+    val sig = df.select(
+      col(idCol).as("id"),
+      Functional.minhashText(col(textCol), shingleSize, k).as("sig"))
+    // band hash = xxhash64 over the band's slice of the signature
+    sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bandHash")
+  }
+
   def minHashLsh(
       df: DataFrame,
       textCol: String,
@@ -170,18 +196,7 @@ object Dedup {
       shingleSize: Int = 5,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val rows = k / bands
-    val sig = df.select(
-      col(idCol).as("id"),
-      Functional.minhashText(col(textCol), shingleSize, k).as("sig"))
-
-    // band hash = xxhash64 over the band's slice of the signature
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bandHash")
+    val banded = bandedMinhash(df, textCol, idCol, k, bands, shingleSize)
 
     // bucket join on (band, bandHash); a<b kills self+mirror pairs.
     // Cap pathological buckets to bound the quadratic step.
@@ -203,6 +218,54 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
       .where(col("est_jaccard") >= threshold)
     cap.attachDroppedRows(est)
+  }
+
+  /** Incremental near-dup candidates of FRESH documents against the
+    * signature STORE of everything already ingested — the minhash
+    * complement of the exact-fingerprint incremental ingest (q135):
+    * new shards land, only their signatures probe the store, and the
+    * historical corpus is never re-scanned, never re-shuffled, and
+    * never holds text (the store is (band, bandHash, id, sig) rows,
+    * ~1 KB/doc, the same payload minHashLsh shuffles).
+    *
+    * STREAM-LEGAL by construction: every fresh-side op is stateless
+    * and row-local (minhash kernel, band generator, stream-static
+    * inner join against the store, match-ratio filter) — `fresh` may
+    * be a `readStream` frame in append mode with no watermark and no
+    * state store. The store side is static and bucket-capped at BUILD
+    * time ([[Skew.capGroups]]), which is also the scale knob: the cap
+    * bounds the join fan-out PER FRESH ROW, so one pathological
+    * band bucket cannot amplify an incoming shard.
+    *
+    * Emits (id_a = store id, id_b = fresh id, est_jaccard) rows
+    * possibly repeated per matching band — pair dedup (groupBy max)
+    * is the caller's batch step or the sink's merge, because a
+    * blind streaming aggregate would need a watermark the ingest
+    * contract doesn't have. Rows below `threshold` are dropped. */
+  def minHashStoreCandidates(
+      store: DataFrame,
+      fresh: DataFrame,
+      textCol: String,
+      idCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 5,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val storeBanded = Skew.capGroups(
+      bandedMinhash(store, textCol, idCol, k, bands, shingleSize),
+      Seq("band", "bandHash"), Seq(col("id")), maxBucket).kept
+      .select(col("band"), col("bandHash"),
+        col("id").as("id_a"), col("sig").as("sig_a"))
+    val freshBanded =
+      bandedMinhash(fresh, textCol, idCol, k, bands, shingleSize)
+        .select(col("band"), col("bandHash"),
+          col("id").as("id_b"), col("sig").as("sig_b"))
+    freshBanded.join(storeBanded, Seq("band", "bandHash"))
+      .select(col("id_a"), col("id_b"),
+        Functional.sigMatchRatio(col("sig_a"), col("sig_b"))
+          .as("est_jaccard"))
+      .where(col("est_jaccard") >= threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit

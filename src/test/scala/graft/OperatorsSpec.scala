@@ -43,6 +43,38 @@ class OperatorsSpec extends SparkSpec {
     assert(byPair((1L, 3L)) > 0.5 && byPair((1L, 3L)) < 1.0)
   }
 
+  test("minHashStoreCandidates matches minHashLsh's cross-pair subset " +
+      "exactly (shared banding front end) and never emits store-store " +
+      "or fresh-fresh pairs") {
+    val store = docs.where(col("doc_id") <= 3L)
+    val fresh = docs.where(col("doc_id") >= 4L)
+      .unionByName(Seq((6L,
+        "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val got = Dedup.minHashStoreCandidates(store, fresh, "text", "doc_id",
+        k = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("est_jaccard")).as("est_jaccard"))
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard"))).sorted
+    // batch reference: the full self-join restricted to cross pairs
+    val all = docs.unionByName(Seq((6L,
+        "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"))
+    val ref = Dedup.minHashLsh(all, "text", "doc_id",
+        k = 64, bands = 16, shingleSize = 3, threshold = 0.5)
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("est_jaccard")))
+      .filter { case (a, b, _) => a <= 3L && b >= 4L }.sorted
+    assert(got === ref, "store-candidates must equal the cross subset")
+    assert(got.map(p => (p._1, p._2)).contains((1L, 6L)),
+      "the fresh verbatim dup of store doc 1 must surface")
+    assert(got.forall { case (a, b, _) => a <= 3L && b >= 4L },
+      "only store-x-fresh pairs may be emitted")
+  }
+
   test("simhash: identical docs at distance 0; near-dups close") {
     val pairs = Dedup.simHash(docs, "text", "doc_id", maxHamming = 16)
       .collect().toSeq
