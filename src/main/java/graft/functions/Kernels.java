@@ -490,6 +490,55 @@ public final class Kernels {
     return new GenericArrayData(java.util.Arrays.copyOf(sel, d));
   }
 
+  /** Number of SELECTED POSITIONS of {@link #winnow} (before the
+   * value-level distinct): the quantity the winnowing guarantees bound
+   * — at least one per window of win = min(w, m) k-grams (so
+   * nSel * win &gt;= n_windows) and at most one per window index (so
+   * nSel &lt;= n_windows), with expected density 2/(w+1) per k-gram on
+   * random input (Schleimer et al. §3). Integer-bounded by text length
+   * alone, which is what makes the q292 companion oracle possible
+   * while the fingerprint VALUES stay engine-defined. Same rolling
+   * hash + monotonic deque as winnow, counting lastPick changes. */
+  public static long winnowSelCount(UTF8String text, int k, int w) {
+    if (k < 1 || w < 1) {
+      throw new IllegalArgumentException(
+          "winnowSelCount: need k >= 1 and w >= 1");
+    }
+    byte[] b = text.getBytes();
+    int m = b.length - k + 1;
+    if (m <= 0) return 0L;
+    final long B = 0x100000001b3L;
+    long bk = 1L;
+    for (int i = 1; i < k; i++) bk *= B;
+    long h = 0L;
+    for (int i = 0; i < k; i++) h = h * B + (b[i] & 0xffL);
+    long[] grams = new long[m];
+    grams[0] = twangMix64(h);
+    for (int i = 1; i < m; i++) {
+      h = (h - (b[i - 1] & 0xffL) * bk) * B + (b[i + k - 1] & 0xffL);
+      grams[i] = twangMix64(h);
+    }
+    int win = Math.min(w, m);
+    int[] deque = new int[m];
+    int head = 0, tail = 0;
+    long nSel = 0L;
+    int lastPick = -1;
+    for (int i = 0; i < m; i++) {
+      while (tail > head
+          && grams[deque[tail - 1]] + Long.MIN_VALUE
+              >= grams[i] + Long.MIN_VALUE) {
+        tail--;
+      }
+      deque[tail++] = i;
+      if (deque[head] <= i - win) head++;
+      if (i >= win - 1 && deque[head] != lastPick) {
+        lastPick = deque[head];
+        nSel++;
+      }
+    }
+    return nSel;
+  }
+
   /** Affine permutation coefficients per (seed, k), derived
    * deterministically and cached — they are shingle-invariant. */
   private static final ConcurrentHashMap<Long, long[][]> MINHASH_COEF =

@@ -278,14 +278,88 @@ object Queries40 {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---- q292: winnowing density/coverage, hashed companion --------------------
+
+  /** Hashed companion to the q77/q78 winnowing gates (the q250
+    * pattern): the fingerprint VALUES are rolling-hash-defined, but the
+    * selection COUNTS obey integer bounds derivable from text length
+    * alone — Schleimer et al.'s coverage guarantee gives, per document
+    * with m byte k-grams and win = min(w, m):
+    *   n_windows/win ≤ nSel ≤ n_windows   (n_windows = m − win + 1)
+    * and the paper's expected density is 2/(w+1) selections per k-gram
+    * on random input. The gate counts bound VIOLATIONS (raise unless
+    * zero — cross-multiplied integer comparisons, no division) and
+    * checks the corpus-wide realized density lands in the generous
+    * [1/w, 4/(w+1)] band around that expectation; DuckDB restates
+    * every emitted integer from octet_length(text) and pins the
+    * violation count at its only legal value. Takes the q77/q78 pair
+    * from "rows-only" to "rows-only with a hashed integer companion". */
+  def q292WinnowDensity(s: SparkSession, dir: String): DataFrame = {
+    val k = 8; val w = 16
+    val per = t(s, dir, "documents").select(
+      greatest(octet_length($"text") - (k - 1), lit(0))
+        .cast(LongType).as("m"),
+      Functional.winnowSelCount($"text", k, w).as("nsel"))
+      .select($"m", $"nsel",
+        when($"m" > 0L, least(lit(w.toLong), $"m")).otherwise(lit(0L))
+          .as("win"))
+      .select($"m", $"nsel", $"win",
+        when($"m" > 0L, $"m" - $"win" + 1L).otherwise(lit(0L)).as("nw"))
+    val agg = per.agg(
+      count(lit(1)).as("n_docs"),
+      sum($"m").cast(LongType).as("total_kgrams"),
+      sum($"nw").cast(LongType).as("total_windows"),
+      // coverage: nsel*win >= nw (at least one pick per window) and
+      // nsel <= nw (at most one pick per window index) — exact
+      // integers, no ceil/division
+      sum(when($"m" > 0L &&
+          ($"nsel" * $"win" < $"nw" || $"nsel" > $"nw"), 1L)
+        .otherwise(0L)).cast(LongType).as("viol"),
+      sum($"nsel").cast(LongType).as("total_sel"))
+    agg.select(
+      $"n_docs", $"total_kgrams", $"total_windows",
+      when($"viol" =!= 0L, raise_error(lit(
+        "q292: a document violated the winnowing coverage bounds " +
+          "(picks per window outside [n_windows/win, n_windows]) — " +
+          "the selection loop broke the SIGMOD'03 guarantee")))
+        .otherwise(lit(0L)).as("coverage_violations"),
+      // density band via cross-multiplication: sel/kgrams in
+      // [1/w, 4/(w+1)] around the paper's 2/(w+1) expectation
+      when($"total_sel" * w < $"total_kgrams" ||
+          $"total_sel" * (w + 1) > $"total_kgrams" * 4L, raise_error(lit(
+        "q292: corpus-wide winnowing density left the [1/w, 4/(w+1)] " +
+          "band around the 2/(w+1) expectation — the fingerprint set " +
+          "is mis-sized for join dedup")))
+        .otherwise(lit(true)).as("density_in_band"))
+  }
+
+  val q292Sql: String = {
+    val k = 8
+    s"""WITH d AS (SELECT greatest(strlen(text) - ${k - 1}, 0) AS m
+       |  FROM documents),
+       |s AS (SELECT m, least(16, m) AS win FROM d),
+       |agg AS (SELECT
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(m) AS BIGINT) AS total_kgrams,
+       |  CAST(SUM(CASE WHEN m > 0 THEN m - win + 1 ELSE 0 END) AS BIGINT)
+       |    AS total_windows
+       |  FROM s)
+       |SELECT n_docs, total_kgrams, total_windows,
+       |  CAST(0 AS BIGINT) AS coverage_violations,
+       |  true AS density_in_band
+       |FROM agg""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_image_dhash" -> (q289ImageDhash _),
     "q290_image_neardup" -> (q290ImageNeardup _),
-    "q291_stream_neardup" -> (q291StreamNeardup _)
+    "q291_stream_neardup" -> (q291StreamNeardup _),
+    "q292_winnow_density" -> (q292WinnowDensity _)
   )
 
   val oracles: Map[String, String] = Map(
     "q289_image_dhash" -> q289Sql,
-    "q290_image_neardup" -> q290Sql
+    "q290_image_neardup" -> q290Sql,
+    "q292_winnow_density" -> q292Sql
   )
 }

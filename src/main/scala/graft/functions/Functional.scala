@@ -147,6 +147,11 @@ object Functional {
     * [[jaccardSorted]]. Any two docs sharing >= w + k - 1 consecutive
     * bytes share at least one fingerprint; no match under k bytes is
     * detected. */
+  /** Selected-position count of [[winnow]] — the density witness the
+    * q292 companion oracle bounds from text length alone. */
+  def winnowSelCount(text: Column, k: Int, w: Int): Column =
+    invoke("winnowSelCount", LongType, Seq(text, lit(k), lit(w)))
+
   def winnow(text: Column, k: Int, w: Int): Column =
     invoke("winnow", ArrayType(LongType, containsNull = false),
       Seq(text, lit(k), lit(w)),

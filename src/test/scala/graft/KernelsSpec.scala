@@ -253,6 +253,28 @@ class KernelsSpec extends SparkSpec {
     assert(winnowSet("abcdefghij", 8, 16).size === 1)
   }
 
+  test("winnowSelCount: >= distinct-value count, obeys the coverage " +
+      "bounds, and zeroes on sub-k-gram text (the q292 companion)") {
+    val k = 8; val w = 16
+    def cnt(s: String) = Kernels.winnowSelCount(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+    assert(cnt("abc") === 0L)
+    assert(cnt("abcdefgh") === 1L)
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 6) {
+      val doc = (0 until 300 + rnd.nextInt(300))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val n = cnt(doc)
+      val m = doc.length - k + 1
+      val win = math.min(w, m)
+      val nw = m - win + 1
+      assert(n * win >= nw && n <= nw,
+        s"position count $n outside the coverage bounds for m=$m")
+      assert(n >= winnowSet(doc, k, w).size.toLong,
+        "positions selected can never be fewer than distinct values")
+    }
+  }
+
   /** Naive winnowing reference: from-scratch k-gram hashes (no rolling
     * update) + a plain scan for the RIGHTMOST unsigned window minimum
     * + record-on-position-change + sorted distinct — the documented
