@@ -490,6 +490,75 @@ public final class Kernels {
     return new GenericArrayData(java.util.Arrays.copyOf(sel, d));
   }
 
+  /** 64-bit audio content fingerprint of a RIFF/WAVE byte stream:
+   * parse the container (real LE chunk walk — PCM mono 16-bit only,
+   * anything else raises), frame the samples into 65 equal spans by
+   * floor division, sum |sample| per frame (integer energy), and set
+   * bit f (MSB-first) when frame f is quieter than frame f+1 — the
+   * audio analog of {@link #dhash64}'s gradient bits. Energy ratios
+   * are GAIN-INVARIANT: scaling every sample by a constant scales all
+   * frame energies together, so comparisons are unchanged (exact for
+   * even samples halved); duplicating every sample (2x upsample)
+   * doubles every frame energy when frame boundaries align, also a
+   * no-op. Every step is integer arithmetic over the decoded samples,
+   * so the q293 oracle re-derives the fingerprint from the generator
+   * arithmetic in DuckDB — WAV is uncompressed, so encode->decode is
+   * the identity. */
+  public static long audioFp64(byte[] b) {
+    if (b.length < 44 || b[0] != 'R' || b[1] != 'I' || b[2] != 'F'
+        || b[3] != 'F' || b[8] != 'W' || b[9] != 'A' || b[10] != 'V'
+        || b[11] != 'E') {
+      throw new IllegalArgumentException(
+          "audioFp64: bytes are not a RIFF/WAVE stream");
+    }
+    int pos = 12;
+    int dataOff = -1, dataLen = -1, fmt = -1, channels = -1, bits = -1;
+    while (pos + 8 <= b.length) {
+      int size = (b[pos + 4] & 0xff) | ((b[pos + 5] & 0xff) << 8)
+          | ((b[pos + 6] & 0xff) << 16) | ((b[pos + 7] & 0xff) << 24);
+      if (b[pos] == 'f' && b[pos + 1] == 'm' && b[pos + 2] == 't'
+          && b[pos + 3] == ' ' && pos + 8 + 16 <= b.length) {
+        fmt = (b[pos + 8] & 0xff) | ((b[pos + 9] & 0xff) << 8);
+        channels = (b[pos + 10] & 0xff) | ((b[pos + 11] & 0xff) << 8);
+        bits = (b[pos + 22] & 0xff) | ((b[pos + 23] & 0xff) << 8);
+      } else if (b[pos] == 'd' && b[pos + 1] == 'a' && b[pos + 2] == 't'
+          && b[pos + 3] == 'a') {
+        dataOff = pos + 8;
+        dataLen = size;
+      }
+      pos += 8 + size + (size & 1); // RIFF chunks are word-aligned
+    }
+    if (fmt != 1 || channels != 1 || bits != 16) {
+      throw new IllegalArgumentException(
+          "audioFp64: need PCM mono 16-bit, got fmt=" + fmt
+              + " channels=" + channels + " bits=" + bits);
+    }
+    if (dataOff < 0 || dataOff + dataLen > b.length) {
+      throw new IllegalArgumentException(
+          "audioFp64: missing or truncated data chunk");
+    }
+    int n = dataLen / 2;
+    if (n < 65) {
+      throw new IllegalArgumentException(
+          "audioFp64: " + n + " samples < the 65-frame grid");
+    }
+    long[] energy = new long[65];
+    for (int i = 0; i < n; i++) {
+      int lo = b[dataOff + 2 * i] & 0xff;
+      int hi = b[dataOff + 2 * i + 1]; // sign-extends
+      int sVal = (hi << 8) | lo;
+      int f = (int) ((long) i * 65L / n);
+      energy[f] += Math.abs(sVal);
+    }
+    long out = 0L;
+    for (int f = 0; f < 64; f++) {
+      if (energy[f] < energy[f + 1]) {
+        out |= 1L << (63 - f);
+      }
+    }
+    return out;
+  }
+
   /** Number of SELECTED POSITIONS of {@link #winnow} (before the
    * value-level distinct): the quantity the winnowing guarantees bound
    * — at least one per window of win = min(w, m) k-grams (so

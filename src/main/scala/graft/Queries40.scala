@@ -350,16 +350,153 @@ object Queries40 {
        |FROM agg""".stripMargin
   }
 
+  // ---- q293/q294: content-level AUDIO fingerprint + near-dup -----------------
+
+  private val AudSeed = 2027L
+  private val NSamp = 260 // 4 samples per frame on the 65-frame grid
+
+  /** (doc_id, blob): one seeded PCM-16 mono WAV per document plus four
+    * planted variants of one base clip — verbatim re-encode, half gain
+    * (samples are even by construction, so s/2 is exact and every
+    * frame-energy comparison is unchanged: Hamming 0), 2× upsample
+    * (duplicated samples double every aligned frame energy: Hamming
+    * 0), and a burst blown into frame 0 (flips at most bit 0:
+    * Hamming ≤ 1). The audio face of [[imageCorpus]]. */
+  private def audioCorpus(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((id: Long) => Multimodal.encodePcm16Wav(
+      Multimodal.synthPcm16(id, NSamp, AudSeed)))
+    val corpus = t(s, dir, "documents")
+      .select($"doc_id", synth($"doc_id").as("blob"))
+    val p0 = Queries2.plantBase
+    val base = Multimodal.synthPcm16(p0, NSamp, AudSeed)
+    val half = base.map(v => (v / 2).toShort)
+    val up = Array.tabulate(2 * NSamp)(i => base(i / 2))
+    val burst = base.zipWithIndex.map { case (v, i) =>
+      if (i < 4) 16382.toShort else v
+    }
+    val plants = Seq(
+      (p0, Multimodal.encodePcm16Wav(base)),
+      (p0 + 1L, Multimodal.encodePcm16Wav(half)),
+      (p0 + 2L, Multimodal.encodePcm16Wav(up)),
+      (p0 + 3L, Multimodal.encodePcm16Wav(burst)))
+    corpus.unionByName(s.createDataFrame(plants).toDF("doc_id", "blob"))
+  }
+
+  /** Every clip's 64-bit gain-invariant audio fingerprint — full
+    * oracle: DuckDB regenerates the samples (splitmix64 replay),
+    * frames the integer energies with the same floor divisions, and
+    * packs the same gradient bits; WAV is uncompressed, so the
+    * container roundtrip is the identity. The audio face of q289. */
+  def q293AudioFp(s: SparkSession, dir: String): DataFrame =
+    audioCorpus(s, dir)
+      .select($"doc_id", Functional.audioFp64($"blob").as("afp"))
+      .orderBy($"doc_id")
+
+  /** Audio near-dup pairs via the SAME [[Dedup.hammingPairs]] banding
+    * the image and simhash families use (one machinery, three
+    * modalities); raises unless all six planted pairs surface. Full
+    * oracle: exact all-pairs Hamming ≤ 3 over the re-derived
+    * fingerprints. */
+  def q294AudioNeardup(s: SparkSession, dir: String): DataFrame = {
+    val sig = audioCorpus(s, dir)
+      .select($"doc_id", Functional.audioFp64($"blob").as("afp"))
+    val pairs = Dedup.hammingPairs(sig, "doc_id", "afp",
+      maxHamming = 3, maxBucket = 1000)
+    val p0 = Queries2.plantBase
+    val expected = Seq(
+      (p0, p0 + 1L), (p0, p0 + 2L), (p0, p0 + 3L),
+      (p0 + 1L, p0 + 2L), (p0 + 1L, p0 + 3L), (p0 + 2L, p0 + 3L))
+    val found = pairs.join(
+        broadcast(s.createDataFrame(expected).toDF("id_a", "id_b")),
+        Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("__nplanted"))
+    pairs.crossJoin(broadcast(found))
+      .select($"id_a", $"id_b", $"hamming", $"dropped_candidates",
+        when($"__nplanted" =!= 6L, raise_error(lit(
+          "q294: a planted near-dup pair (half gain, 2x upsample, or " +
+            "frame burst of the same base clip) is missing from the " +
+            "banded Hamming join — content-level audio dedup lost a " +
+            "true duplicate")))
+          .otherwise(lit(true)).as("planted_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Shared oracle derivation for the audio gates: samples → frame
+    * energies → gradient bits → signed fingerprint. mode 0 = direct
+    * synth, 1 = half gain, 2 = 2× upsample (bkey addresses the base
+    * sample), 3 = frame-0 burst. */
+  private val audioFpCtes: String = {
+    val p0 = Queries2.plantBase
+    s"""ageom AS (
+       |  SELECT doc_id AS id, $NSamp AS n, doc_id AS src, 0 AS mode
+       |    FROM documents
+       |  UNION ALL SELECT $p0, $NSamp, $p0, 0
+       |  UNION ALL SELECT ${p0 + 1}, $NSamp, $p0, 1
+       |  UNION ALL SELECT ${p0 + 2}, ${2 * NSamp}, $p0, 2
+       |  UNION ALL SELECT ${p0 + 3}, $NSamp, $p0, 3),
+       |asm0 AS (
+       |  SELECT g.id, g.n, g.mode, CAST(r.range AS BIGINT) AS i,
+       |    g.src * 65536 + (CASE WHEN g.mode = 2 THEN r.range // 2
+       |      ELSE r.range END) AS bkey
+       |  FROM ageom g CROSS JOIN range(${2 * NSamp}) r
+       |  WHERE r.range < g.n),
+       |akeys AS (SELECT DISTINCT bkey FROM asm0),
+       |${Queries5.hashCtes("au", AudSeed, "akeys", "bkey")},
+       |auu AS (SELECT k, CAST(CASE WHEN h < 0
+       |    THEN CAST(h AS HUGEINT) + 18446744073709551616
+       |    ELSE CAST(h AS HUGEINT) END AS UBIGINT) AS u FROM auh),
+       |asmp AS (SELECT a.id, a.n, a.i,
+       |  CASE WHEN a.mode = 3 AND a.i < 4 THEN 16382
+       |    WHEN a.mode = 1
+       |    THEN (2 * CAST((auu.u >> 8) % 16384 AS BIGINT) - 16384) // 2
+       |    ELSE 2 * CAST((auu.u >> 8) % 16384 AS BIGINT) - 16384
+       |    END AS sv
+       |  FROM asm0 a JOIN auu ON a.bkey = auu.k),
+       |aen AS (SELECT id, (i * 65) // n AS f, SUM(abs(sv)) AS e
+       |  FROM asmp GROUP BY 1, 2),
+       |abits AS (SELECT a.id, a.f AS i,
+       |    CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+       |  FROM aen a JOIN aen b ON a.id = b.id AND b.f = a.f + 1
+       |  WHERE a.f < 64),
+       |asigh AS (SELECT id,
+       |    SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (63 - i)))
+       |      AS sh
+       |  FROM abits GROUP BY 1),
+       |asig AS (SELECT id, CAST(CASE WHEN sh >= 9223372036854775808
+       |    THEN sh - 18446744073709551616 ELSE sh END AS BIGINT) AS afp
+       |  FROM asigh)""".stripMargin
+  }
+
+  val q293Sql: String =
+    s"""WITH $audioFpCtes
+       |SELECT id AS doc_id, afp FROM asig ORDER BY doc_id""".stripMargin
+
+  val q294Sql: String =
+    s"""WITH $audioFpCtes,
+       |apu AS (SELECT id, CAST(CASE WHEN afp < 0
+       |    THEN CAST(afp AS HUGEINT) + 18446744073709551616
+       |    ELSE CAST(afp AS HUGEINT) END AS UBIGINT) AS ua FROM asig),
+       |apairs AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.ua, b.ua)) AS INTEGER) AS hamming
+       |  FROM apu a JOIN apu b ON a.id < b.id)
+       |SELECT id_a, id_b, hamming, CAST(0 AS BIGINT) AS dropped_candidates,
+       |  true AS planted_ok
+       |FROM apairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_image_dhash" -> (q289ImageDhash _),
     "q290_image_neardup" -> (q290ImageNeardup _),
     "q291_stream_neardup" -> (q291StreamNeardup _),
-    "q292_winnow_density" -> (q292WinnowDensity _)
+    "q292_winnow_density" -> (q292WinnowDensity _),
+    "q293_audio_fp" -> (q293AudioFp _),
+    "q294_audio_neardup" -> (q294AudioNeardup _)
   )
 
   val oracles: Map[String, String] = Map(
     "q289_image_dhash" -> q289Sql,
     "q290_image_neardup" -> q290Sql,
-    "q292_winnow_density" -> q292Sql
+    "q292_winnow_density" -> q292Sql,
+    "q293_audio_fp" -> q293Sql,
+    "q294_audio_neardup" -> q294Sql
   )
 }

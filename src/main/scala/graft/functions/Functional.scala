@@ -236,6 +236,12 @@ object Functional {
   def dhash64(blob: Column): Column =
     invoke("dhash64", LongType, Seq(blob))
 
+  /** 64-bit gain-invariant audio fingerprint of a RIFF/WAVE blob
+    * (LE chunk walk + 65-frame integer energies + gradient bits —
+    * Kernels.audioFp64). */
+  def audioFp64(blob: Column): Column =
+    invoke("audioFp64", LongType, Seq(blob))
+
   /** Cosine similarity between two array<float> embeddings — native
     * Catalyst expression with hand-written doGenCode
     * (graft.expressions.CosineSimF); Kernels.cosineF stays as the

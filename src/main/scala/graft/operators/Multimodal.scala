@@ -365,6 +365,43 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic 16-bit mono PCM samples for content-level audio
+    * gates: s(i) = 2·((splitmix64(id·2¹⁶ + i, seed) >>> 8) mod 16384)
+    * − 16384 — EVEN values in [−16384, 16382], so a half-gain variant
+    * (s/2) is exact integer arithmetic and the energy fingerprint's
+    * gain invariance holds with zero rounding slack. Same splitmix64
+    * stream the image/sampling oracles already replay in DuckDB. */
+  def synthPcm16(id: Long, n: Int, seed: Long): Array[Short] =
+    Array.tabulate(n) { i =>
+      (2L * ((graft.functions.Kernels.sampleHash(id * 65536L + i, seed)
+        >>> 8) % 16384L) - 16384L).toShort
+    }
+
+  /** Encode PCM samples as a REAL RIFF/WAVE byte stream (PCM fmt
+    * chunk, mono, 16-bit, LE data chunk). Uncompressed, so
+    * decode(encode(samples)) is the identity and a sample-level
+    * oracle stays exact through the container roundtrip. */
+  def encodePcm16Wav(samples: Array[Short], sampleRate: Int = 16000)
+      : Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    w32(4 + 24 + 8 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    w32(16); w16(1); w16(1); w32(sampleRate)
+    w32(sampleRate * 2); w16(2); w16(16)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    w32(dataLen)
+    samples.foreach(s => w16(s & 0xffff))
+    out.toByteArray
+  }
+
   /** Synthesize a REAL ISO-BMFF (MP4) byte stream from a seed: a valid
     * `ftyp` box, a `moov` containing a spec-exact v0 `mvhd` and one
     * `trak`/`tkhd` with seed-derived 16.16 fixed-point visual

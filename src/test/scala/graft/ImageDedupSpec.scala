@@ -90,6 +90,35 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("audioFp64: invariant to exact half gain and 2x upsample; a " +
+      "frame burst moves <= 1 bit; contracts raise") {
+    val base = Multimodal.synthPcm16(7L, 260, seed = 2027L)
+    def wav(s: Array[Short]) = Multimodal.encodePcm16Wav(s)
+    val h0 = Kernels.audioFp64(wav(base))
+    assert(h0 === Kernels.audioFp64(wav(base.map(v => (v / 2).toShort))),
+      "half gain on even samples must not move an energy-gradient hash")
+    assert(h0 === Kernels.audioFp64(wav(
+      Array.tabulate(520)(i => base(i / 2)))),
+      "sample duplication doubles every aligned frame energy")
+    val burst = base.zipWithIndex.map { case (v, i) =>
+      if (i < 4) 16382.toShort else v
+    }
+    assert(Kernels.hamming64(h0, Kernels.audioFp64(wav(burst))) <= 1)
+    val other = Multimodal.synthPcm16(8L, 260, seed = 2027L)
+    assert(Kernels.hamming64(h0, Kernels.audioFp64(wav(other))) > 3,
+      "distinct noise clips must not collide within the dedup radius")
+    assert(intercept[IllegalArgumentException] {
+      Kernels.audioFp64(Array[Byte](1, 2, 3))
+    }.getMessage.contains("not a RIFF/WAVE"))
+    assert(intercept[IllegalArgumentException] {
+      Kernels.audioFp64(wav(Array.fill[Short](32)(0)))
+    }.getMessage.contains("65-frame"))
+    // non-PCM/stereo/8-bit containers raise rather than hash garbage
+    assert(intercept[IllegalArgumentException] {
+      Kernels.audioFp64(Multimodal.synthesizeWavBlob(2L))
+    }.getMessage.contains("PCM mono 16-bit"))
+  }
+
   test("dhash64 runs as a codegen'd column over a blob frame") {
     val df = Seq((1L, png(base)), (2L, png(base.map(_ + 5))))
       .toDF("doc_id", "blob")
