@@ -483,13 +483,134 @@ object Queries40 {
        |  true AS planted_ok
        |FROM apairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  // ---- q295: streaming image near-dup, FULL oracle ---------------------------
+
+  /** The streaming ingest pattern of q291 upgraded to a FULL oracle:
+    * because image dHashes are arithmetic-restatable (q289), the
+    * stream == batch self-check gains a third, external leg — DuckDB
+    * re-derives every signature and the exact store×fresh pair set, so
+    * stream == batch == cross-engine all hold on the same corpus (the
+    * q261 trifecta, now for near-dup dedup). Fresh images arrive
+    * through readStream (corpus shard synthesized in-stream from
+    * doc_id — stateless udf + kernel; planted variants arrive as REAL
+    * blob bytes in a parquet shard) and their dHashes probe the static
+    * signature store via [[Dedup.hammingStoreCandidates]]. */
+  def q295StreamImageNeardup(s: SparkSession, dir: String): DataFrame = {
+    val spark = s.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val p0 = Queries2.plantBase
+    val synth = udf((id: Long) =>
+      Multimodal.encodeGrayPng(Multimodal.synthGray(id, W, H, ImgSeed), W, H))
+    def dh(df: DataFrame): DataFrame =
+      df.select($"doc_id", Functional.dhash64($"blob").as("dhash"))
+    val docsPath = new java.io.File(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(docsPath.getPath).select($"doc_id")
+    val storeSig = dh(docs.where($"doc_id" < 250)
+      .unionByName(spark.range(1).select(lit(p0).as("doc_id")))
+      .select($"doc_id", synth($"doc_id").as("blob")))
+    // planted fresh shard: REAL pre-encoded blobs (brightness/upscale/
+    // perturbation variants of the store's base image) as a parquet
+    // file arriving through the same file-stream source
+    val base = Multimodal.synthGray(p0, W, H, ImgSeed)
+    val up = Array.tabulate(2 * W * 2 * H) { p =>
+      val x = p % (2 * W); val y = p / (2 * W)
+      base((y / 2) * W + (x / 2))
+    }
+    val pert = Array.tabulate(W * H) { p =>
+      val x = p % W; val y = p / W
+      if (x < 2 && y < 2) 255 else base(p)
+    }
+    val plantRows = Seq(
+      (p0 + 1L, Multimodal.encodeGrayPng(base.map(_ + 5), W, H)),
+      (p0 + 2L, Multimodal.encodeGrayPng(up, 2 * W, 2 * H)),
+      (p0 + 3L, Multimodal.encodeGrayPng(pert, W, H)))
+    val plantDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"), "graft_q295_plants")
+    spark.createDataFrame(plantRows).toDF("doc_id", "blob")
+      .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
+    val schema = spark.read.parquet(docsPath.getPath).schema
+    val sDocs = {
+      val b = spark.readStream.schema(schema)
+      val raw =
+        if (docsPath.isDirectory) b.parquet(docsPath.getPath)
+        else b.option("pathGlobFilter", "documents.parquet").parquet(dir)
+      raw.select($"doc_id").where($"doc_id" >= 250)
+        .select($"doc_id", synth($"doc_id").as("blob"))
+    }
+    val sPlants = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType, nullable = true))))
+      .parquet(plantDir.getPath)
+    val cand = Dedup.hammingStoreCandidates(
+      storeSig, dh(sDocs.unionByName(sPlants)), "doc_id", "dhash",
+      maxHamming = 3, maxBucket = 1000)
+    val name = s"graft_q295_${System.nanoTime()}"
+    val q = cand.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = spark.table(name)
+    drained.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    val streamPairs = drained.distinct()
+    val batchFresh = dh(docs.where($"doc_id" >= 250)
+        .select($"doc_id", synth($"doc_id").as("blob"))
+        .unionByName(
+          spark.createDataFrame(plantRows).toDF("doc_id", "blob")))
+    val batchPairs = Dedup.hammingStoreCandidates(
+      storeSig, batchFresh, "doc_id", "dhash",
+      maxHamming = 3, maxBucket = 1000).distinct()
+    val ns = streamPairs.agg(count(lit(1)).as("n_stream"))
+    val nb = batchPairs.agg(count(lit(1)).as("n_batch"))
+    val nm = streamPairs
+      .join(batchPairs, Seq("id_a", "id_b", "hamming"))
+      .agg(count(lit(1)).as("n_match"))
+    val planted = streamPairs
+      .where($"id_a" === p0 && $"id_b" > p0)
+      .agg(count(lit(1)).as("n_planted"))
+    streamPairs
+      .crossJoin(broadcast(ns)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nm)).crossJoin(broadcast(planted))
+      .select($"id_a", $"id_b", $"hamming",
+        when($"n_stream" =!= $"n_batch" || $"n_match" =!= $"n_stream",
+          raise_error(lit(
+            "q295: streamed image near-dup pair set differs from the " +
+              "batch run of the same operator on the same corpus")))
+          .otherwise(lit(true)).as("stream_eq_batch"),
+        when($"n_planted" =!= 3L, raise_error(lit(
+          "q295: a planted image variant (brightness/upscale/" +
+            "perturbation) arrived through the stream and was not " +
+            "caught against the signature store")))
+          .otherwise(lit(true)).as("planted_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q295Sql: String = {
+    val p0 = Queries2.plantBase
+    s"""WITH $dhashCtes,
+       |su AS (SELECT id, CAST(CASE WHEN dhash < 0
+       |    THEN CAST(dhash AS HUGEINT) + 18446744073709551616
+       |    ELSE CAST(dhash AS HUGEINT) END AS UBIGINT) AS ud FROM sig),
+       |spairs AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(bit_count(xor(a.ud, b.ud)) AS INTEGER) AS hamming
+       |  FROM su a JOIN su b
+       |    ON (a.id < 250 OR a.id = $p0)
+       |    AND ((b.id >= 250 AND b.id < $p0) OR b.id > $p0))
+       |SELECT id_a, id_b, hamming, true AS stream_eq_batch,
+       |  true AS planted_ok
+       |FROM spairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_image_dhash" -> (q289ImageDhash _),
     "q290_image_neardup" -> (q290ImageNeardup _),
     "q291_stream_neardup" -> (q291StreamNeardup _),
     "q292_winnow_density" -> (q292WinnowDensity _),
     "q293_audio_fp" -> (q293AudioFp _),
-    "q294_audio_neardup" -> (q294AudioNeardup _)
+    "q294_audio_neardup" -> (q294AudioNeardup _),
+    "q295_stream_image_neardup" -> (q295StreamImageNeardup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -497,6 +618,7 @@ object Queries40 {
     "q290_image_neardup" -> q290Sql,
     "q292_winnow_density" -> q292Sql,
     "q293_audio_fp" -> q293Sql,
-    "q294_audio_neardup" -> q294Sql
+    "q294_audio_neardup" -> q294Sql,
+    "q295_stream_image_neardup" -> q295Sql
   )
 }

@@ -294,17 +294,26 @@ object Dedup {
     * dropped_candidates). Never all-pairs: the shuffle carries
     * (chunk, chunkVal, id, sh) rows, 4 per signature, at any corpus
     * size. */
+  /** (id, sh, chunk, chunkVal) rows — the 4×16-bit banding shared by
+    * [[hammingPairs]] and [[hammingStoreCandidates]]. Stateless and
+    * row-local (a generator over shift/mask expressions), hence legal
+    * under Structured Streaming. */
+  private def chunked(sig0: DataFrame, idCol: String, sigCol: String)
+      : DataFrame =
+    sig0.select(col(idCol).as("id"), col(sigCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("sh"), i * 16)
+            .bitwiseAND(lit(0xFFFFL))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+
   def hammingPairs(
       sig0: DataFrame,
       idCol: String,
       sigCol: String,
       maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    val sig = sig0.select(col(idCol).as("id"), col(sigCol).as("sh"))
-    val chunks = sig.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "chunkVal")
+    val chunks = chunked(sig0, idCol, sigCol)
     val cap = Skew.capGroups(chunks, Seq("chunk", "chunkVal"),
       Seq(col("id")), maxBucket)
     val capped = cap.kept
@@ -319,6 +328,39 @@ object Dedup {
       .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
       .where(col("hamming") <= maxHamming)
     cap.attachDroppedRows(pairs)
+  }
+
+  /** Incremental Hamming near-dup candidates of FRESH signatures
+    * against a historical signature STORE — [[minHashStoreCandidates]]
+    * for the 64-bit-signature modalities (simhash text, image dHash,
+    * audio fingerprints). STREAM-LEGAL on the fresh side (banding is a
+    * stateless generator, the join is stream-static, the Hamming
+    * verify is row-local); the store is banded and bucket-capped at
+    * build time, bounding fan-out per incoming row. Unlike the minhash
+    * variant this family is fully ORACLE-ABLE when the signature is
+    * (q289/q293's arithmetic-restatable fingerprints): q295 certifies
+    * stream == batch == DuckDB on the same corpus. Emits (id_a =
+    * store id, id_b = fresh id, hamming ≤ maxHamming), possibly
+    * repeated per matching chunk — dedup is `distinct` downstream (the
+    * hamming value is chunk-independent). */
+  def hammingStoreCandidates(
+      store: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    val storeBanded = Skew.capGroups(chunked(store, idCol, sigCol),
+      Seq("chunk", "chunkVal"), Seq(col("id")), maxBucket).kept
+      .select(col("chunk"), col("chunkVal"),
+        col("id").as("id_a"), col("sh").as("sh_a"))
+    val freshBanded = chunked(fresh, idCol, sigCol)
+      .select(col("chunk"), col("chunkVal"),
+        col("id").as("id_b"), col("sh").as("sh_b"))
+    freshBanded.join(storeBanded, Seq("chunk", "chunkVal"))
+      .select(col("id_a"), col("id_b"),
+        Functional.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Exact n-gram Jaccard similarity for a candidate pair set

@@ -119,6 +119,29 @@ class ImageDedupSpec extends SparkSpec {
     }.getMessage.contains("PCM mono 16-bit"))
   }
 
+  test("hammingStoreCandidates equals hammingPairs' cross-pair subset " +
+      "and only emits store-x-fresh pairs") {
+    import graft.functions.Kernels
+    def sig(rows: Seq[(Long, Long)]) = rows.toDF("doc_id", "sh")
+    val h0 = Kernels.dhash64(png(base))
+    val all = Seq(1L -> h0, 2L -> (h0 ^ 1L), 3L -> ~h0,
+      10L -> h0, 11L -> (h0 ^ 3L))
+    val store = sig(all.filter(_._1 < 10))
+    val fresh = sig(all.filter(_._1 >= 10))
+    val got = Dedup.hammingStoreCandidates(store, fresh, "doc_id", "sh")
+      .distinct().collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming"))).sorted
+    val ref = Dedup.hammingPairs(sig(all), "doc_id", "sh")
+      .collect().toSeq
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+      .filter { case (a, b, _) => a < 10 && b >= 10 }.sorted
+    assert(got === ref)
+    assert(got.contains((1L, 10L, 0)) && got.contains((2L, 10L, 1)))
+    assert(got.forall { case (a, b, _) => a < 10 && b >= 10 })
+  }
+
   test("dhash64 runs as a codegen'd column over a blob frame") {
     val df = Seq((1L, png(base)), (2L, png(base.map(_ + 5))))
       .toDF("doc_id", "blob")
