@@ -559,6 +559,88 @@ public final class Kernels {
     return out;
   }
 
+  private static int be32At(byte[] b, int i) {
+    return ((b[i] & 0xff) << 24) | ((b[i + 1] & 0xff) << 16)
+        | ((b[i + 2] & 0xff) << 8) | (b[i + 3] & 0xff);
+  }
+
+  /** Offset of the first ISO-BMFF box named {@code id} in
+   * {@code [lo, hi)}, or -1 — the standard size-prefixed box walk. */
+  private static int findBox(byte[] b, int lo, int hi, String id) {
+    int pos = lo;
+    byte c0 = (byte) id.charAt(0), c1 = (byte) id.charAt(1);
+    byte c2 = (byte) id.charAt(2), c3 = (byte) id.charAt(3);
+    while (pos + 8 <= hi) {
+      int size = be32At(b, pos);
+      if (size < 8 || pos + size > hi) return -1;
+      if (b[pos + 4] == c0 && b[pos + 5] == c1 && b[pos + 6] == c2
+          && b[pos + 7] == c3) {
+        return pos;
+      }
+      pos += size;
+    }
+    return -1;
+  }
+
+  /** Per-frame 64-bit perceptual hashes of an ISO-BMFF (MP4) stream:
+   * walk the REAL nested box structure (moov/trak/mdia/minf/stbl),
+   * read the sample table — `stsz` per-sample sizes and `stco` chunk
+   * offset, the genuine ISO 14496-12 frame addressing — slice each
+   * stored frame out of `mdat`, and {@link #dhash64} it. The video
+   * face of the content-level dedup family: a video is its frame
+   * fingerprint set, and near-dup videos share frames. Raises on a
+   * malformed box tree or truncated sample data — silently hashing a
+   * broken container would poison a dedup pass. */
+  public static ArrayData videoFrameHashes(byte[] b) {
+    if (b.length < 16 || findBox(b, 0, b.length, "ftyp") != 0) {
+      throw new IllegalArgumentException(
+          "videoFrameHashes: bytes are not an ISO-BMFF stream");
+    }
+    int moov = findBox(b, 0, b.length, "moov");
+    if (moov < 0) {
+      throw new IllegalArgumentException("videoFrameHashes: no moov box");
+    }
+    int moovEnd = moov + be32At(b, moov);
+    int trak = findBox(b, moov + 8, moovEnd, "trak");
+    int mdia = trak < 0 ? -1
+        : findBox(b, trak + 8, trak + be32At(b, trak), "mdia");
+    int minf = mdia < 0 ? -1
+        : findBox(b, mdia + 8, mdia + be32At(b, mdia), "minf");
+    int stbl = minf < 0 ? -1
+        : findBox(b, minf + 8, minf + be32At(b, minf), "stbl");
+    if (stbl < 0) {
+      throw new IllegalArgumentException(
+          "videoFrameHashes: no trak/mdia/minf/stbl path");
+    }
+    int stblEnd = stbl + be32At(b, stbl);
+    int stsz = findBox(b, stbl + 8, stblEnd, "stsz");
+    int stco = findBox(b, stbl + 8, stblEnd, "stco");
+    if (stsz < 0 || stco < 0) {
+      throw new IllegalArgumentException(
+          "videoFrameHashes: sample table missing stsz/stco");
+    }
+    int uniform = be32At(b, stsz + 12);
+    int n = be32At(b, stsz + 16);
+    int chunks = be32At(b, stco + 12);
+    if (n <= 0 || chunks != 1) {
+      throw new IllegalArgumentException("videoFrameHashes: expected a "
+          + "single-chunk sample table with >= 1 sample, got n=" + n
+          + " chunks=" + chunks);
+    }
+    int off = be32At(b, stco + 16);
+    long[] hashes = new long[n];
+    for (int i = 0; i < n; i++) {
+      int size = uniform != 0 ? uniform : be32At(b, stsz + 20 + 4 * i);
+      if (size <= 0 || off + size > b.length) {
+        throw new IllegalArgumentException(
+            "videoFrameHashes: sample " + i + " overruns the stream");
+      }
+      hashes[i] = dhash64(java.util.Arrays.copyOfRange(b, off, off + size));
+      off += size;
+    }
+    return new GenericArrayData(hashes);
+  }
+
   /** Number of SELECTED POSITIONS of {@link #winnow} (before the
    * value-level distinct): the quantity the winnowing guarantees bound
    * — at least one per window of win = min(w, m) k-grams (so

@@ -603,6 +603,165 @@ object Queries40 {
        |FROM spairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---- q296/q297: content-level VIDEO frame hashes + near-dup ----------------
+
+  private val VidSeed = 3037L
+  private val NFrames = 4
+
+  /** Per-video frame PNGs: frame f of video v is the seeded 18×16
+    * image with generator id v·16 + f (frame ids are disjoint across
+    * videos and leave slots 4..15 free for planted variants). */
+  private def videoFrames(v: Long, fids: Seq[Long]): Seq[Array[Byte]] =
+    fids.map(fid => Multimodal.encodeGrayPng(
+      Multimodal.synthGray(fid, W, H, VidSeed), W, H))
+
+  /** (doc_id, blob): one seeded 4-frame MP4 per document — REAL
+    * ISO-BMFF sample tables (stsz/stco) addressing real PNG frames —
+    * plus four planted variants of one base video: verbatim, all
+    * frames brightness-shifted (+5 on every pixel of every frame:
+    * every frame hash unchanged → 4 shared), a one-frame-shifted
+    * window (frames F1..F4 → 3 shared), and a mostly-new cut sharing
+    * only F0 (1 shared — the negative control below the dup
+    * threshold). */
+  private def videoCorpus(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((id: Long) => Multimodal.synthesizeMp4WithFrames(
+      videoFrames(id, (0 until NFrames).map(f => id * 16L + f))))
+    val corpus = t(s, dir, "documents")
+      .select($"doc_id", synth($"doc_id").as("blob"))
+    val p0 = Queries2.plantBase
+    def grays(fid: Long) = Multimodal.synthGray(fid, W, H, VidSeed)
+    val baseFids = (0 until NFrames).map(f => p0 * 16L + f)
+    val plants = Seq(
+      (p0, Multimodal.synthesizeMp4WithFrames(videoFrames(p0, baseFids))),
+      (p0 + 1L, Multimodal.synthesizeMp4WithFrames(
+        baseFids.map(fid =>
+          Multimodal.encodeGrayPng(grays(fid).map(_ + 5), W, H)))),
+      (p0 + 2L, Multimodal.synthesizeMp4WithFrames(
+        videoFrames(p0, (1 to NFrames).map(f => p0 * 16L + f)))),
+      (p0 + 3L, Multimodal.synthesizeMp4WithFrames(
+        videoFrames(p0, Seq(p0 * 16L) ++
+          (1 until NFrames).map(f => p0 * 16L + 8 + f)))))
+    corpus.unionByName(s.createDataFrame(plants).toDF("doc_id", "blob"))
+  }
+
+  /** Every (video, frame) dHash via the real sample-table walk — full
+    * oracle: DuckDB regenerates each frame's pixels from the
+    * (video·16 + slot) generator ids and re-derives every hash; frame
+    * extraction itself is certified because a wrong stsz/stco read
+    * slices wrong PNG bytes and can't reproduce the arithmetic
+    * signature. */
+  def q296VideoFrames(s: SparkSession, dir: String): DataFrame =
+    videoCorpus(s, dir)
+      .select($"doc_id",
+        posexplode(Functional.videoFrameHashes($"blob")))
+      .select($"doc_id", $"pos".cast(LongType).as("frame_idx"),
+        $"col".as("fhash"))
+      .orderBy($"doc_id", $"frame_idx")
+
+  /** Video near-dup by shared frame fingerprints
+    * ([[Dedup.fingerprintOverlap]] — the winnowOverlap machinery over
+    * frame dHashes): pairs sharing ≥ 1 frame emitted with their exact
+    * shared count, `is_dup` at the ≥ 2 threshold, planted raise for
+    * the 4/3/1-shared design. Full oracle: exact shared-frame counts
+    * over the re-derived hashes. */
+  def q297VideoNeardup(s: SparkSession, dir: String): DataFrame = {
+    val fps = videoCorpus(s, dir)
+      .select($"doc_id",
+        explode(Functional.videoFrameHashes($"blob")).as("fhash"))
+    val pairs = Dedup.fingerprintOverlap(fps, "doc_id", "fhash",
+      minShared = 1, maxBucket = 1000)
+    val p0 = Queries2.plantBase
+    val planted = pairs
+      .where($"id_a" === p0 && $"id_b".isin(p0 + 1L, p0 + 2L, p0 + 3L))
+      .agg(count(lit(1)).as("__np"),
+        sum(when($"id_b" === p0 + 1L, $"shared_fps")).as("__s1"),
+        sum(when($"id_b" === p0 + 2L, $"shared_fps")).as("__s2"),
+        sum(when($"id_b" === p0 + 3L, $"shared_fps")).as("__s3"))
+    pairs.crossJoin(broadcast(planted))
+      .select($"id_a", $"id_b", $"shared_fps",
+        ($"shared_fps" >= 2L).as("is_dup"),
+        $"dropped_candidates",
+        when($"__np" =!= 3L || $"__s1" =!= 4L || $"__s2" =!= 3L ||
+            $"__s3" =!= 1L,
+          raise_error(lit(
+            "q297: planted frame-overlap design not recovered " +
+              "(expected 4/3/1 shared frames for the brightness/" +
+              "shifted-window/mostly-new variants) — video " +
+              "frame-level dedup miscounted")))
+          .otherwise(lit(true)).as("planted_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** Shared oracle derivation for the video gates: every (video,
+    * frame-slot) pair's 18×16 pixels from generator id = fid, then the
+    * q289 cell/bit machinery per (video, frame). vgeom rows carry
+    * (id = video, idx = frame position, fid = generator id, adj). */
+  private val videoCtes: String = {
+    val p0 = Queries2.plantBase
+    val frameRows = (0 until NFrames)
+      .map(f => s"SELECT doc_id AS id, $f AS idx, doc_id * 16 + $f AS fid, 0 AS adj FROM documents")
+      .mkString("\n  UNION ALL ")
+    val plantRows =
+      (0 until NFrames).map(f =>
+        s"UNION ALL SELECT $p0, $f, ${p0 * 16} + $f, 0") ++
+      (0 until NFrames).map(f =>
+        s"UNION ALL SELECT ${p0 + 1}, $f, ${p0 * 16} + $f, 5") ++
+      (0 until NFrames).map(f =>
+        s"UNION ALL SELECT ${p0 + 2}, $f, ${p0 * 16} + ${f + 1}, 0") ++
+      Seq(s"UNION ALL SELECT ${p0 + 3}, 0, ${p0 * 16}, 0") ++
+      (1 until NFrames).map(f =>
+        s"UNION ALL SELECT ${p0 + 3}, $f, ${p0 * 16} + ${8 + f}, 0")
+    s"""vgeom AS (
+       |  $frameRows
+       |  ${plantRows.mkString("\n  ")}),
+       |vpix0 AS (
+       |  SELECT g.id, g.idx, g.adj,
+       |    CAST(r.range % $W AS BIGINT) AS x,
+       |    CAST(r.range // $W AS BIGINT) AS y,
+       |    g.fid * 65536 + r.range AS bkey
+       |  FROM vgeom g CROSS JOIN range(${W * H}) r),
+       |vkeys AS (SELECT DISTINCT bkey FROM vpix0),
+       |${Queries5.hashCtes("vx", VidSeed, "vkeys", "bkey")},
+       |vxu AS (SELECT k, CAST(CASE WHEN h < 0
+       |    THEN CAST(h AS HUGEINT) + 18446744073709551616
+       |    ELSE CAST(h AS HUGEINT) END AS UBIGINT) AS u FROM vxh),
+       |vpix AS (SELECT p.id, p.idx, p.x, p.y,
+       |  CAST((vxu.u >> 8) % 250 AS BIGINT) + p.adj AS gray
+       |  FROM vpix0 p JOIN vxu ON p.bkey = vxu.k),
+       |vcells AS (SELECT id, idx, (y * 8) // $H AS cy, (x * 9) // $W AS cx,
+       |    SUM(gray) // COUNT(*) AS avgv
+       |  FROM vpix GROUP BY 1, 2, 3, 4),
+       |vbits AS (SELECT a.id, a.idx, a.cy * 8 + a.cx AS i,
+       |    CASE WHEN a.avgv < b.avgv THEN 1 ELSE 0 END AS bit
+       |  FROM vcells a JOIN vcells b
+       |    ON a.id = b.id AND a.idx = b.idx AND a.cy = b.cy
+       |    AND b.cx = a.cx + 1
+       |  WHERE a.cx < 8),
+       |vsigh AS (SELECT id, idx,
+       |    SUM(CAST(bit AS HUGEINT) * (CAST(1 AS HUGEINT) << (63 - i)))
+       |      AS sh
+       |  FROM vbits GROUP BY 1, 2),
+       |vsig AS (SELECT id, idx, CAST(CASE WHEN sh >= 9223372036854775808
+       |    THEN sh - 18446744073709551616 ELSE sh END AS BIGINT) AS fhash
+       |  FROM vsigh)""".stripMargin
+  }
+
+  val q296Sql: String =
+    s"""WITH $videoCtes
+       |SELECT id AS doc_id, CAST(idx AS BIGINT) AS frame_idx, fhash
+       |FROM vsig ORDER BY doc_id, frame_idx""".stripMargin
+
+  val q297Sql: String =
+    s"""WITH $videoCtes,
+       |vd AS (SELECT DISTINCT id, fhash FROM vsig),
+       |vpairs AS (SELECT a.id AS id_a, b.id AS id_b,
+       |    CAST(COUNT(*) AS BIGINT) AS shared_fps
+       |  FROM vd a JOIN vd b ON a.fhash = b.fhash AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared_fps, shared_fps >= 2 AS is_dup,
+       |  CAST(0 AS BIGINT) AS dropped_candidates, true AS planted_ok
+       |FROM vpairs WHERE shared_fps >= 1 ORDER BY id_a, id_b""".stripMargin
+
   val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q289_image_dhash" -> (q289ImageDhash _),
     "q290_image_neardup" -> (q290ImageNeardup _),
@@ -610,7 +769,9 @@ object Queries40 {
     "q292_winnow_density" -> (q292WinnowDensity _),
     "q293_audio_fp" -> (q293AudioFp _),
     "q294_audio_neardup" -> (q294AudioNeardup _),
-    "q295_stream_image_neardup" -> (q295StreamImageNeardup _)
+    "q295_stream_image_neardup" -> (q295StreamImageNeardup _),
+    "q296_video_frames" -> (q296VideoFrames _),
+    "q297_video_neardup" -> (q297VideoNeardup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -619,6 +780,8 @@ object Queries40 {
     "q292_winnow_density" -> q292Sql,
     "q293_audio_fp" -> q293Sql,
     "q294_audio_neardup" -> q294Sql,
-    "q295_stream_image_neardup" -> q295Sql
+    "q295_stream_image_neardup" -> q295Sql,
+    "q296_video_frames" -> q296Sql,
+    "q297_video_neardup" -> q297Sql
   )
 }

@@ -242,6 +242,12 @@ object Functional {
   def audioFp64(blob: Column): Column =
     invoke("audioFp64", LongType, Seq(blob))
 
+  /** Per-frame dHashes of an ISO-BMFF (MP4) blob via the real
+    * stsz/stco sample-table walk (Kernels.videoFrameHashes). */
+  def videoFrameHashes(blob: Column): Column =
+    invoke("videoFrameHashes", ArrayType(LongType, containsNull = false),
+      Seq(blob))
+
   /** Cosine similarity between two array<float> embeddings — native
     * Catalyst expression with hand-written doGenCode
     * (graft.expressions.CosineSimF); Kernels.cosineF stays as the

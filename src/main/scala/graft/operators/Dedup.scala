@@ -411,9 +411,32 @@ object Dedup {
       k: Int = 24,
       w: Int = 16,
       minShared: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
-      explode(Functional.winnow(col(textCol), k, w)).as("fp"))
+      maxBucket: Int = 1000): DataFrame =
+    fingerprintOverlap(
+      df.select(col(idCol).as("id"),
+        explode(Functional.winnow(col(textCol), k, w)).as("fp")),
+      // winnow returns a sorted DISTINCT set per document, so the
+      // input-dedup shuffle would be pure waste here
+      "id", "fp", minShared, maxBucket, dedupInput = false)
+
+  /** Pairs of ids sharing at least `minShared` DISTINCT fingerprints —
+    * the generic shared-fingerprint join behind [[winnowOverlap]]
+    * (winnow sets) and the video frame-hash overlap (q297): shuffles
+    * (fp, id) pairs only, caps pathological fingerprints (the
+    * all-black-frame / boilerplate-header case) with exact drop
+    * accounting. Input rows are (id, fp); with `dedupInput` (the
+    * default) repeated fps per id are deduped first so a frame
+    * repeated inside ONE video can't inflate the pair's shared count
+    * — pass false only when the producer guarantees distinctness. */
+  def fingerprintOverlap(
+      fps0: DataFrame,
+      idCol: String,
+      fpCol: String,
+      minShared: Int = 2,
+      maxBucket: Int = 1000,
+      dedupInput: Boolean = true): DataFrame = {
+    val raw = fps0.select(col(idCol).as("id"), col(fpCol).as("fp"))
+    val fps = if (dedupInput) raw.distinct() else raw
     val cap = Skew.capGroups(fps, Seq("fp"), Seq(col("id")), maxBucket)
     val capped = cap.kept
     val l = capped.select(col("fp"), col("id").as("id_a"))

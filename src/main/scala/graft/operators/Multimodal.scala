@@ -454,6 +454,74 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Synthesize a REAL ISO-BMFF (MP4) stream whose `mdat` holds actual
+    * encoded frames, addressed by a spec-valid SAMPLE TABLE: one trak
+    * with `mdia/minf/stbl` containing `stsz` (per-sample sizes,
+    * sample_size = 0 ⇒ per-entry table) and `stco` (one chunk, offset
+    * of the first frame byte) — the genuine ISO 14496-12 frame
+    * addressing mechanism, so a consumer must do the real nested box
+    * walk + table read, not guess offsets. Frames are stored
+    * back-to-back in a single chunk inside `mdat`. */
+  def synthesizeMp4WithFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "synthesizeMp4WithFrames: no frames")
+    val out = new java.io.ByteArrayOutputStream()
+    def b32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
+    def zeros(n: Int): Unit = for (_ <- 0 until n) out.write(0)
+    val n = frames.length
+    // payload sizes (box size fields include the 8-byte header)
+    val stszSz = 8 + 12 + 4 * n
+    val stcoSz = 8 + 8 + 4
+    val stblSz = 8 + stszSz + stcoSz
+    val minfSz = 8 + stblSz
+    val hdlrSz = 8 + 25
+    val mdhdSz = 8 + 24
+    val mdiaSz = 8 + mdhdSz + hdlrSz + minfSz
+    val tkhdSz = 8 + 84
+    val trakSz = 8 + tkhdSz + mdiaSz
+    val mvhdSz = 8 + 100
+    val moovSz = 8 + mvhdSz + trakSz
+    val ftypSz = 24
+    val mdatPayload = frames.map(_.length).sum
+    val chunkOffset = ftypSz + moovSz + 8 // first frame byte in file
+    def matrix(): Unit = {
+      b32(0x10000); b32(0); b32(0); b32(0); b32(0x10000); b32(0)
+      b32(0); b32(0); b32(0x40000000)
+    }
+    b32(ftypSz); cc("ftyp"); cc("isom"); b32(0x200); cc("isom"); cc("mp41")
+    b32(moovSz); cc("moov")
+    b32(mvhdSz); cc("mvhd"); b32(0); b32(0); b32(0)
+    b32(600); b32(600 * n) // timescale, duration: 1 s per frame
+    b32(0x10000); out.write(1); out.write(0); zeros(10); matrix(); zeros(24)
+    b32(2)
+    b32(trakSz); cc("trak")
+    b32(tkhdSz); cc("tkhd"); b32(7); b32(0); b32(0); b32(1); b32(0)
+    b32(600 * n); zeros(8); zeros(8); matrix()
+    b32(18 << 16); b32(16 << 16)
+    b32(mdiaSz); cc("mdia")
+    b32(mdhdSz); cc("mdhd"); b32(0); b32(0); b32(0)
+    b32(600); b32(600 * n); zeros(4)
+    b32(hdlrSz); cc("hdlr"); b32(0); b32(0); cc("vide"); zeros(12)
+    out.write(0) // empty handler name (NUL)
+    b32(minfSz); cc("minf")
+    b32(stblSz); cc("stbl")
+    b32(stszSz); cc("stsz"); b32(0) // version/flags
+    b32(0)      // sample_size = 0 -> per-entry table
+    b32(n)
+    frames.foreach(f => b32(f.length))
+    b32(stcoSz); cc("stco"); b32(0)
+    b32(1)      // one chunk
+    b32(chunkOffset)
+    b32(8 + mdatPayload); cc("mdat")
+    frames.foreach(f => out.write(f, 0, f.length))
+    val bytes = out.toByteArray
+    assert(bytes.length == chunkOffset + mdatPayload)
+    bytes
+  }
+
   /** Deterministic frame-sampling stub for a video-like blob: selects
     * `n` offsets spread over the payload and fingerprints each "frame";
     * real impl would emit decoded frames. Shape (explode → one row per

@@ -142,6 +142,44 @@ class ImageDedupSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => a < 10 && b >= 10 })
   }
 
+  test("videoFrameHashes: real stsz/stco sample-table walk recovers " +
+      "every frame's dhash; malformed containers raise") {
+    val frames = (0 until 3).map(f =>
+      png(Multimodal.synthGray(100L + f, W, H, 3037L)))
+    val mp4 = Multimodal.synthesizeMp4WithFrames(frames)
+    val got = {
+      val a = Kernels.videoFrameHashes(mp4)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    assert(got === frames.map(Kernels.dhash64),
+      "sample-table slicing must hand each frame's exact bytes to dhash")
+    assert(intercept[IllegalArgumentException] {
+      Kernels.videoFrameHashes(Array[Byte](0, 0, 0, 1))
+    }.getMessage.contains("ISO-BMFF"))
+    // a valid ftyp+moov WITHOUT a sample table (the header-only synth)
+    assert(intercept[IllegalArgumentException] {
+      Kernels.videoFrameHashes(Multimodal.synthesizeMp4Blob(5L))
+    }.getMessage.contains("stbl"))
+    // truncated mdat: the table promises more bytes than the stream has
+    val cut = mp4.take(mp4.length - frames.last.length / 2)
+    assert(intercept[IllegalArgumentException] {
+      Kernels.videoFrameHashes(cut.toArray)
+    }.getMessage.contains("overruns"))
+  }
+
+  test("fingerprintOverlap dedups within-id fingerprints so a repeated " +
+      "frame cannot inflate a pair's shared count") {
+    import org.apache.spark.sql.functions.col
+    val fps = Seq((1L, 10L), (1L, 10L), (1L, 20L),
+      (2L, 10L), (2L, 30L)).toDF("id", "fp")
+    val got = graft.operators.Dedup
+      .fingerprintOverlap(fps, "id", "fp", minShared = 1)
+      .collect()
+    assert(got.length === 1)
+    assert(got.head.getAs[Long]("shared_fps") === 1L,
+      "fp 10 appears twice in id 1 but must count once")
+  }
+
   test("dhash64 runs as a codegen'd column over a blob frame") {
     val df = Seq((1L, png(base)), (2L, png(base.map(_ + 5))))
       .toDF("doc_id", "blob")
