@@ -55,6 +55,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // A 290-gate suite in ONE JVM accumulates broadcast blocks and
+      // shuffle state that the ContextCleaner only reclaims when their
+      // references get GC'd — and with a large heap, full GCs are rare,
+      // so STORAGE occupancy quietly squeezes the unified-memory
+      // EXECUTION share and the suite's biggest hash aggregates start
+      // spilling (observed: q216's wedge agg at 17 s in a fresh JVM vs
+      // 63 s late in a long pass, bimodal across rounds 18-19). The
+      // documented knob for long-running drivers: force the cleaner's
+      // periodic GC often enough to matter within one pass (default
+      // 30min — longer than the whole suite).
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // bench times the sketch-only plans; the exact-bound self-checks

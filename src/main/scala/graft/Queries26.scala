@@ -103,9 +103,18 @@ object Queries26 {
     val deg = cs.groupBy($"sk").agg(count(lit(1)).as("deg"))
     val cap = Skew.capGroups(cs, Seq("c"), Seq($"sk"), wedgeCap)
     val basket = cap.kept.select($"c", $"sk")
+    // The wedge aggregate is the suite's biggest hash table (Σ C(d,2)
+    // wedge rows over ~1e5 distinct supplier pairs): repartitioning
+    // the wedges BY PAIR KEY first bounds every task's table to its
+    // own key subset, so the aggregate cannot fall back to
+    // sort-and-spill when the long-suite JVM runs memory-tight — the
+    // 2.8 GB raw-wedge exchange costs ~2 s and buys away the 17→63 s
+    // spill mode. At cluster scale the same knob is the safety margin
+    // for hub-heavy graphs.
     val pairs = basket.select($"c", $"sk".as("a"))
       .join(basket.select($"c", $"sk".as("b")), "c")
       .where($"a" < $"b")
+      .repartition(128, $"a", $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("shared"))
     cap.attachDroppedPairs(
