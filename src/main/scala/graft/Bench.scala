@@ -64,8 +64,13 @@ object Bench {
       // 63 s late in a long pass, bimodal across rounds 18-19). The
       // documented knob for long-running drivers: force the cleaner's
       // periodic GC often enough to matter within one pass (default
-      // 30min — longer than the whole suite).
-      .config("spark.cleaner.periodicGC.interval", "60s")
+      // 30min — longer than the whole suite). 300s, not 60s: a forced
+      // full GC at a 24g heap pauses all 32 threads for seconds, and
+      // at 60s those pauses landed INSIDE sub-second gates (measured:
+      // the sf0.1 suite read 475/464 s with six small-gate over_2x
+      // flags at 60s vs 408/311 clean at none) — one reclamation per
+      // pass captures the memory benefit without the jitter.
+      .config("spark.cleaner.periodicGC.interval", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // bench times the sketch-only plans; the exact-bound self-checks

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // same long-suite hygiene as Bench: reclaim broadcast/shuffle
+      // state within one 290-gate pass (see Bench.scala)
+      .config("spark.cleaner.periodicGC.interval", "300s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
