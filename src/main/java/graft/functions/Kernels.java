@@ -441,13 +441,11 @@ public final class Kernels {
    * distinct selected fingerprints as a sorted array&lt;long&gt;,
    * directly consumable by {@link #jaccardSorted}. O(n) per document:
    * one rolling-hash pass plus a monotonic-deque sliding minimum. */
-  public static ArrayData winnow(UTF8String text, int k, int w) {
-    if (k < 1 || w < 1) {
-      throw new IllegalArgumentException("winnow: need k >= 1 and w >= 1");
-    }
-    byte[] b = text.getBytes();
-    int m = b.length - k + 1; // number of byte k-grams
-    if (m <= 0) return new GenericArrayData(new long[0]);
+  /** Twang-mixed polynomial rolling hashes of the byte k-grams of
+   * {@code b} — the gram stream both winnowing entry points select
+   * from. Caller guarantees b.length >= k. */
+  private static long[] winnowGrams(byte[] b, int k) {
+    int m = b.length - k + 1;
     final long B = 0x100000001b3L; // odd -> invertible multiplier mod 2^64
     long bk = 1L;
     for (int i = 1; i < k; i++) bk *= B; // B^(k-1), weight of the oldest byte
@@ -459,14 +457,24 @@ public final class Kernels {
       h = (h - (b[i - 1] & 0xffL) * bk) * B + (b[i + k - 1] & 0xffL);
       grams[i] = twangMix64(h);
     }
-    // Sliding unsigned minimum via a monotonic index deque. Popping the
-    // back on `>=` makes the front the rightmost minimum of the window.
-    // A fingerprint is recorded whenever the winning POSITION changes
-    // (standard winnowing: one record per selection, not per window).
+    return grams;
+  }
+
+  /** The winnowing selection loop — sliding unsigned minimum via a
+   * monotonic index deque; popping the back on `>=` makes the front
+   * the RIGHTMOST minimum of the window (the paper's robust tie
+   * rule), and a position is recorded whenever the winning index
+   * changes (one record per selection, not per window). Returns the
+   * selected POSITIONS in pick order. The ONE implementation both
+   * {@link #winnow} (values) and {@link #winnowSelCount} (count)
+   * consume, so the q292 coverage-bound oracle can never drift from
+   * the fingerprint values. */
+  private static int[] winnowPositions(long[] grams, int w) {
+    int m = grams.length;
     int win = Math.min(w, m);
     int[] deque = new int[m];
     int head = 0, tail = 0; // candidates live in [head, tail)
-    long[] sel = new long[m];
+    int[] picks = new int[m];
     int nSel = 0;
     int lastPick = -1;
     for (int i = 0; i < m; i++) {
@@ -479,31 +487,54 @@ public final class Kernels {
       if (deque[head] <= i - win) head++;
       if (i >= win - 1 && deque[head] != lastPick) {
         lastPick = deque[head];
-        sel[nSel++] = grams[lastPick];
+        picks[nSel++] = lastPick;
       }
     }
-    java.util.Arrays.sort(sel, 0, nSel);
+    return java.util.Arrays.copyOf(picks, nSel);
+  }
+
+  public static ArrayData winnow(UTF8String text, int k, int w) {
+    if (k < 1 || w < 1) {
+      throw new IllegalArgumentException("winnow: need k >= 1 and w >= 1");
+    }
+    byte[] b = text.getBytes();
+    if (b.length - k + 1 <= 0) return new GenericArrayData(new long[0]);
+    long[] grams = winnowGrams(b, k);
+    int[] picks = winnowPositions(grams, w);
+    long[] sel = new long[picks.length];
+    for (int i = 0; i < picks.length; i++) sel[i] = grams[picks[i]];
+    java.util.Arrays.sort(sel);
     int d = 0;
-    for (int s = 0; s < nSel; s++) {
+    for (int s = 0; s < sel.length; s++) {
       if (d == 0 || sel[s] != sel[d - 1]) sel[d++] = sel[s];
     }
     return new GenericArrayData(java.util.Arrays.copyOf(sel, d));
   }
 
   /** 64-bit audio content fingerprint of a RIFF/WAVE byte stream:
-   * parse the container (real LE chunk walk — PCM mono 16-bit only,
-   * anything else raises), frame the samples into 65 equal spans by
-   * floor division, sum |sample| per frame (integer energy), and set
-   * bit f (MSB-first) when frame f is quieter than frame f+1 — the
-   * audio analog of {@link #dhash64}'s gradient bits. Energy ratios
-   * are GAIN-INVARIANT: scaling every sample by a constant scales all
-   * frame energies together, so comparisons are unchanged (exact for
-   * even samples halved); duplicating every sample (2x upsample)
-   * doubles every frame energy when frame boundaries align, also a
-   * no-op. Every step is integer arithmetic over the decoded samples,
-   * so the q293 oracle re-derives the fingerprint from the generator
+   * parse the container (real LE chunk walk — PCM, 1-2 channels,
+   * 8/16/24-bit; anything else raises), downmix each sample frame to
+   * one integer by CHANNEL SUM (division-free, so exactly restatable
+   * by any engine; mono is the identity), frame the values into 65
+   * equal spans by floor division, sum |value| per frame (integer
+   * energy), and set bit f (MSB-first) when frame f is quieter than
+   * frame f+1 — the audio analog of {@link #dhash64}'s gradient bits.
+   * Energy ratios are GAIN-INVARIANT: scaling every sample by a
+   * constant scales all frame energies together, so comparisons are
+   * unchanged (exact for even samples halved); duplicating every
+   * sample (2x upsample) doubles every frame energy when frame
+   * boundaries align, also a no-op; swapping stereo channels leaves
+   * the per-frame channel sums untouched. 8-bit WAV PCM is unsigned
+   * and recentered at -128 per the spec; 16/24-bit are signed LE.
+   * Every step is integer arithmetic over the decoded samples, so the
+   * q293/q299 oracles re-derive the fingerprint from the generator
    * arithmetic in DuckDB — WAV is uncompressed, so encode->decode is
-   * the identity. */
+   * the identity.
+   *
+   * <p>The chunk walk validates every declared size: a negative or
+   * stream-overrunning chunk size raises instead of wedging the walk
+   * (this kernel sees arbitrary corpus blobs, so a malformed file must
+   * fail the row, never spin an executor task). */
   public static long audioFp64(byte[] b) {
     if (b.length < 44 || b[0] != 'R' || b[1] != 'I' || b[2] != 'F'
         || b[3] != 'F' || b[8] != 'W' || b[9] != 'A' || b[10] != 'V'
@@ -516,6 +547,11 @@ public final class Kernels {
     while (pos + 8 <= b.length) {
       int size = (b[pos + 4] & 0xff) | ((b[pos + 5] & 0xff) << 8)
           | ((b[pos + 6] & 0xff) << 16) | ((b[pos + 7] & 0xff) << 24);
+      if (size < 0) {
+        throw new IllegalArgumentException("audioFp64: negative RIFF "
+            + "chunk size " + size + " at offset " + pos
+            + " — corrupt container");
+      }
       if (b[pos] == 'f' && b[pos + 1] == 'm' && b[pos + 2] == 't'
           && b[pos + 3] == ' ' && pos + 8 + 16 <= b.length) {
         fmt = (b[pos + 8] & 0xff) | ((b[pos + 9] & 0xff) << 8);
@@ -526,29 +562,49 @@ public final class Kernels {
         dataOff = pos + 8;
         dataLen = size;
       }
-      pos += 8 + size + (size & 1); // RIFF chunks are word-aligned
+      // advance in long: size is validated >= 0, so progress is strict
+      // and pos + 8 + size + pad cannot overflow into a negative read
+      long next = pos + 8L + size + (size & 1); // RIFF word alignment
+      if (next + 8 > b.length) break;
+      pos = (int) next;
     }
-    if (fmt != 1 || channels != 1 || bits != 16) {
+    if (fmt != 1 || channels < 1 || channels > 2
+        || (bits != 8 && bits != 16 && bits != 24)) {
       throw new IllegalArgumentException(
-          "audioFp64: need PCM mono 16-bit, got fmt=" + fmt
-              + " channels=" + channels + " bits=" + bits);
+          "audioFp64: need PCM with 1-2 channels at 8/16/24-bit, got fmt="
+              + fmt + " channels=" + channels + " bits=" + bits);
     }
-    if (dataOff < 0 || dataOff + dataLen > b.length) {
+    int bytesPerSample = bits / 8;
+    int blockAlign = channels * bytesPerSample;
+    if (dataOff < 0 || dataLen < 0
+        || dataOff + (long) dataLen > b.length) {
       throw new IllegalArgumentException(
           "audioFp64: missing or truncated data chunk");
     }
-    int n = dataLen / 2;
+    int n = dataLen / blockAlign; // sample FRAMES (one value per channel)
     if (n < 65) {
       throw new IllegalArgumentException(
           "audioFp64: " + n + " samples < the 65-frame grid");
     }
     long[] energy = new long[65];
     for (int i = 0; i < n; i++) {
-      int lo = b[dataOff + 2 * i] & 0xff;
-      int hi = b[dataOff + 2 * i + 1]; // sign-extends
-      int sVal = (hi << 8) | lo;
+      int base = dataOff + i * blockAlign;
+      long v = 0L;
+      for (int c = 0; c < channels; c++) {
+        int o = base + c * bytesPerSample;
+        int sVal;
+        if (bits == 8) {
+          sVal = (b[o] & 0xff) - 128; // 8-bit WAV PCM is unsigned
+        } else if (bits == 16) {
+          sVal = (b[o] & 0xff) | (b[o + 1] << 8); // hi byte sign-extends
+        } else {
+          sVal = (b[o] & 0xff) | ((b[o + 1] & 0xff) << 8)
+              | (b[o + 2] << 16); // 24-bit signed LE
+        }
+        v += sVal;
+      }
       int f = (int) ((long) i * 65L / n);
-      energy[f] += Math.abs(sVal);
+      energy[f] += Math.abs(v);
     }
     long out = 0L;
     for (int f = 0; f < 64; f++) {
@@ -564,33 +620,71 @@ public final class Kernels {
         | ((b[i + 2] & 0xff) << 8) | (b[i + 3] & 0xff);
   }
 
+  /** Extent (in bytes) of the ISO-BMFF box at {@code pos}, resolving
+   * the spec's three size encodings: a plain 32-bit size, size == 1
+   * (64-bit `largesize` follows the type), and size == 0 (box runs to
+   * the end of the enclosing space). Returned as long so a >2 GiB
+   * declared size can be range-checked instead of wrapping. */
+  private static long boxSize(byte[] b, int pos, int hi) {
+    long size = be32At(b, pos) & 0xffffffffL;
+    if (size == 1L) {
+      if (pos + 16 > hi) return -1L;
+      size = ((long) be32At(b, pos + 8) << 32)
+          | (be32At(b, pos + 12) & 0xffffffffL);
+    } else if (size == 0L) {
+      size = hi - pos;
+    }
+    return size;
+  }
+
+  /** Header length of the box at {@code pos}: 16 when the size field
+   * is the largesize marker, 8 otherwise. Content starts after it. */
+  private static int boxHeader(byte[] b, int pos) {
+    return be32At(b, pos) == 1 ? 16 : 8;
+  }
+
   /** Offset of the first ISO-BMFF box named {@code id} in
-   * {@code [lo, hi)}, or -1 — the standard size-prefixed box walk. */
+   * {@code [lo, hi)}, or -1 — the standard size-prefixed box walk,
+   * understanding largesize and to-end-of-space encodings. */
   private static int findBox(byte[] b, int lo, int hi, String id) {
     int pos = lo;
     byte c0 = (byte) id.charAt(0), c1 = (byte) id.charAt(1);
     byte c2 = (byte) id.charAt(2), c3 = (byte) id.charAt(3);
     while (pos + 8 <= hi) {
-      int size = be32At(b, pos);
+      long size = boxSize(b, pos, hi);
       if (size < 8 || pos + size > hi) return -1;
       if (b[pos + 4] == c0 && b[pos + 5] == c1 && b[pos + 6] == c2
           && b[pos + 7] == c3) {
         return pos;
       }
-      pos += size;
+      pos += (int) size; // pos + size <= hi <= Integer.MAX_VALUE
     }
     return -1;
   }
 
+  /** End offset of the box at {@code pos} (its extent was already
+   * validated against {@code hi} by the {@link #findBox} that found
+   * it). */
+  private static int boxEnd(byte[] b, int pos, int hi) {
+    return pos + (int) boxSize(b, pos, hi);
+  }
+
   /** Per-frame 64-bit perceptual hashes of an ISO-BMFF (MP4) stream:
    * walk the REAL nested box structure (moov/trak/mdia/minf/stbl),
-   * read the sample table — `stsz` per-sample sizes and `stco` chunk
-   * offset, the genuine ISO 14496-12 frame addressing — slice each
-   * stored frame out of `mdat`, and {@link #dhash64} it. The video
-   * face of the content-level dedup family: a video is its frame
-   * fingerprint set, and near-dup videos share frames. Raises on a
-   * malformed box tree or truncated sample data — silently hashing a
-   * broken container would poison a dedup pass. */
+   * read the sample table — `stsz` per-sample sizes, `stco`/`co64`
+   * chunk offsets, and the `stsc` sample-to-chunk map, the genuine
+   * ISO 14496-12 frame addressing (single-chunk tables may omit
+   * `stsc`) — slice each stored frame out of the addressed chunks,
+   * and {@link #dhash64} it. Handles `largesize` boxes in the sibling
+   * walk, multi-chunk layouts, and 64-bit chunk offsets bounded by the
+   * in-memory stream. The video face of the content-level dedup
+   * family: a video is its frame fingerprint set, and near-dup videos
+   * share frames. Every declared count and size is validated against
+   * the enclosing box extent and the stream length BEFORE any
+   * allocation or read — a malformed container raises
+   * IllegalArgumentException (never an array overrun or OOM), because
+   * this kernel sees arbitrary corpus blobs and a broken file must
+   * fail its row, not its executor. */
   public static ArrayData videoFrameHashes(byte[] b) {
     if (b.length < 16 || findBox(b, 0, b.length, "ftyp") != 0) {
       throw new IllegalArgumentException(
@@ -600,43 +694,130 @@ public final class Kernels {
     if (moov < 0) {
       throw new IllegalArgumentException("videoFrameHashes: no moov box");
     }
-    int moovEnd = moov + be32At(b, moov);
-    int trak = findBox(b, moov + 8, moovEnd, "trak");
+    int moovEnd = boxEnd(b, moov, b.length);
+    int trak = findBox(b, moov + boxHeader(b, moov), moovEnd, "trak");
     int mdia = trak < 0 ? -1
-        : findBox(b, trak + 8, trak + be32At(b, trak), "mdia");
+        : findBox(b, trak + boxHeader(b, trak), boxEnd(b, trak, moovEnd),
+            "mdia");
     int minf = mdia < 0 ? -1
-        : findBox(b, mdia + 8, mdia + be32At(b, mdia), "minf");
+        : findBox(b, mdia + boxHeader(b, mdia), boxEnd(b, mdia, moovEnd),
+            "minf");
     int stbl = minf < 0 ? -1
-        : findBox(b, minf + 8, minf + be32At(b, minf), "stbl");
+        : findBox(b, minf + boxHeader(b, minf), boxEnd(b, minf, moovEnd),
+            "stbl");
     if (stbl < 0) {
       throw new IllegalArgumentException(
           "videoFrameHashes: no trak/mdia/minf/stbl path");
     }
-    int stblEnd = stbl + be32At(b, stbl);
-    int stsz = findBox(b, stbl + 8, stblEnd, "stsz");
-    int stco = findBox(b, stbl + 8, stblEnd, "stco");
-    if (stsz < 0 || stco < 0) {
+    int stblEnd = boxEnd(b, stbl, moovEnd);
+    int stblLo = stbl + boxHeader(b, stbl);
+    int stsz = findBox(b, stblLo, stblEnd, "stsz");
+    int stco = findBox(b, stblLo, stblEnd, "stco");
+    int co64 = findBox(b, stblLo, stblEnd, "co64");
+    int stsc = findBox(b, stblLo, stblEnd, "stsc");
+    if (stsz < 0 || (stco < 0 && co64 < 0)) {
       throw new IllegalArgumentException(
-          "videoFrameHashes: sample table missing stsz/stco");
+          "videoFrameHashes: sample table missing stsz or stco/co64");
     }
-    int uniform = be32At(b, stsz + 12);
-    int n = be32At(b, stsz + 16);
-    int chunks = be32At(b, stco + 12);
-    if (n <= 0 || chunks != 1) {
-      throw new IllegalArgumentException("videoFrameHashes: expected a "
-          + "single-chunk sample table with >= 1 sample, got n=" + n
-          + " chunks=" + chunks);
+    // stsz: uniform size or per-entry table; bound the declared count
+    // by the box extent (per-entry mode) and the stream length (every
+    // sample is at least one byte) before allocating anything
+    int szHdr = stsz + boxHeader(b, stsz);
+    long stszEnd = boxEnd(b, stsz, stblEnd);
+    int uniform = be32At(b, szHdr + 4);
+    int n = be32At(b, szHdr + 8);
+    if (n <= 0 || n > b.length
+        || (uniform == 0 && n > (stszEnd - (szHdr + 12)) / 4)) {
+      throw new IllegalArgumentException("videoFrameHashes: stsz "
+          + "declares " + n + " samples, outside the box/stream extent");
     }
-    int off = be32At(b, stco + 16);
-    long[] hashes = new long[n];
-    for (int i = 0; i < n; i++) {
-      int size = uniform != 0 ? uniform : be32At(b, stsz + 20 + 4 * i);
-      if (size <= 0 || off + size > b.length) {
-        throw new IllegalArgumentException(
-            "videoFrameHashes: sample " + i + " overruns the stream");
+    // chunk offsets: stco (32-bit) or co64 (64-bit), count bounded by
+    // the box extent
+    long[] chunkOff;
+    if (stco >= 0) {
+      int h = stco + boxHeader(b, stco);
+      long end = boxEnd(b, stco, stblEnd);
+      int chunks = be32At(b, h + 4);
+      if (chunks <= 0 || chunks > (end - (h + 8)) / 4) {
+        throw new IllegalArgumentException("videoFrameHashes: stco "
+            + "declares " + chunks + " chunks, outside the box extent");
       }
-      hashes[i] = dhash64(java.util.Arrays.copyOfRange(b, off, off + size));
-      off += size;
+      chunkOff = new long[chunks];
+      for (int c = 0; c < chunks; c++) {
+        chunkOff[c] = be32At(b, h + 8 + 4 * c) & 0xffffffffL;
+      }
+    } else {
+      int h = co64 + boxHeader(b, co64);
+      long end = boxEnd(b, co64, stblEnd);
+      int chunks = be32At(b, h + 4);
+      if (chunks <= 0 || chunks > (end - (h + 8)) / 8) {
+        throw new IllegalArgumentException("videoFrameHashes: co64 "
+            + "declares " + chunks + " chunks, outside the box extent");
+      }
+      chunkOff = new long[chunks];
+      for (int c = 0; c < chunks; c++) {
+        chunkOff[c] = ((long) be32At(b, h + 8 + 8 * c) << 32)
+            | (be32At(b, h + 12 + 8 * c) & 0xffffffffL);
+      }
+    }
+    int chunks = chunkOff.length;
+    // samples-per-chunk: expand the stsc run-length map (first_chunk is
+    // 1-based and strictly increasing; each entry covers chunks up to
+    // the next entry's first_chunk). A single-chunk table may omit
+    // stsc entirely — all samples live in chunk 1.
+    int[] spc = new int[chunks];
+    if (stsc >= 0) {
+      int h = stsc + boxHeader(b, stsc);
+      long end = boxEnd(b, stsc, stblEnd);
+      int ec = be32At(b, h + 4);
+      if (ec <= 0 || ec > (end - (h + 8)) / 12) {
+        throw new IllegalArgumentException("videoFrameHashes: stsc "
+            + "declares " + ec + " entries, outside the box extent");
+      }
+      int prevFirst = 0, prevSpc = -1;
+      for (int e = 0; e < ec; e++) {
+        int fc = be32At(b, h + 8 + 12 * e);
+        int v = be32At(b, h + 8 + 12 * e + 4);
+        if (fc <= prevFirst || fc > chunks || v <= 0
+            || (e == 0 && fc != 1)) {
+          throw new IllegalArgumentException("videoFrameHashes: stsc "
+              + "entry " + e + " (first_chunk=" + fc + ", samples="
+              + v + ") is out of order or out of range");
+        }
+        // the previous entry covers 1-based chunks [prevFirst, fc)
+        for (int c = prevFirst - 1; e > 0 && c < fc - 1; c++) {
+          spc[c] = prevSpc;
+        }
+        prevFirst = fc;
+        prevSpc = v;
+      }
+      for (int c = prevFirst - 1; c < chunks; c++) spc[c] = prevSpc;
+    } else {
+      if (chunks != 1) {
+        throw new IllegalArgumentException("videoFrameHashes: " + chunks
+            + "-chunk sample table has no stsc sample-to-chunk map");
+      }
+      spc[0] = n;
+    }
+    long[] hashes = new long[n];
+    int i = 0;
+    for (int c = 0; c < chunks && i < n; c++) {
+      long off = chunkOff[c];
+      for (int s = 0; s < spc[c] && i < n; s++, i++) {
+        long size = uniform != 0 ? uniform & 0xffffffffL
+            : be32At(b, szHdr + 12 + 4 * i) & 0xffffffffL;
+        if (size <= 0 || off < 0 || off + size > b.length) {
+          throw new IllegalArgumentException(
+              "videoFrameHashes: sample " + i + " overruns the stream");
+        }
+        hashes[i] = dhash64(java.util.Arrays.copyOfRange(
+            b, (int) off, (int) (off + size)));
+        off += size;
+      }
+    }
+    if (i != n) {
+      throw new IllegalArgumentException("videoFrameHashes: the stsc "
+          + "chunk map addresses only " + i + " of " + n + " samples");
     }
     return new GenericArrayData(hashes);
   }
@@ -648,46 +829,17 @@ public final class Kernels {
    * nSel &lt;= n_windows), with expected density 2/(w+1) per k-gram on
    * random input (Schleimer et al. §3). Integer-bounded by text length
    * alone, which is what makes the q292 companion oracle possible
-   * while the fingerprint VALUES stay engine-defined. Same rolling
-   * hash + monotonic deque as winnow, counting lastPick changes. */
+   * while the fingerprint VALUES stay engine-defined. Delegates to
+   * the SAME {@link #winnowPositions} loop winnow uses — the bound
+   * and the values cannot drift apart. */
   public static long winnowSelCount(UTF8String text, int k, int w) {
     if (k < 1 || w < 1) {
       throw new IllegalArgumentException(
           "winnowSelCount: need k >= 1 and w >= 1");
     }
     byte[] b = text.getBytes();
-    int m = b.length - k + 1;
-    if (m <= 0) return 0L;
-    final long B = 0x100000001b3L;
-    long bk = 1L;
-    for (int i = 1; i < k; i++) bk *= B;
-    long h = 0L;
-    for (int i = 0; i < k; i++) h = h * B + (b[i] & 0xffL);
-    long[] grams = new long[m];
-    grams[0] = twangMix64(h);
-    for (int i = 1; i < m; i++) {
-      h = (h - (b[i - 1] & 0xffL) * bk) * B + (b[i + k - 1] & 0xffL);
-      grams[i] = twangMix64(h);
-    }
-    int win = Math.min(w, m);
-    int[] deque = new int[m];
-    int head = 0, tail = 0;
-    long nSel = 0L;
-    int lastPick = -1;
-    for (int i = 0; i < m; i++) {
-      while (tail > head
-          && grams[deque[tail - 1]] + Long.MIN_VALUE
-              >= grams[i] + Long.MIN_VALUE) {
-        tail--;
-      }
-      deque[tail++] = i;
-      if (deque[head] <= i - win) head++;
-      if (i >= win - 1 && deque[head] != lastPick) {
-        lastPick = deque[head];
-        nSel++;
-      }
-    }
-    return nSel;
+    if (b.length - k + 1 <= 0) return 0L;
+    return winnowPositions(winnowGrams(b, k), w).length;
   }
 
   /** Affine permutation coefficients per (seed, k), derived
@@ -1609,11 +1761,17 @@ public final class Kernels {
     }
     long[] sum = new long[72];
     long[] cnt = new long[72];
+    // bulk row reads: one color-model conversion per ROW, not per
+    // pixel (identical ARGB values to per-pixel getRGB — the q289
+    // oracle pins that) — several-x decode-side throughput on a real
+    // image corpus, bounded scratch (w ints)
+    int[] row = new int[w];
     for (int y = 0; y < h; y++) {
       int cy = y * 8 / h;
+      img.getRGB(0, y, w, 1, row, 0, w);
       for (int x = 0; x < w; x++) {
         int cx = x * 9 / w;
-        int rgb = img.getRGB(x, y);
+        int rgb = row[x];
         long gray = (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff)
             + 114L * (rgb & 0xff)) / 1000L;
         sum[cy * 9 + cx] += gray;

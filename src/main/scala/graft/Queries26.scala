@@ -110,11 +110,13 @@ object Queries26 {
     // sort-and-spill when the long-suite JVM runs memory-tight — the
     // 2.8 GB raw-wedge exchange costs ~2 s and buys away the 17→63 s
     // spill mode. At cluster scale the same knob is the safety margin
-    // for hub-heavy graphs.
+    // for hub-heavy graphs. Partition COUNT inherits
+    // spark.sql.shuffle.partitions / AQE — a pinned constant tuned to
+    // one machine would itself bottleneck a 100x scale-up.
     val pairs = basket.select($"c", $"sk".as("a"))
       .join(basket.select($"c", $"sk".as("b")), "c")
       .where($"a" < $"b")
-      .repartition(128, $"a", $"b")
+      .repartition($"a", $"b")
       .groupBy($"a", $"b")
       .agg(count(lit(1)).as("shared"))
     cap.attachDroppedPairs(

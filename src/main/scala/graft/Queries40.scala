@@ -24,6 +24,13 @@ object Queries40 {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables(s, dir, name)
 
+  /** Remove a per-run plant-shard directory once its stream has fully
+    * drained (the memory sink holds the rows; the files are dead). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
   private val ImgSeed = 1019L
   private val W = 18
   private val H = 16
@@ -209,8 +216,12 @@ object Queries40 {
     val store = docs.where($"doc_id" < 250)
       .unionByName(spark.createDataFrame(Seq((p0, baseText)))
         .toDF("doc_id", "text"))
+    // nanoTime-unique like the memory-sink name below: two concurrent
+    // suite runs (Verify + Bench, or two SF dirs) must not overwrite
+    // each other's plant shard out from under an active file stream
     val plantDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_q291_plants")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q291_plants_${System.nanoTime()}")
     spark.createDataFrame(plantFreshRows).toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
     val schema = spark.read.parquet(docsPath.getPath).schema
@@ -238,6 +249,7 @@ object Queries40 {
     val drained = spark.table(name)
     drained.queryExecution.assertAnalyzed()
     spark.catalog.dropTempView(name)
+    deleteRecursively(plantDir) // drained; nothing reads the shard again
     def pairify(c: DataFrame): DataFrame = c
       .groupBy($"id_a", $"id_b")
       .agg(max($"est_jaccard").as("est_jaccard"))
@@ -526,8 +538,10 @@ object Queries40 {
       (p0 + 1L, Multimodal.encodeGrayPng(base.map(_ + 5), W, H)),
       (p0 + 2L, Multimodal.encodeGrayPng(up, 2 * W, 2 * H)),
       (p0 + 3L, Multimodal.encodeGrayPng(pert, W, H)))
+    // nanoTime-unique: see q291's plant-shard race note
     val plantDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"), "graft_q295_plants")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q295_plants_${System.nanoTime()}")
     spark.createDataFrame(plantRows).toDF("doc_id", "blob")
       .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
     val schema = spark.read.parquet(docsPath.getPath).schema
@@ -554,6 +568,7 @@ object Queries40 {
     val drained = spark.table(name)
     drained.queryExecution.assertAnalyzed()
     spark.catalog.dropTempView(name)
+    deleteRecursively(plantDir) // drained; nothing reads the shard again
     val streamPairs = drained.distinct()
     val batchFresh = dh(docs.where($"doc_id" >= 250)
         .select($"doc_id", synth($"doc_id").as("blob"))

@@ -262,6 +262,10 @@ object Dedup {
         .select(col("band"), col("bandHash"),
           col("id").as("id_b"), col("sig").as("sig_b"))
     freshBanded.join(storeBanded, Seq("band", "bandHash"))
+      // a document present on BOTH sides (the natural state right
+      // after a sink merges a fresh shard into the store) must not
+      // emit a self-pair at est 1.0 per band — row-local, stream-legal
+      .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         Functional.sigMatchRatio(col("sig_a"), col("sig_b"))
           .as("est_jaccard"))
@@ -358,6 +362,8 @@ object Dedup {
       .select(col("chunk"), col("chunkVal"),
         col("id").as("id_b"), col("sh").as("sh_b"))
     freshBanded.join(storeBanded, Seq("chunk", "chunkVal"))
+      // exclude store/fresh self-pairs (see minHashStoreCandidates)
+      .where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         Functional.hamming64(col("sh_a"), col("sh_b")).as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -402,6 +402,62 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Deterministic stereo 24-bit PCM sample frames for content-level
+    * audio gates: channel c of frame i is
+    * 2·((splitmix64(id·2¹⁶ + 2i + c, seed) >>> 8) mod 2²²) − 2²² —
+    * EVEN values in [−2²², 2²²−2] (half gain stays exact, the channel
+    * sum fits 24-bit signed range), from the same splitmix64 stream
+    * every other oracle replays. Returns frames(i) = Array(L, R). */
+  def synthPcm24Stereo(id: Long, n: Int, seed: Long): Array[Array[Int]] =
+    Array.tabulate(n) { i =>
+      Array.tabulate(2) { c =>
+        (2L * ((graft.functions.Kernels.sampleHash(
+          id * 65536L + 2L * i + c, seed) >>> 8) % 4194304L)
+          - 4194304L).toInt
+      }
+    }
+
+  /** Encode PCM sample frames as a REAL RIFF/WAVE stream at the given
+    * channel count and bit depth — 8-bit stored unsigned at offset
+    * 128, 16/24-bit signed LE, the spec's storage conventions.
+    * `samples(i)(c)` is channel c of frame i, as a CENTERED signed
+    * value at every depth. Uncompressed, so a sample-level oracle
+    * stays exact through the container roundtrip; the generic sibling
+    * of [[encodePcm16Wav]] for the production container shapes
+    * (stereo, 8/24-bit). */
+  def encodePcmWav(samples: Array[Array[Int]], channels: Int, bits: Int,
+      sampleRate: Int = 16000): Array[Byte] = {
+    require(channels >= 1 && channels <= 2 && Set(8, 16, 24)(bits),
+      s"encodePcmWav: unsupported shape channels=$channels bits=$bits")
+    val bps = bits / 8
+    val dataLen = samples.length * channels * bps
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes("US-ASCII"), 0, 4)
+    w32(4 + 24 + 8 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"), 0, 4)
+    out.write("fmt ".getBytes("US-ASCII"), 0, 4)
+    w32(16); w16(1); w16(channels); w32(sampleRate)
+    w32(sampleRate * channels * bps); w16(channels * bps); w16(bits)
+    out.write("data".getBytes("US-ASCII"), 0, 4)
+    w32(dataLen)
+    samples.foreach { fr =>
+      require(fr.length == channels,
+        s"encodePcmWav: frame has ${fr.length} values for $channels channels")
+      fr.foreach { s =>
+        val v = if (bits == 8) s + 128 else s
+        out.write(v & 0xff)
+        if (bits >= 16) out.write((v >> 8) & 0xff)
+        if (bits == 24) out.write((v >> 16) & 0xff)
+      }
+    }
+    out.toByteArray
+  }
+
   /** Synthesize a REAL ISO-BMFF (MP4) byte stream from a seed: a valid
     * `ftyp` box, a `moov` containing a spec-exact v0 `mvhd` and one
     * `trak`/`tkhd` with seed-derived 16.16 fixed-point visual
@@ -462,20 +518,53 @@ object Multimodal {
     * addressing mechanism, so a consumer must do the real nested box
     * walk + table read, not guess offsets. Frames are stored
     * back-to-back in a single chunk inside `mdat`. */
-  def synthesizeMp4WithFrames(frames: Seq[Array[Byte]]): Array[Byte] = {
-    require(frames.nonEmpty, "synthesizeMp4WithFrames: no frames")
+  def synthesizeMp4WithFrames(frames: Seq[Array[Byte]]): Array[Byte] =
+    buildMp4(frames, Seq(frames.length), useCo64 = false, pad = 0,
+      emitStsc = false)
+
+  /** Multi-chunk sibling of [[synthesizeMp4WithFrames]] — the
+    * production container shape: frames distributed over several
+    * chunks per an explicit `stsc` sample-to-chunk map (run-length
+    * encoded, exercising the expansion logic), chunk offsets in
+    * 64-bit `co64` when `useCo64` (else `stco`), and `pad` garbage
+    * bytes BEFORE every chunk inside `mdat`, so only a genuine
+    * stsc + stco/co64 read can address the frames — a walker that
+    * assumes back-to-back single-chunk layout slices pad bytes and
+    * fails the PNG decode. */
+  def synthesizeMp4MultiChunk(frames: Seq[Array[Byte]],
+      samplesPerChunk: Seq[Int], useCo64: Boolean,
+      pad: Int = 7): Array[Byte] =
+    buildMp4(frames, samplesPerChunk, useCo64, pad, emitStsc = true)
+
+  private def buildMp4(frames: Seq[Array[Byte]],
+      samplesPerChunk: Seq[Int], useCo64: Boolean, pad: Int,
+      emitStsc: Boolean): Array[Byte] = {
+    require(frames.nonEmpty, "buildMp4: no frames")
+    require(samplesPerChunk.nonEmpty && samplesPerChunk.forall(_ > 0) &&
+      samplesPerChunk.sum == frames.length,
+      s"buildMp4: chunk map $samplesPerChunk does not cover " +
+        s"${frames.length} frames")
     val out = new java.io.ByteArrayOutputStream()
     def b32(v: Int): Unit = {
       out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
       out.write((v >>> 8) & 0xff); out.write(v & 0xff)
     }
+    def b64(v: Long): Unit = { b32((v >>> 32).toInt); b32(v.toInt) }
     def cc(s: String): Unit = out.write(s.getBytes("US-ASCII"), 0, 4)
     def zeros(n: Int): Unit = for (_ <- 0 until n) out.write(0)
     val n = frames.length
+    val chunks = samplesPerChunk.length
+    // run-length stsc entries: (first_chunk 1-based, samples_per_chunk)
+    // emitted only where the per-chunk count CHANGES, per the spec
+    val stscEntries = samplesPerChunk.zipWithIndex.collect {
+      case (spc, c) if c == 0 || samplesPerChunk(c - 1) != spc =>
+        (c + 1, spc)
+    }
     // payload sizes (box size fields include the 8-byte header)
     val stszSz = 8 + 12 + 4 * n
-    val stcoSz = 8 + 8 + 4
-    val stblSz = 8 + stszSz + stcoSz
+    val stscSz = if (emitStsc) 8 + 8 + 12 * stscEntries.length else 0
+    val offSz = 8 + 8 + (if (useCo64) 8 else 4) * chunks
+    val stblSz = 8 + stszSz + stscSz + offSz
     val minfSz = 8 + stblSz
     val hdlrSz = 8 + 25
     val mdhdSz = 8 + 24
@@ -485,8 +574,17 @@ object Multimodal {
     val mvhdSz = 8 + 100
     val moovSz = 8 + mvhdSz + trakSz
     val ftypSz = 24
-    val mdatPayload = frames.map(_.length).sum
-    val chunkOffset = ftypSz + moovSz + 8 // first frame byte in file
+    val mdatStart = ftypSz + moovSz + 8 // first mdat payload byte
+    // chunk layout inside mdat: pad bytes, then the chunk's frames
+    val chunkFrames: Seq[Seq[Array[Byte]]] = {
+      val it = frames.iterator
+      samplesPerChunk.map(spc => Seq.fill(spc)(it.next()))
+    }
+    val chunkLens = chunkFrames.map(_.map(_.length).sum)
+    val chunkOffsets = chunkLens.scanLeft(mdatStart.toLong + pad) {
+      (off, len) => off + len + pad
+    }.init
+    val mdatPayload = chunkLens.sum + pad * chunks
     def matrix(): Unit = {
       b32(0x10000); b32(0); b32(0); b32(0); b32(0x10000); b32(0)
       b32(0); b32(0); b32(0x40000000)
@@ -512,13 +610,27 @@ object Multimodal {
     b32(0)      // sample_size = 0 -> per-entry table
     b32(n)
     frames.foreach(f => b32(f.length))
-    b32(stcoSz); cc("stco"); b32(0)
-    b32(1)      // one chunk
-    b32(chunkOffset)
+    if (emitStsc) {
+      b32(stscSz); cc("stsc"); b32(0)
+      b32(stscEntries.length)
+      stscEntries.foreach { case (fc, spc) => b32(fc); b32(spc); b32(1) }
+    }
+    if (useCo64) {
+      b32(offSz); cc("co64"); b32(0)
+      b32(chunks)
+      chunkOffsets.foreach(b64)
+    } else {
+      b32(offSz); cc("stco"); b32(0)
+      b32(chunks)
+      chunkOffsets.foreach(o => b32(o.toInt))
+    }
     b32(8 + mdatPayload); cc("mdat")
-    frames.foreach(f => out.write(f, 0, f.length))
+    chunkFrames.foreach { cf =>
+      for (_ <- 0 until pad) out.write(0xAB) // garbage between chunks
+      cf.foreach(f => out.write(f, 0, f.length))
+    }
     val bytes = out.toByteArray
-    assert(bytes.length == chunkOffset + mdatPayload)
+    assert(bytes.length == mdatStart + mdatPayload)
     bytes
   }
 

@@ -113,10 +113,46 @@ class ImageDedupSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Kernels.audioFp64(wav(Array.fill[Short](32)(0)))
     }.getMessage.contains("65-frame"))
-    // non-PCM/stereo/8-bit containers raise rather than hash garbage
+    // an unsupported depth (32-bit) raises rather than hashing garbage
+    // (synthesizeWavBlob seed 3<<20 derives bits = 32)
     assert(intercept[IllegalArgumentException] {
-      Kernels.audioFp64(Multimodal.synthesizeWavBlob(2L))
-    }.getMessage.contains("PCM mono 16-bit"))
+      Kernels.audioFp64(Multimodal.synthesizeWavBlob(3L << 20))
+    }.getMessage.contains("8/16/24-bit"))
+    // a negative declared chunk size must raise, not wedge the walk
+    val evil = Multimodal.encodePcm16Wav(base)
+    evil(16) = 0xf8.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0xff.toByte // fmt size = -8
+    assert(intercept[IllegalArgumentException] {
+      Kernels.audioFp64(evil)
+    }.getMessage.contains("negative RIFF chunk size"))
+  }
+
+  test("audioFp64 production shapes: stereo 24-bit downmixes by channel " +
+      "sum (swap-invariant, half-gain-invariant); 8-bit recenters at " +
+      "-128; mono-16 behavior is unchanged") {
+    val fr = Multimodal.synthPcm24Stereo(7L, 260, seed = 2027L)
+    def wav24(f: Array[Array[Int]]) = Multimodal.encodePcmWav(f, 2, 24)
+    val h0 = Kernels.audioFp64(wav24(fr))
+    // channel swap leaves every frame's channel sum untouched
+    assert(h0 === Kernels.audioFp64(wav24(fr.map(_.reverse))))
+    // half gain on even samples is exact in both channels
+    assert(h0 === Kernels.audioFp64(wav24(fr.map(_.map(_ / 2)))))
+    // a different clip lands outside the dedup radius
+    val other = Multimodal.synthPcm24Stereo(8L, 260, seed = 2027L)
+    assert(Kernels.hamming64(h0, Kernels.audioFp64(wav24(other))) > 3)
+    // 8-bit mono: recentered values reproduce the signed-model hash
+    val small = Array.tabulate(130)(i => (i % 97) - 48)
+    val h8 = Kernels.audioFp64(
+      Multimodal.encodePcmWav(small.map(Array(_)), 1, 8))
+    val h16 = Kernels.audioFp64(
+      Multimodal.encodePcmWav(small.map(Array(_)), 1, 16))
+    assert(h8 === h16,
+      "the same centered values must hash identically at 8 and 16 bit")
+    // mono-16 via the generic encoder == the dedicated encoder
+    val b16 = Multimodal.synthPcm16(7L, 260, seed = 2027L)
+    assert(Kernels.audioFp64(Multimodal.encodePcm16Wav(b16)) ===
+      Kernels.audioFp64(
+        Multimodal.encodePcmWav(b16.map(s => Array(s.toInt)), 1, 16)))
   }
 
   test("hammingStoreCandidates equals hammingPairs' cross-pair subset " +
@@ -165,6 +201,46 @@ class ImageDedupSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Kernels.videoFrameHashes(cut.toArray)
     }.getMessage.contains("overruns"))
+  }
+
+  test("videoFrameHashes production shapes: stsc multi-chunk layouts " +
+      "(stco and co64) with inter-chunk padding recover the same frame " +
+      "hashes as the single-chunk container; corrupt tables raise") {
+    val frames = (0 until 6).map(f =>
+      png(Multimodal.synthGray(200L + f, W, H, 3037L)))
+    val want = frames.map(Kernels.dhash64)
+    def hashes(b: Array[Byte]) = {
+      val a = Kernels.videoFrameHashes(b)
+      (0 until a.numElements()).map(a.getLong)
+    }
+    // uneven chunks exercising run-length stsc expansion, 32-bit stco
+    assert(hashes(Multimodal.synthesizeMp4MultiChunk(
+      frames, Seq(1, 3, 2), useCo64 = false)) === want)
+    // equal chunks collapsing to ONE stsc entry, 64-bit co64, big pad
+    assert(hashes(Multimodal.synthesizeMp4MultiChunk(
+      frames, Seq(2, 2, 2), useCo64 = true, pad = 33)) === want)
+    // one chunk WITH an explicit stsc also walks
+    assert(hashes(Multimodal.synthesizeMp4MultiChunk(
+      frames, Seq(6), useCo64 = false, pad = 0)) === want)
+    // multi-chunk WITHOUT stsc must raise, not guess the layout
+    val noStsc = Multimodal.synthesizeMp4MultiChunk(
+      frames, Seq(3, 3), useCo64 = false)
+    // surgically blank the stsc box name so findBox misses it
+    val idx = noStsc.indexOfSlice("stsc".getBytes("US-ASCII"))
+    assert(idx > 0)
+    val mutated = noStsc.clone()
+    mutated(idx) = 'f'.toByte // now a "ftsc" box: skipped, still walks
+    assert(intercept[IllegalArgumentException] {
+      Kernels.videoFrameHashes(mutated)
+    }.getMessage.contains("no stsc"))
+    // an absurd stsz sample count must raise BEFORE allocating
+    val big = Multimodal.synthesizeMp4WithFrames(frames)
+    val szIdx = big.indexOfSlice("stsz".getBytes("US-ASCII"))
+    val corrupt = big.clone()
+    corrupt(szIdx + 12) = 0x7f.toByte // sample_count -> ~2^31
+    assert(intercept[IllegalArgumentException] {
+      Kernels.videoFrameHashes(corrupt)
+    }.getMessage.contains("outside the box/stream extent"))
   }
 
   test("fingerprintOverlap dedups within-id fingerprints so a repeated " +
