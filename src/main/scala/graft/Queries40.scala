@@ -31,9 +31,9 @@ object Queries40 {
     f.delete(): Unit
   }
 
-  private val ImgSeed = 1019L
-  private val W = 18
-  private val H = 16
+  private[graft] val ImgSeed = 1019L
+  private[graft] val W = 18
+  private[graft] val H = 16
 
   /** (doc_id, blob): one seeded 18×16 PNG per document plus four
     * planted variants of one base image — verbatim re-encode,
@@ -364,8 +364,8 @@ object Queries40 {
 
   // ---- q293/q294: content-level AUDIO fingerprint + near-dup -----------------
 
-  private val AudSeed = 2027L
-  private val NSamp = 260 // 4 samples per frame on the 65-frame grid
+  private[graft] val AudSeed = 2027L
+  private[graft] val NSamp = 260 // 4 samples per frame on the 65-frame grid
 
   /** (doc_id, blob): one seeded PCM-16 mono WAV per document plus four
     * planted variants of one base clip — verbatim re-encode, half gain
@@ -437,7 +437,7 @@ object Queries40 {
     * energies → gradient bits → signed fingerprint. mode 0 = direct
     * synth, 1 = half gain, 2 = 2× upsample (bkey addresses the base
     * sample), 3 = frame-0 burst. */
-  private val audioFpCtes: String = {
+  private[graft] val audioFpCtes: String = {
     val p0 = Queries2.plantBase
     s"""ageom AS (
        |  SELECT doc_id AS id, $NSamp AS n, doc_id AS src, 0 AS mode
@@ -620,13 +620,13 @@ object Queries40 {
 
   // ---- q296/q297: content-level VIDEO frame hashes + near-dup ----------------
 
-  private val VidSeed = 3037L
-  private val NFrames = 4
+  private[graft] val VidSeed = 3037L
+  private[graft] val NFrames = 4
 
   /** Per-video frame PNGs: frame f of video v is the seeded 18×16
     * image with generator id v·16 + f (frame ids are disjoint across
     * videos and leave slots 4..15 free for planted variants). */
-  private def videoFrames(v: Long, fids: Seq[Long]): Seq[Array[Byte]] =
+  private[graft] def videoFrames(v: Long, fids: Seq[Long]): Seq[Array[Byte]] =
     fids.map(fid => Multimodal.encodeGrayPng(
       Multimodal.synthGray(fid, W, H, VidSeed), W, H))
 
@@ -638,7 +638,7 @@ object Queries40 {
     * window (frames F1..F4 → 3 shared), and a mostly-new cut sharing
     * only F0 (1 shared — the negative control below the dup
     * threshold). */
-  private def videoCorpus(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def videoCorpus(s: SparkSession, dir: String): DataFrame = {
     val synth = udf((id: Long) => Multimodal.synthesizeMp4WithFrames(
       videoFrames(id, (0 until NFrames).map(f => id * 16L + f))))
     val corpus = t(s, dir, "documents")
@@ -711,7 +711,12 @@ object Queries40 {
     * frame-slot) pair's 18×16 pixels from generator id = fid, then the
     * q289 cell/bit machinery per (video, frame). vgeom rows carry
     * (id = video, idx = frame position, fid = generator id, adj). */
-  private val videoCtes: String = {
+  private[graft] val videoCtes: String = videoCtesWith(Nil)
+
+  /** [[videoCtes]] with extra (id, idx, fid, adj) geometry rows —
+    * Queries41's sequence gates add plants without disturbing the
+    * q296/q297 corpus enumeration. */
+  private[graft] def videoCtesWith(extraGeomRows: Seq[String]): String = {
     val p0 = Queries2.plantBase
     val frameRows = (0 until NFrames)
       .map(f => s"SELECT doc_id AS id, $f AS idx, doc_id * 16 + $f AS fid, 0 AS adj FROM documents")
@@ -728,7 +733,7 @@ object Queries40 {
         s"UNION ALL SELECT ${p0 + 3}, $f, ${p0 * 16} + ${8 + f}, 0")
     s"""vgeom AS (
        |  $frameRows
-       |  ${plantRows.mkString("\n  ")}),
+       |  ${(plantRows ++ extraGeomRows).mkString("\n  ")}),
        |vpix0 AS (
        |  SELECT g.id, g.idx, g.adj,
        |    CAST(r.range % $W AS BIGINT) AS x,

@@ -36,7 +36,7 @@ object SparkEntry {
     Queries11.entries ++ Queries12.entries ++ Queries13.entries ++
     Queries14.entries ++ Queries15.entries ++ Queries16.entries ++
     Queries17.entries ++ Queries18.entries ++ Queries19.entries ++
-    Queries20.entries ++ Queries21.entries ++ Queries22.entries ++ Queries23.entries ++ Queries24.entries ++ Queries25.entries ++ Queries26.entries ++ Queries27.entries ++ Queries28.entries ++ Queries29.entries ++ Queries30.entries ++ Queries31.entries ++ Queries32.entries ++ Queries33.entries ++ Queries34.entries ++ Queries35.entries ++ Queries36.entries ++ Queries37.entries ++ Queries38.entries ++ Queries39.entries ++ Queries40.entries
+    Queries20.entries ++ Queries21.entries ++ Queries22.entries ++ Queries23.entries ++ Queries24.entries ++ Queries25.entries ++ Queries26.entries ++ Queries27.entries ++ Queries28.entries ++ Queries29.entries ++ Queries30.entries ++ Queries31.entries ++ Queries32.entries ++ Queries33.entries ++ Queries34.entries ++ Queries35.entries ++ Queries36.entries ++ Queries37.entries ++ Queries38.entries ++ Queries39.entries ++ Queries40.entries ++ Queries41.entries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +61,5 @@ object SparkEntry {
     Queries11.oracles ++ Queries12.oracles ++ Queries13.oracles ++
     Queries14.oracles ++ Queries15.oracles ++ Queries16.oracles ++
     Queries17.oracles ++ Queries18.oracles ++ Queries19.oracles ++
-    Queries20.oracles ++ Queries21.oracles ++ Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++ Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles ++ Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles ++ Queries31.oracles ++ Queries32.oracles ++ Queries33.oracles ++ Queries34.oracles ++ Queries35.oracles ++ Queries36.oracles ++ Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles ++ Queries40.oracles
+    Queries20.oracles ++ Queries21.oracles ++ Queries22.oracles ++ Queries23.oracles ++ Queries24.oracles ++ Queries25.oracles ++ Queries26.oracles ++ Queries27.oracles ++ Queries28.oracles ++ Queries29.oracles ++ Queries30.oracles ++ Queries31.oracles ++ Queries32.oracles ++ Queries33.oracles ++ Queries34.oracles ++ Queries35.oracles ++ Queries36.oracles ++ Queries37.oracles ++ Queries38.oracles ++ Queries39.oracles ++ Queries40.oracles ++ Queries41.oracles
 }

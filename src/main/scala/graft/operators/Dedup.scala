@@ -454,6 +454,89 @@ object Dedup {
     cap.attachDroppedRows(pairs)
   }
 
+  /** Incremental shared-fingerprint candidates of FRESH fingerprint
+    * rows against a static STORE — [[fingerprintOverlap]]'s streaming
+    * face, completing the store-candidate family
+    * ([[minHashStoreCandidates]], [[hammingStoreCandidates]]) for the
+    * SET-signature modalities (video frame hashes, winnow sets). The
+    * store's fps are distinct-reduced and bucket-capped at BUILD time
+    * (bounding fan-out per incoming row); the fresh side stays
+    * row-local/stateless, so the append plan is watermark-free. Emits
+    * (id_a = store id, id_b = fresh id, fp) once per shared capped
+    * fingerprint — the shared-count aggregation (groupBy
+    * countDistinct >= minShared) is the sink's merge step, exactly
+    * like the minhash variant's pair-dedup. q301 certifies
+    * stream == batch == DuckDB over re-derived frame hashes. */
+  def fingerprintStoreCandidates(
+      store: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      fpCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val st = Skew.capGroups(
+      store.select(col(idCol).as("id"), col(fpCol).as("fp")).distinct(),
+      Seq("fp"), Seq(col("id")), maxBucket).kept
+      .select(col("fp"), col("id").as("id_a"))
+    fresh.select(col(idCol).as("id_b"), col(fpCol).as("fp"))
+      .join(st, Seq("fp"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp"))
+  }
+
+  /** SEQUENCE-aware near-dup over per-item fingerprint SEQUENCES
+    * (video frame hashes with their frame index): for every pair
+    * sharing at least one fingerprint, the count of distinct shared
+    * fingerprints AND the longest ALIGNED CONTIGUOUS RUN — matches at
+    * a common index offset with consecutive positions (the
+    * gaps-and-islands construction). Set overlap alone cannot tell a
+    * reordered cut (every frame shared, no run) from a temporal clone
+    * (the same frames in the same order); `lcr` does: a shuffled copy
+    * scores shared_fps = n, lcr = 1, a true clone lcr = n.
+    *
+    * Scale shape: the fp-join shuffles (fp, id, idx) rows under
+    * [[Skew.capGroups]] (viral frames capped with exact drop
+    * accounting, never all-pairs); the run window partitions by
+    * (pair, offset), so its state is bounded by the smaller sequence
+    * length — thousands of frames, never corpus-sized. Input rows are
+    * (id, idx, fp); one fp per (id, idx). */
+  def frameRunOverlap(
+      frames: DataFrame,
+      idCol: String,
+      idxCol: String,
+      fpCol: String,
+      minShared: Int = 1,
+      maxBucket: Int = 1000): DataFrame = {
+    val f = frames.select(col(idCol).as("id"), col(idxCol).as("idx"),
+      col(fpCol).as("fp"))
+    val cap = Skew.capGroups(f, Seq("fp"), Seq(col("id"), col("idx")),
+      maxBucket)
+    val l = cap.kept.select(col("fp"), col("id").as("id_a"),
+      col("idx").as("idx_a"))
+    val r = cap.kept.select(col("fp"), col("id").as("id_b"),
+      col("idx").as("idx_b"))
+    // one row per aligned match; a frame repeated WITHIN one video
+    // yields multiple (idx_a, idx_b) alignments, each its own offset
+    val matches = l.join(r, Seq("fp"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("fp"), col("id_a"), col("id_b"), col("idx_a"),
+        col("idx_b"), (col("idx_a") - col("idx_b")).as("off"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"), col("id_b"), col("off"))
+      .orderBy(col("idx_a"))
+    val runs = matches
+      .withColumn("isl", col("idx_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("off"), col("isl"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("run")).as("lcr"))
+    val shared = matches
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fp")).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+    cap.attachDroppedRows(shared.join(runs, Seq("id_a", "id_b")))
+  }
+
   /** Benchmark decontamination (the GPT-3 Appendix C / Gopher
     * eval-overlap pattern): flag every training document sharing at
     * least one word n-gram with the evaluation set. Returns
