@@ -263,4 +263,48 @@ class ImageDedupSpec extends SparkSpec {
     val rows = df.collect().map(r => r.getAs[Long]("dh")).distinct
     assert(rows.length === 1, "brightness twin must hash identically")
   }
+
+  test("fingerprintStoreCandidates equals fingerprintOverlap's " +
+      "store-x-fresh subset after the sink's merge step and never " +
+      "emits self-pairs") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val rows = Seq( // store ids < 10, fresh >= 10; id 5 on BOTH sides
+      (1L, 10L), (1L, 20L), (2L, 10L), (5L, 30L),
+      (10L, 10L), (10L, 20L), (11L, 10L), (5L, 30L))
+    val fps = rows.toDF("id", "fp")
+    val store = fps.where(col("id") < 10)
+    val fresh = fps.where(col("id") >= 10)
+      .unionByName(Seq((5L, 30L)).toDF("id", "fp")) // self on fresh side
+    val got = graft.operators.Dedup
+      .fingerprintStoreCandidates(store, fresh, "id", "fp")
+      .groupBy("id_a", "id_b")
+      .agg(countDistinct(col("fp")).as("shared"))
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared"))).toSeq.sorted
+    assert(got === Seq((1L, 10L, 2L), (1L, 11L, 1L), (2L, 10L, 1L),
+      (2L, 11L, 1L)),
+      "store x fresh shared counts (and no 5-5 self-pair)")
+  }
+
+  test("frameRunOverlap: longest aligned contiguous run separates a " +
+      "temporal clone from a reordered cut with the same frame set") {
+    val frames = Seq( // video 1: A B C D
+      (1L, 0L, 100L), (1L, 1L, 200L), (1L, 2L, 300L), (1L, 3L, 400L),
+      // video 2: exact clone -> shared 4, run 4
+      (2L, 0L, 100L), (2L, 1L, 200L), (2L, 2L, 300L), (2L, 3L, 400L),
+      // video 3: reversed -> shared 4, run 1
+      (3L, 0L, 400L), (3L, 1L, 300L), (3L, 2L, 200L), (3L, 3L, 100L),
+      // video 4: B C shifted left by one -> shared 2, run 2
+      (4L, 0L, 200L), (4L, 1L, 300L), (4L, 2L, 999L), (4L, 3L, 888L))
+      .toDF("id", "idx", "fp")
+    val got = graft.operators.Dedup
+      .frameRunOverlap(frames, "id", "idx", "fp", minShared = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("shared_fps"), r.getAs[Long]("lcr"))).toSeq.sorted
+    assert(got === Seq(
+      (1L, 2L, 4L, 4L), (1L, 3L, 4L, 1L), (1L, 4L, 2L, 2L),
+      (2L, 3L, 4L, 1L), (2L, 4L, 2L, 2L), (3L, 4L, 2L, 1L)))
+  }
 }
