@@ -695,19 +695,45 @@ public final class Kernels {
       throw new IllegalArgumentException("videoFrameHashes: no moov box");
     }
     int moovEnd = boxEnd(b, moov, b.length);
-    int trak = findBox(b, moov + boxHeader(b, moov), moovEnd, "trak");
-    int mdia = trak < 0 ? -1
-        : findBox(b, trak + boxHeader(b, trak), boxEnd(b, trak, moovEnd),
-            "mdia");
-    int minf = mdia < 0 ? -1
-        : findBox(b, mdia + boxHeader(b, mdia), boxEnd(b, mdia, moovEnd),
-            "minf");
-    int stbl = minf < 0 ? -1
-        : findBox(b, minf + boxHeader(b, minf), boxEnd(b, minf, moovEnd),
-            "stbl");
+    // walk ALL traks and pick the first whose hdlr handler_type is
+    // 'vide' — real containers interleave audio/subtitle traks before
+    // the video one, and hashing an audio sample table would be
+    // silently wrong. A trak with no hdlr counts as video only if no
+    // explicit 'vide' trak exists (legacy single-trak synth streams).
+    int stbl = -1;
+    int fallbackStbl = -1;
+    int scan = moov + boxHeader(b, moov);
+    while (scan + 8 <= moovEnd) {
+      int trak = findBox(b, scan, moovEnd, "trak");
+      if (trak < 0) break;
+      int trakEnd = boxEnd(b, trak, moovEnd);
+      int mdia = findBox(b, trak + boxHeader(b, trak), trakEnd, "mdia");
+      if (mdia >= 0) {
+        int mdiaEnd = boxEnd(b, mdia, trakEnd);
+        int hdlr = findBox(b, mdia + boxHeader(b, mdia), mdiaEnd, "hdlr");
+        boolean isVide = hdlr >= 0 && hdlr + boxHeader(b, hdlr) + 12 <= mdiaEnd
+            && b[hdlr + boxHeader(b, hdlr) + 8] == 'v'
+            && b[hdlr + boxHeader(b, hdlr) + 9] == 'i'
+            && b[hdlr + boxHeader(b, hdlr) + 10] == 'd'
+            && b[hdlr + boxHeader(b, hdlr) + 11] == 'e';
+        int minf = findBox(b, mdia + boxHeader(b, mdia), mdiaEnd, "minf");
+        int st = minf < 0 ? -1
+            : findBox(b, minf + boxHeader(b, minf),
+                boxEnd(b, minf, mdiaEnd), "stbl");
+        if (st >= 0) {
+          if (isVide) {
+            stbl = st;
+            break;
+          }
+          if (hdlr < 0 && fallbackStbl < 0) fallbackStbl = st;
+        }
+      }
+      scan = trakEnd;
+    }
+    if (stbl < 0) stbl = fallbackStbl;
     if (stbl < 0) {
-      throw new IllegalArgumentException(
-          "videoFrameHashes: no trak/mdia/minf/stbl path");
+      throw new IllegalArgumentException("videoFrameHashes: no video "
+          + "trak with an mdia/minf/stbl path");
     }
     int stblEnd = boxEnd(b, stbl, moovEnd);
     int stblLo = stbl + boxHeader(b, stbl);

@@ -508,6 +508,42 @@ object Queries41 {
        |WHERE s.shared_fps >= 1 ORDER BY s.id_a, s.id_b""".stripMargin
   }
 
+  // ---- q304: multi-trak MP4 (audio trak before video) ------------------------
+
+  /** The q296 certification over MULTI-TRAK containers: every corpus
+    * video carries a `soun`-handler audio trak BEFORE the video trak —
+    * the layout of every real-world MP4 with a soundtrack. A walker
+    * that grabs the first trak finds no sample table (or the wrong
+    * one) and fails; selecting by hdlr handler_type is the only
+    * correct read. Same frame content as q296, so the oracle is again
+    * LITERALLY q296's pixel arithmetic. */
+  def q304VideoMultitrak(s: SparkSession, dir: String): DataFrame = {
+    val synth = udf((id: Long) => Multimodal.synthesizeMp4MultiTrak(
+      (0 until NFrames).map(f => encFrame(id * 16L + f))))
+    val p0 = Queries2.plantBase
+    val baseFids = (0 until NFrames).map(f => p0 * 16L + f)
+    val plants = Seq(
+      (p0, Multimodal.synthesizeMp4MultiTrak(baseFids.map(encFrame))),
+      (p0 + 1L, Multimodal.synthesizeMp4MultiTrak(baseFids.map(fid =>
+        Multimodal.encodeGrayPng(
+          Multimodal.synthGray(fid, W, H, VidSeed).map(_ + 5), W, H)))),
+      (p0 + 2L, Multimodal.synthesizeMp4MultiTrak(
+        (1 to NFrames).map(f => encFrame(p0 * 16L + f)))),
+      (p0 + 3L, Multimodal.synthesizeMp4MultiTrak(
+        Seq(encFrame(p0 * 16L)) ++
+          (1 until NFrames).map(f => encFrame(p0 * 16L + 8 + f)))))
+    t(s, dir, "documents")
+      .select($"doc_id", synth($"doc_id").as("blob"))
+      .unionByName(s.createDataFrame(plants).toDF("doc_id", "blob"))
+      .select($"doc_id",
+        posexplode(Functional.videoFrameHashes($"blob")))
+      .select($"doc_id", $"pos".cast(LongType).as("frame_idx"),
+        $"col".as("fhash"))
+      .orderBy($"doc_id", $"frame_idx")
+  }
+
+  val q304Sql: String = Queries40.q296Sql
+
   // ---- q303: PQ asymmetric-distance tables, hashed companion -----------------
 
   private val PqSeed = 6067L
@@ -636,7 +672,8 @@ object Queries41 {
     "q300_stream_audio_neardup" -> (q300StreamAudioNeardup _),
     "q301_stream_video_neardup" -> (q301StreamVideoNeardup _),
     "q302_video_framerun" -> (q302VideoFramerun _),
-    "q303_pq_adc" -> (q303PqAdc _)
+    "q303_pq_adc" -> (q303PqAdc _),
+    "q304_video_multitrak" -> (q304VideoMultitrak _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -645,6 +682,7 @@ object Queries41 {
     "q300_stream_audio_neardup" -> q300Sql,
     "q301_stream_video_neardup" -> q301Sql,
     "q302_video_framerun" -> q302Sql,
-    "q303_pq_adc" -> q303Sql
+    "q303_pq_adc" -> q303Sql,
+    "q304_video_multitrak" -> q304Sql
   )
 }

@@ -536,9 +536,18 @@ object Multimodal {
       pad: Int = 7): Array[Byte] =
     buildMp4(frames, samplesPerChunk, useCo64, pad, emitStsc = true)
 
+  /** Multi-TRAK sibling: a `soun`-handler audio trak (tkhd + mdia +
+    * mdhd + hdlr, no sample table) precedes the video trak — the
+    * layout of every real-world MP4 with a soundtrack, so a consumer
+    * that grabs the FIRST trak reads the wrong one. The video trak's
+    * sample table is the single-chunk stsz/stco layout. */
+  def synthesizeMp4MultiTrak(frames: Seq[Array[Byte]]): Array[Byte] =
+    buildMp4(frames, Seq(frames.length), useCo64 = false, pad = 0,
+      emitStsc = false, audioTrakFirst = true)
+
   private def buildMp4(frames: Seq[Array[Byte]],
       samplesPerChunk: Seq[Int], useCo64: Boolean, pad: Int,
-      emitStsc: Boolean): Array[Byte] = {
+      emitStsc: Boolean, audioTrakFirst: Boolean = false): Array[Byte] = {
     require(frames.nonEmpty, "buildMp4: no frames")
     require(samplesPerChunk.nonEmpty && samplesPerChunk.forall(_ > 0) &&
       samplesPerChunk.sum == frames.length,
@@ -572,7 +581,11 @@ object Multimodal {
     val tkhdSz = 8 + 84
     val trakSz = 8 + tkhdSz + mdiaSz
     val mvhdSz = 8 + 100
-    val moovSz = 8 + mvhdSz + trakSz
+    // optional audio trak (tkhd + mdia(mdhd, hdlr 'soun')) BEFORE the
+    // video trak — no sample table, so a correct walker must skip it
+    val mdiaASz = 8 + mdhdSz + hdlrSz
+    val trakASz = if (audioTrakFirst) 8 + tkhdSz + mdiaASz else 0
+    val moovSz = 8 + mvhdSz + trakASz + trakSz
     val ftypSz = 24
     val mdatStart = ftypSz + moovSz + 8 // first mdat payload byte
     // chunk layout inside mdat: pad bytes, then the chunk's frames
@@ -594,7 +607,18 @@ object Multimodal {
     b32(mvhdSz); cc("mvhd"); b32(0); b32(0); b32(0)
     b32(600); b32(600 * n) // timescale, duration: 1 s per frame
     b32(0x10000); out.write(1); out.write(0); zeros(10); matrix(); zeros(24)
-    b32(2)
+    b32(if (audioTrakFirst) 3 else 2) // next track id
+    if (audioTrakFirst) {
+      b32(trakASz); cc("trak")
+      b32(tkhdSz); cc("tkhd"); b32(7); b32(0); b32(0); b32(2); b32(0)
+      b32(600 * n); zeros(8); zeros(8); matrix()
+      b32(0); b32(0) // audio trak: zero visual dimensions
+      b32(mdiaASz); cc("mdia")
+      b32(mdhdSz); cc("mdhd"); b32(0); b32(0); b32(0)
+      b32(600); b32(600 * n); zeros(4)
+      b32(hdlrSz); cc("hdlr"); b32(0); b32(0); cc("soun"); zeros(12)
+      out.write(0) // empty handler name (NUL)
+    }
     b32(trakSz); cc("trak")
     b32(tkhdSz); cc("tkhd"); b32(7); b32(0); b32(0); b32(1); b32(0)
     b32(600 * n); zeros(8); zeros(8); matrix()

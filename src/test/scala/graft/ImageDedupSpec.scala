@@ -241,6 +241,9 @@ class ImageDedupSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Kernels.videoFrameHashes(corrupt)
     }.getMessage.contains("outside the box/stream extent"))
+    // multi-trak: a 'soun' trak BEFORE the video trak must be skipped
+    // by handler type, not grabbed positionally
+    assert(hashes(Multimodal.synthesizeMp4MultiTrak(frames)) === want)
   }
 
   test("fingerprintOverlap dedups within-id fingerprints so a repeated " +
