@@ -544,6 +544,7 @@ public final class Kernels {
     }
     int pos = 12;
     int dataOff = -1, dataLen = -1, fmt = -1, channels = -1, bits = -1;
+    int subFmt = -1, validBits = -1;
     while (pos + 8 <= b.length) {
       int size = (b[pos + 4] & 0xff) | ((b[pos + 5] & 0xff) << 8)
           | ((b[pos + 6] & 0xff) << 16) | ((b[pos + 7] & 0xff) << 24);
@@ -557,6 +558,14 @@ public final class Kernels {
         fmt = (b[pos + 8] & 0xff) | ((b[pos + 9] & 0xff) << 8);
         channels = (b[pos + 10] & 0xff) | ((b[pos + 11] & 0xff) << 8);
         bits = (b[pos + 22] & 0xff) | ((b[pos + 23] & 0xff) << 8);
+        // WAVE_FORMAT_EXTENSIBLE (0xFFFE): the real-world container
+        // for stereo/>16-bit PCM — the actual format code lives in
+        // the first two bytes of the SubFormat GUID, alongside the
+        // valid-bits-per-sample field
+        if (fmt == 0xFFFE && size >= 40 && pos + 8 + 34 <= b.length) {
+          validBits = (b[pos + 26] & 0xff) | ((b[pos + 27] & 0xff) << 8);
+          subFmt = (b[pos + 32] & 0xff) | ((b[pos + 33] & 0xff) << 8);
+        }
       } else if (b[pos] == 'd' && b[pos + 1] == 'a' && b[pos + 2] == 't'
           && b[pos + 3] == 'a') {
         dataOff = pos + 8;
@@ -568,11 +577,16 @@ public final class Kernels {
       if (next + 8 > b.length) break;
       pos = (int) next;
     }
+    if (fmt == 0xFFFE && subFmt == 1 && validBits == bits) {
+      fmt = 1; // extensible-wrapped PCM at full container depth
+    }
     if (fmt != 1 || channels < 1 || channels > 2
         || (bits != 8 && bits != 16 && bits != 24)) {
       throw new IllegalArgumentException(
-          "audioFp64: need PCM with 1-2 channels at 8/16/24-bit, got fmt="
-              + fmt + " channels=" + channels + " bits=" + bits);
+          "audioFp64: need PCM with 1-2 channels at 8/16/24-bit "
+              + "(plain or extensible-wrapped), got fmt=" + fmt
+              + " subFormat=" + subFmt + " channels=" + channels
+              + " bits=" + bits + " validBits=" + validBits);
     }
     int bytesPerSample = bits / 8;
     int blockAlign = channels * bytesPerSample;

@@ -117,7 +117,11 @@ object Queries41 {
       (p0 + 2L, encodeStereo(base.map(_.map(_ / 2)))),
       (p0 + 3L, encodeStereo(base.zipWithIndex.map { case (fr, i) =>
         if (i < 4) Array(8191, 8191) else fr
-      })))
+      })),
+      // the SAME samples wrapped in a WAVE_FORMAT_EXTENSIBLE container
+      // (fmt 0xFFFE + PCM SubFormat GUID) — how real-world stereo
+      // 24-bit PCM is written; must fingerprint identically to p0
+      (p0 + 4L, Multimodal.encodePcmWav(base, 2, 24, extensible = true)))
     corpus.unionByName(s.createDataFrame(plants).toDF("doc_id", "blob"))
   }
 
@@ -135,15 +139,17 @@ object Queries41 {
       max(when($"doc_id" === p0, $"afp")).as("f0"),
       max(when($"doc_id" === p0 + 1L, $"afp")).as("f1"),
       max(when($"doc_id" === p0 + 2L, $"afp")).as("f2"),
-      max(when($"doc_id" === p0 + 3L, $"afp")).as("f3"))
+      max(when($"doc_id" === p0 + 3L, $"afp")).as("f3"),
+      max(when($"doc_id" === p0 + 4L, $"afp")).as("f4"))
     sig.crossJoin(broadcast(p))
       .select($"doc_id", $"afp",
-        when($"f0" =!= $"f1" || $"f0" =!= $"f2" ||
+        when($"f0" =!= $"f1" || $"f0" =!= $"f2" || $"f0" =!= $"f4" ||
             Functional.hamming64($"f0", $"f3") > 1,
           raise_error(lit(
-            "q299: the stereo downmix contract broke — channel swap " +
-              "and half gain must be fingerprint-invariant and a " +
-              "frame burst must move at most one bit")))
+            "q299: the stereo downmix contract broke — channel swap, " +
+              "half gain, and the WAVE_FORMAT_EXTENSIBLE container " +
+              "must be fingerprint-invariant and a frame burst must " +
+              "move at most one bit")))
           .otherwise(lit(true)).as("planted_ok"))
       .orderBy($"doc_id")
   }
@@ -159,7 +165,8 @@ object Queries41 {
        |  UNION ALL SELECT $p0, $p0, 0
        |  UNION ALL SELECT ${p0 + 1}, $p0, 0
        |  UNION ALL SELECT ${p0 + 2}, $p0, 2
-       |  UNION ALL SELECT ${p0 + 3}, $p0, 3),
+       |  UNION ALL SELECT ${p0 + 3}, $p0, 3
+       |  UNION ALL SELECT ${p0 + 4}, $p0, 0),
        |ssm0 AS (SELECT g.id, g.mode,
        |    CAST(r.range // 2 AS BIGINT) AS i,
        |    g.src * 65536 + r.range AS bkey

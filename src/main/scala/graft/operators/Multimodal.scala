@@ -426,11 +426,15 @@ object Multimodal {
     * of [[encodePcm16Wav]] for the production container shapes
     * (stereo, 8/24-bit). */
   def encodePcmWav(samples: Array[Array[Int]], channels: Int, bits: Int,
-      sampleRate: Int = 16000): Array[Byte] = {
+      sampleRate: Int = 16000, extensible: Boolean = false): Array[Byte] = {
     require(channels >= 1 && channels <= 2 && Set(8, 16, 24)(bits),
       s"encodePcmWav: unsupported shape channels=$channels bits=$bits")
     val bps = bits / 8
     val dataLen = samples.length * channels * bps
+    // plain PCM fmt chunk is 16 payload bytes; WAVE_FORMAT_EXTENSIBLE
+    // (how real-world stereo/>16-bit PCM is written) is 40: cbSize=22,
+    // valid bits, channel mask, and the PCM SubFormat GUID
+    val fmtLen = if (extensible) 40 else 16
     val out = new java.io.ByteArrayOutputStream()
     def w32(v: Int): Unit = {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
@@ -438,11 +442,21 @@ object Multimodal {
     }
     def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
     out.write("RIFF".getBytes("US-ASCII"), 0, 4)
-    w32(4 + 24 + 8 + dataLen)
+    w32(4 + 8 + fmtLen + 8 + dataLen)
     out.write("WAVE".getBytes("US-ASCII"), 0, 4)
     out.write("fmt ".getBytes("US-ASCII"), 0, 4)
-    w32(16); w16(1); w16(channels); w32(sampleRate)
+    w32(fmtLen); w16(if (extensible) 0xFFFE else 1)
+    w16(channels); w32(sampleRate)
     w32(sampleRate * channels * bps); w16(channels * bps); w16(bits)
+    if (extensible) {
+      w16(22)              // cbSize
+      w16(bits)            // wValidBitsPerSample == container depth
+      w32(if (channels == 2) 3 else 4) // dwChannelMask (FL|FR / FC)
+      // KSDATAFORMAT_SUBTYPE_PCM GUID, byte-exact
+      out.write(Array[Byte](0x01, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x10, 0x00, 0x80.toByte, 0x00, 0x00, 0xAA.toByte, 0x00,
+        0x38, 0x9B.toByte, 0x71), 0, 16)
+    }
     out.write("data".getBytes("US-ASCII"), 0, 4)
     w32(dataLen)
     samples.foreach { fr =>

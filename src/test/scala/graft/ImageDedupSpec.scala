@@ -153,6 +153,16 @@ class ImageDedupSpec extends SparkSpec {
     assert(Kernels.audioFp64(Multimodal.encodePcm16Wav(b16)) ===
       Kernels.audioFp64(
         Multimodal.encodePcmWav(b16.map(s => Array(s.toInt)), 1, 16)))
+    // WAVE_FORMAT_EXTENSIBLE wrapping of the same samples is a
+    // container detail, not a content change
+    assert(h0 === Kernels.audioFp64(
+      Multimodal.encodePcmWav(fr, 2, 24, extensible = true)))
+    // a non-PCM SubFormat must still raise
+    val ext = Multimodal.encodePcmWav(fr, 2, 24, extensible = true)
+    ext(44) = 3 // SubFormat code -> IEEE float
+    assert(intercept[IllegalArgumentException] {
+      Kernels.audioFp64(ext)
+    }.getMessage.contains("subFormat=3"))
   }
 
   test("hammingStoreCandidates equals hammingPairs' cross-pair subset " +
