@@ -515,6 +515,144 @@ object Queries41 {
        |WHERE s.shared_fps >= 1 ORDER BY s.id_a, s.id_b""".stripMargin
   }
 
+  // ---- q305: streaming SEQUENCE-aware video near-dup, full oracle ------------
+
+  /** The q302 sequence discriminator run as a STREAMING ingest — the
+    * trifecta gate for [[Dedup.frameRunStoreCandidates]]: fresh videos
+    * arrive through readStream (corpus synthesized in-stream; planted
+    * variants as REAL multi-chunk MP4 blobs in a parquet shard), each
+    * (frame-hash, index) row probes the static store, and the sink's
+    * merge step ([[Dedup.frameRunStats]] — the SAME tail the batch
+    * operator uses) computes shared counts AND longest aligned
+    * contiguous runs. Plants: a brightness clone (shared 4 / run 4),
+    * a one-frame-shifted window (3/3), and a REVERSED cut — shared 4
+    * but run 1, the reorder case only sequence awareness catches,
+    * now detected AT INGEST TIME. stream == batch == DuckDB. */
+  def q305StreamVideoFramerun(s: SparkSession, dir: String): DataFrame = {
+    val spark = s.newSession()
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+      "spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val p0 = Queries2.plantBase
+    val synth = udf((id: Long) => Multimodal.synthesizeMp4WithFrames(
+      (0 until NFrames).map(f => encFrame(id * 16L + f))))
+    def fr(df: DataFrame): DataFrame = df
+      .select($"doc_id",
+        posexplode(Functional.videoFrameHashes($"blob")))
+      .select($"doc_id", $"pos".cast(LongType).as("idx"),
+        $"col".as("fhash"))
+    val docsPath = new java.io.File(s"$dir/documents.parquet")
+    val docs = spark.read.parquet(docsPath.getPath).select($"doc_id")
+    val storeFrames = fr(docs.where($"doc_id" < 250)
+      .unionByName(spark.range(1).select(lit(p0).as("doc_id")))
+      .select($"doc_id", synth($"doc_id").as("blob")))
+    val baseFids = (0 until NFrames).map(f => p0 * 16L + f)
+    val plantRows = Seq(
+      (p0 + 1L, multiChunkBlob(p0 + 1L, baseFids.map(fid =>
+        Multimodal.encodeGrayPng(
+          Multimodal.synthGray(fid, W, H, VidSeed).map(_ + 5), W, H)))),
+      (p0 + 2L, multiChunkBlob(p0 + 2L,
+        (1 to NFrames).map(f => encFrame(p0 * 16L + f)))),
+      (p0 + 4L, multiChunkBlob(p0 + 4L, baseFids.reverse.map(encFrame))))
+    val plantDir = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_q305_plants_${System.nanoTime()}")
+    spark.createDataFrame(plantRows).toDF("doc_id", "blob")
+      .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
+    val schema = spark.read.parquet(docsPath.getPath).schema
+    val sDocs = {
+      val b = spark.readStream.schema(schema)
+      val raw =
+        if (docsPath.isDirectory) b.parquet(docsPath.getPath)
+        else b.option("pathGlobFilter", "documents.parquet").parquet(dir)
+      raw.select($"doc_id").where($"doc_id" >= 250)
+        .select($"doc_id", synth($"doc_id").as("blob"))
+    }
+    val sPlants = spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType, nullable = false),
+        StructField("blob", BinaryType, nullable = true))))
+      .parquet(plantDir.getPath)
+    val cand = Dedup.frameRunStoreCandidates(
+      storeFrames, fr(sDocs.unionByName(sPlants)), "doc_id", "idx",
+      "fhash", maxBucket = 1000)
+    val name = s"graft_q305_${System.nanoTime()}"
+    val q = cand.writeStream
+      .outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val drained = spark.table(name)
+    drained.queryExecution.assertAnalyzed()
+    spark.catalog.dropTempView(name)
+    deleteRecursively(plantDir)
+    val streamPairs = Dedup.frameRunStats(drained)
+    val batchFresh = fr(docs.where($"doc_id" >= 250)
+      .select($"doc_id", synth($"doc_id").as("blob"))
+      .unionByName(
+        spark.createDataFrame(plantRows).toDF("doc_id", "blob")))
+    val batchPairs = Dedup.frameRunStats(Dedup.frameRunStoreCandidates(
+      storeFrames, batchFresh, "doc_id", "idx", "fhash",
+      maxBucket = 1000))
+    val ns = streamPairs.agg(count(lit(1)).as("n_stream"))
+    val nb = batchPairs.agg(count(lit(1)).as("n_batch"))
+    val nm = streamPairs
+      .join(batchPairs, Seq("id_a", "id_b", "shared_fps", "lcr"))
+      .agg(count(lit(1)).as("n_match"))
+    val planted = streamPairs
+      .where($"id_a" === p0 && $"id_b" > p0)
+      .agg(count(lit(1)).as("n_planted"),
+        max(when($"id_b" === p0 + 1L, $"lcr")).as("__r1"),
+        max(when($"id_b" === p0 + 2L, $"lcr")).as("__r2"),
+        max(when($"id_b" === p0 + 4L, $"lcr")).as("__r4"),
+        max(when($"id_b" === p0 + 4L, $"shared_fps")).as("__s4"))
+    streamPairs
+      .crossJoin(broadcast(ns)).crossJoin(broadcast(nb))
+      .crossJoin(broadcast(nm)).crossJoin(broadcast(planted))
+      .select($"id_a", $"id_b", $"shared_fps", $"lcr",
+        when($"n_stream" =!= $"n_batch" || $"n_match" =!= $"n_stream",
+          raise_error(lit(
+            "q305: streamed sequence near-dup (shared, run) set " +
+              "differs from the batch run of the same operator on " +
+              "the same corpus")))
+          .otherwise(lit(true)).as("stream_eq_batch"),
+        when($"n_planted" =!= 3L || $"__r1" =!= 4L || $"__r2" =!= 3L ||
+            $"__r4" =!= 1L || $"__s4" =!= 4L,
+          raise_error(lit(
+            "q305: planted temporal design not recovered at ingest " +
+              "(clone run 4, shifted-window run 3, REVERSED cut " +
+              "shared 4 but run 1)")))
+          .otherwise(lit(true)).as("planted_ok"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  val q305Sql: String = {
+    val p0 = Queries2.plantBase
+    val extra = (0 until NFrames).map(f =>
+      s"UNION ALL SELECT ${p0 + 4}, $f, ${p0 * 16} + ${NFrames - 1 - f}, 0")
+    s"""WITH ${Queries40.videoCtesWith(extra)},
+       |vd3 AS (SELECT DISTINCT id, idx, fhash FROM vsig),
+       |vm3 AS (SELECT DISTINCT a.fhash, a.id AS id_a, b.id AS id_b,
+       |    a.idx AS ia, a.idx - b.idx AS off
+       |  FROM vd3 a JOIN vd3 b ON a.fhash = b.fhash
+       |    AND (a.id < 250 OR a.id = $p0)
+       |    AND ((b.id >= 250 AND b.id < $p0) OR b.id = ${p0 + 1}
+       |      OR b.id = ${p0 + 2} OR b.id = ${p0 + 4})),
+       |vr3 AS (SELECT id_a, id_b, off, ia,
+       |    ia - ROW_NUMBER() OVER (
+       |      PARTITION BY id_a, id_b, off ORDER BY ia) AS isl
+       |  FROM vm3),
+       |vruns3 AS (SELECT id_a, id_b, off, isl, COUNT(*) AS run
+       |  FROM vr3 GROUP BY 1, 2, 3, 4),
+       |vlcr3 AS (SELECT id_a, id_b, CAST(MAX(run) AS BIGINT) AS lcr
+       |  FROM vruns3 GROUP BY 1, 2),
+       |vsh3 AS (SELECT id_a, id_b,
+       |    CAST(COUNT(DISTINCT fhash) AS BIGINT) AS shared_fps
+       |  FROM vm3 GROUP BY 1, 2)
+       |SELECT s.id_a, s.id_b, s.shared_fps, l.lcr,
+       |  true AS stream_eq_batch, true AS planted_ok
+       |FROM vsh3 s JOIN vlcr3 l ON s.id_a = l.id_a AND s.id_b = l.id_b
+       |ORDER BY s.id_a, s.id_b""".stripMargin
+  }
+
   // ---- q304: multi-trak MP4 (audio trak before video) ------------------------
 
   /** The q296 certification over MULTI-TRAK containers: every corpus
@@ -680,7 +818,8 @@ object Queries41 {
     "q301_stream_video_neardup" -> (q301StreamVideoNeardup _),
     "q302_video_framerun" -> (q302VideoFramerun _),
     "q303_pq_adc" -> (q303PqAdc _),
-    "q304_video_multitrak" -> (q304VideoMultitrak _)
+    "q304_video_multitrak" -> (q304VideoMultitrak _),
+    "q305_stream_video_framerun" -> (q305StreamVideoFramerun _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -690,6 +829,7 @@ object Queries41 {
     "q301_stream_video_neardup" -> q301Sql,
     "q302_video_framerun" -> q302Sql,
     "q303_pq_adc" -> q303Sql,
-    "q304_video_multitrak" -> q304Sql
+    "q304_video_multitrak" -> q304Sql,
+    "q305_stream_video_framerun" -> q305Sql
   )
 }

@@ -518,6 +518,17 @@ object Dedup {
     // yields multiple (idx_a, idx_b) alignments, each its own offset
     val matches = l.join(r, Seq("fp"))
       .where(col("id_a") < col("id_b"))
+    cap.attachDroppedRows(frameRunStats(matches, minShared))
+  }
+
+  /** The gaps-and-islands tail of the sequence family — (id_a, id_b,
+    * shared_fps, lcr) from aligned-match rows (fp, id_a, id_b, idx_a,
+    * idx_b). ONE implementation shared by [[frameRunOverlap]] and the
+    * streaming sink merge over [[frameRunStoreCandidates]] (q305), so
+    * batch and incremental runs cannot drift. */
+  def frameRunStats(matches0: DataFrame, minShared: Int = 1)
+      : DataFrame = {
+    val matches = matches0
       .select(col("fp"), col("id_a"), col("id_b"), col("idx_a"),
         col("idx_b"), (col("idx_a") - col("idx_b")).as("off"))
       .distinct()
@@ -534,7 +545,41 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b"))
       .agg(countDistinct(col("fp")).as("shared_fps"))
       .where(col("shared_fps") >= minShared)
-    cap.attachDroppedRows(shared.join(runs, Seq("id_a", "id_b")))
+    // both aggregates derive from ONE `matches` plan — rename the run
+    // side's keys so the self-join cannot produce conflicting
+    // attribute ids (hit when the source is a streaming memory sink)
+    val runsR = runs.select(col("id_a").as("__run_a"),
+      col("id_b").as("__run_b"), col("lcr"))
+    shared.join(runsR,
+        col("id_a") === col("__run_a") && col("id_b") === col("__run_b"))
+      .drop("__run_a", "__run_b")
+  }
+
+  /** Incremental SEQUENCE-aware candidates of fresh (id, idx, fp)
+    * frame rows against a static store — [[fingerprintStoreCandidates]]
+    * carrying the frame INDEXES through, so the sink's merge step
+    * ([[frameRunStats]]) can compute aligned contiguous runs as well
+    * as shared counts. Store distinct-reduced and bucket-capped at
+    * build; fresh side row-local/stateless (watermark-free append);
+    * self-pairs excluded. Emits (id_a, id_b, fp, idx_a, idx_b). */
+  def frameRunStoreCandidates(
+      store: DataFrame,
+      fresh: DataFrame,
+      idCol: String,
+      idxCol: String,
+      fpCol: String,
+      maxBucket: Int = 1000): DataFrame = {
+    val st = Skew.capGroups(
+      store.select(col(idCol).as("id"), col(idxCol).as("idx"),
+        col(fpCol).as("fp")).distinct(),
+      Seq("fp"), Seq(col("id"), col("idx")), maxBucket).kept
+      .select(col("fp"), col("id").as("id_a"), col("idx").as("idx_a"))
+    fresh.select(col(idCol).as("id_b"), col(idxCol).as("idx_b"),
+        col(fpCol).as("fp"))
+      .join(st, Seq("fp"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp"), col("idx_a"),
+        col("idx_b"))
   }
 
   /** Benchmark decontamination (the GPT-3 Appendix C / Gopher
