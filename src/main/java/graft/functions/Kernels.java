@@ -1780,8 +1780,25 @@ public final class Kernels {
    * <p>Decode happens once per row inside codegen via StaticInvoke —
    * no UDF serialization; a memory-backed stream keeps ImageIO off
    * its disk cache. Undecodable or sub-grid images raise: silently
-   * hashing garbage would poison a dedup pass. */
+   * hashing garbage would poison a dedup pass.
+   *
+   * <p>Round-21 optimization: the overwhelmingly common corpus shape —
+   * 8-bit non-interlaced truecolor PNG with only critical chunks —
+   * takes a direct spec-level decode path ({@link #dhash64Png}) that
+   * inflates and unfilters the scanlines straight into the 9x8 luma
+   * accumulation: same integer arithmetic over the identical decoded
+   * samples (PNG color type 2 stores raw 8-bit RGB, exactly what
+   * getRGB returns for such images), no BufferedImage, no ImageIO
+   * reader lookup. Anything else — other color types, ancillary
+   * chunks, CRC mismatches, short streams, non-PNG containers — falls
+   * back to the ImageIO path below, which keeps defining the
+   * behavioral contract (KernelsSpec/ImageDedupSpec pin fast == slow
+   * on both encoders' output). */
   public static long dhash64(byte[] bytes) {
+    Long fast = dhash64Png(bytes);
+    if (fast != null) {
+      return fast.longValue();
+    }
     java.awt.image.BufferedImage img;
     try {
       img = javax.imageio.ImageIO.read(
@@ -1818,6 +1835,13 @@ public final class Kernels {
         cnt[cy * 9 + cx]++;
       }
     }
+    return dhashFromGrid(sum, cnt);
+  }
+
+  /** dHash of the 9x8 box-filtered luma grid — shared tail of the
+   * fast-path and ImageIO decodes (one definition of the bit
+   * packing). */
+  private static long dhashFromGrid(long[] sum, long[] cnt) {
     long out = 0L;
     for (int r = 0; r < 8; r++) {
       for (int c = 0; c < 8; c++) {
@@ -1829,5 +1853,175 @@ public final class Kernels {
       }
     }
     return out;
+  }
+
+  private static final ThreadLocal<java.util.zip.Inflater> PNG_INFLATER =
+      ThreadLocal.withInitial(java.util.zip.Inflater::new);
+
+  private static int png32(byte[] b, int o) {
+    return ((b[o] & 0xff) << 24) | ((b[o + 1] & 0xff) << 16)
+        | ((b[o + 2] & 0xff) << 8) | (b[o + 3] & 0xff);
+  }
+
+  /** Direct decode of an 8-bit non-interlaced TRUECOLOR (color type
+   * 2) PNG carrying only critical chunks, CRC-verified, straight into
+   * the dHash luma grid. Returns null whenever the bytes are not
+   * exactly that shape (the caller falls back to ImageIO, which owns
+   * the behavioral contract for every other input — including the
+   * sub-grid raise, so w &lt; 9 / h &lt; 8 also returns null here).
+   * Unfiltering implements all five PNG filter types, so any
+   * encoder's choice of per-row filters decodes identically (pinned
+   * against ImageIO-encoded bytes in ImageDedupSpec). */
+  private static Long dhash64Png(byte[] b) {
+    // signature + IHDR chunk (8 + 4+4+13+4) + at least an IEND
+    if (b == null || b.length < 45
+        || (b[0] & 0xff) != 0x89 || b[1] != 'P' || b[2] != 'N'
+        || b[3] != 'G' || b[4] != 0x0d || b[5] != 0x0a
+        || b[6] != 0x1a || b[7] != 0x0a) {
+      return null;
+    }
+    if (png32(b, 8) != 13 || b[12] != 'I' || b[13] != 'H'
+        || b[14] != 'D' || b[15] != 'R') {
+      return null;
+    }
+    int w = png32(b, 16), h = png32(b, 20);
+    int depth = b[24] & 0xff, color = b[25] & 0xff;
+    int comp = b[26] & 0xff, filt = b[27] & 0xff, inter = b[28] & 0xff;
+    if (depth != 8 || color != 2 || comp != 0 || filt != 0
+        || inter != 0 || w < 9 || h < 8) {
+      return null;
+    }
+    long stride = 1L + 3L * w;
+    long rawLen = stride * h;
+    if (rawLen > (1L << 27)) { // >128 MB decoded: let ImageIO bound it
+      return null;
+    }
+    java.util.zip.CRC32 crc = new java.util.zip.CRC32();
+    crc.update(b, 12, 17);
+    if ((int) crc.getValue() != png32(b, 29)) {
+      return null;
+    }
+    // walk the chunks: concatenate IDAT payloads, stop at IEND,
+    // bail to ImageIO on anything else (ancillary chunks can carry
+    // rendering intent; the fallback decides what they mean)
+    int pos = 33;
+    int idatLen = 0;
+    // first pass: total IDAT size + structural validation
+    int p = pos;
+    boolean sawEnd = false;
+    while (p + 8 <= b.length) {
+      int len = png32(b, p);
+      if (len < 0 || p + 12 + (long) len > b.length) {
+        return null;
+      }
+      int t0 = b[p + 4], t1 = b[p + 5], t2 = b[p + 6], t3 = b[p + 7];
+      if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        idatLen += len;
+      } else if (t0 == 'I' && t1 == 'E' && t2 == 'N' && t3 == 'D') {
+        sawEnd = true;
+        break;
+      } else {
+        return null;
+      }
+      crc.reset();
+      crc.update(b, p + 4, 4 + len);
+      if ((int) crc.getValue() != png32(b, p + 8 + len)) {
+        return null;
+      }
+      p += 12 + len;
+    }
+    if (!sawEnd || idatLen <= 0) {
+      return null;
+    }
+    byte[] z = new byte[idatLen];
+    int zo = 0;
+    p = pos;
+    while (true) {
+      int len = png32(b, p);
+      if (b[p + 4] == 'I' && b[p + 5] == 'E') {
+        break;
+      }
+      System.arraycopy(b, p + 8, z, zo, len);
+      zo += len;
+      p += 12 + len;
+    }
+    byte[] raw = new byte[(int) rawLen];
+    // per-thread Inflater (task threads are pooled): new/end per image
+    // is a native zlib alloc/free that would dominate small decodes
+    java.util.zip.Inflater inf = PNG_INFLATER.get();
+    inf.reset();
+    try {
+      inf.setInput(z);
+      int got = 0;
+      while (got < raw.length && !inf.finished()) {
+        int n = inf.inflate(raw, got, raw.length - got);
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) {
+          return null; // truncated or preset-dictionary stream
+        }
+        got += n;
+      }
+      if (got != raw.length) {
+        return null;
+      }
+    } catch (java.util.zip.DataFormatException e) {
+      return null;
+    }
+    int istride = (int) stride;
+    long[] sum = new long[72];
+    long[] cnt = new long[72];
+    for (int y = 0; y < h; y++) {
+      int ro = y * istride;
+      int ft = raw[ro] & 0xff;
+      int rowStart = ro + 1;
+      int rowBytes = 3 * w;
+      switch (ft) {
+        case 0:
+          break;
+        case 1: // Sub
+          for (int i = 3; i < rowBytes; i++) {
+            raw[rowStart + i] += raw[rowStart + i - 3];
+          }
+          break;
+        case 2: // Up
+          if (y > 0) {
+            for (int i = 0; i < rowBytes; i++) {
+              raw[rowStart + i] += raw[rowStart + i - istride];
+            }
+          }
+          break;
+        case 3: // Average
+          for (int i = 0; i < rowBytes; i++) {
+            int left = i >= 3 ? raw[rowStart + i - 3] & 0xff : 0;
+            int up = y > 0 ? raw[rowStart + i - istride] & 0xff : 0;
+            raw[rowStart + i] += (byte) ((left + up) >>> 1);
+          }
+          break;
+        case 4: // Paeth
+          for (int i = 0; i < rowBytes; i++) {
+            int a = i >= 3 ? raw[rowStart + i - 3] & 0xff : 0;
+            int u = y > 0 ? raw[rowStart + i - istride] & 0xff : 0;
+            int c = (i >= 3 && y > 0)
+                ? raw[rowStart + i - istride - 3] & 0xff : 0;
+            int pp = a + u - c;
+            int pa = Math.abs(pp - a), pb = Math.abs(pp - u),
+                pc = Math.abs(pp - c);
+            int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? u : c);
+            raw[rowStart + i] += (byte) pred;
+          }
+          break;
+        default:
+          return null;
+      }
+      int cy = y * 8 / h;
+      int o = rowStart;
+      for (int x = 0; x < w; x++, o += 3) {
+        int cx = x * 9 / w;
+        long gray = (299L * (raw[o] & 0xff) + 587L * (raw[o + 1] & 0xff)
+            + 114L * (raw[o + 2] & 0xff)) / 1000L;
+        sum[cy * 9 + cx] += gray;
+        cnt[cy * 9 + cx]++;
+      }
+    }
+    return dhashFromGrid(sum, cnt);
   }
 }

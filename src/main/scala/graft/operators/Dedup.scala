@@ -528,10 +528,21 @@ object Dedup {
     * batch and incremental runs cannot drift. */
   def frameRunStats(matches0: DataFrame, minShared: Int = 1)
       : DataFrame = {
+    // ONE pair-keyed exchange for the whole tail (round-21, guide
+    // §2.4): hash-partition by (id_a, id_b) once — the duplicate
+    // elimination, the (pair, offset) run window, both pair-level
+    // aggregates, and the final shared×lcr join all have clustering
+    // keys that SUPERSET the pair, so HashPartitioning(id_a, id_b)
+    // satisfies every downstream distribution and no further shuffle
+    // is inserted (previously: distinct exchanged on all six columns,
+    // the window re-exchanged on (pair, off), and each aggregate
+    // exchanged again on the pair — four exchanges of the match set).
+    // The two branches reuse the one exchange (same subtree).
     val matches = matches0
       .select(col("fp"), col("id_a"), col("id_b"), col("idx_a"),
         col("idx_b"), (col("idx_a") - col("idx_b")).as("off"))
-      .distinct()
+      .repartition(col("id_a"), col("id_b"))
+      .dropDuplicates()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id_a"), col("id_b"), col("off"))
       .orderBy(col("idx_a"))

@@ -307,23 +307,96 @@ object Multimodal {
         >>> 8) % 250L).toInt
     }
 
-  /** Encode a gray buffer as a REAL PNG via the JDK encoder (r=g=b,
-    * TYPE_INT_RGB). PNG is lossless, so decode(encode(px)) == px and a
-    * pixel-level oracle stays exact through the codec roundtrip. */
+  /** Encode a gray buffer as a REAL PNG (8-bit truecolor, r=g=b) via a
+    * direct spec-level writer: filter-0 scanlines, one zlib DEFLATE
+    * stream, CRC-32 chunk framing (ISO 15948 / RFC 2083). PNG is
+    * lossless, so decode(encode(px)) == px and a pixel-level oracle
+    * stays exact through the codec roundtrip — any compliant decoder
+    * (javax.imageio included) recovers the identical RGB samples this
+    * encodes, so every downstream dHash is byte-for-byte what the
+    * previous BufferedImage + ImageIO.write implementation produced
+    * from the same pixels (pinned by ImageDedupSpec's encoder-equality
+    * test). Rewritten in the round-21 optimization pass: per-image
+    * ImageIO machinery (writer service lookup, BufferedImage raster,
+    * per-pixel setRGB) dominated media-fixture synthesis, the single
+    * hottest per-task kernel of the bench suite (guide §1.2 step 2).
+    * The Deflater is reused per thread (guide §4.5 — heavyweight state
+    * once per task, not per row): constructing/ending one per image is
+    * a native zlib alloc/free that dominated the rewritten encoder;
+    * executor task threads are pooled and long-lived, so the
+    * ThreadLocal holds one ~256 KB native context per core. */
+  private val pngDeflater =
+    new ThreadLocal[java.util.zip.Deflater] {
+      override def initialValue(): java.util.zip.Deflater =
+        new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    }
+
   def encodeGrayPng(gray: Array[Int], w: Int, h: Int): Array[Byte] = {
     require(gray.length == w * h,
       s"encodeGrayPng: ${gray.length} pixels for ${w}x$h")
-    val img = new java.awt.image.BufferedImage(
-      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var p = 0
-    while (p < gray.length) {
-      val g = gray(p)
-      img.setRGB(p % w, p / w, (g << 16) | (g << 8) | g)
-      p += 1
+    // raw PNG image stream: per scanline one filter byte (0 = None)
+    // then w RGB triples with r=g=b=gray (color type 2, bit depth 8)
+    val stride = 1 + 3 * w
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      var o = y * stride + 1
+      var x = y * w
+      val end = x + w
+      while (x < end) {
+        val g = (gray(x) & 0xff).toByte
+        raw(o) = g; raw(o + 1) = g; raw(o + 2) = g
+        o += 3; x += 1
+      }
+      y += 1
     }
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
-    bos.toByteArray
+    val defl = pngDeflater.get()
+    defl.reset()
+    defl.setInput(raw)
+    defl.finish()
+    var zbuf = new Array[Byte](raw.length + (raw.length >> 2) + 64)
+    var zlen = 0
+    while (!defl.finished()) {
+      if (zlen == zbuf.length)
+        zbuf = java.util.Arrays.copyOf(zbuf, zbuf.length * 2)
+      zlen += defl.deflate(zbuf, zlen, zbuf.length - zlen)
+    }
+    // exact-size assembly: signature(8) + IHDR(12+13) + IDAT(12+zlen)
+    // + IEND(12)
+    val png = new Array[Byte](57 + zlen)
+    var po = 0
+    def w8(v: Int): Unit = { png(po) = v.toByte; po += 1 }
+    def w32(v: Int): Unit = {
+      png(po) = (v >>> 24).toByte; png(po + 1) = (v >>> 16).toByte
+      png(po + 2) = (v >>> 8).toByte; png(po + 3) = v.toByte
+      po += 4
+    }
+    w8(0x89); w8('P'); w8('N'); w8('G'); w8(0x0d); w8(0x0a)
+    w8(0x1a); w8(0x0a)
+    val crc = new java.util.zip.CRC32()
+    def chunk(typ: String, body: Array[Byte], bodyLen: Int): Unit = {
+      w32(bodyLen)
+      val typeOff = po
+      var i = 0
+      while (i < 4) { png(po) = typ.charAt(i).toByte; po += 1; i += 1 }
+      System.arraycopy(body, 0, png, po, bodyLen)
+      po += bodyLen
+      crc.reset()
+      crc.update(png, typeOff, 4 + bodyLen)
+      w32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >>> 24).toByte; ihdr(1) = (w >>> 16).toByte
+    ihdr(2) = (w >>> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >>> 24).toByte; ihdr(5) = (h >>> 16).toByte
+    ihdr(6) = (h >>> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8  // bit depth
+    ihdr(9) = 2  // color type: truecolor RGB
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0 // deflate/adaptive/none
+    chunk("IHDR", ihdr, 13)
+    chunk("IDAT", zbuf, zlen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    png
   }
 
   /** Synthesize a REAL RIFF/WAVE byte stream from a seed: valid RIFF

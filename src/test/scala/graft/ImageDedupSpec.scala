@@ -90,6 +90,69 @@ class ImageDedupSpec extends SparkSpec {
     }
   }
 
+  test("round-21 fast PNG encode and decode paths are pixel-identical " +
+      "to the ImageIO reference on both encoders' bytes") {
+    // the pre-round-21 reference pair: BufferedImage + ImageIO.write
+    // encoder, ImageIO.read + getRGB + luma-grid decoder — kept here
+    // verbatim so the spec-level writer (Multimodal.encodeGrayPng) and
+    // the direct PNG decode path inside Kernels.dhash64 stay pinned to
+    // the exact behavior they replaced
+    def imageioPng(g: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var p = 0
+      while (p < g.length) {
+        val v = g(p)
+        img.setRGB(p % w, p / w, (v << 16) | (v << 8) | v)
+        p += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def imageioDhash(bytes: Array[Byte]): Long = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sum = Array.fill(72)(0L); val cnt = Array.fill(72)(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        val gray = (299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)) / 1000L
+        sum((y * 8 / h) * 9 + (x * 9 / w)) += gray
+        cnt((y * 8 / h) * 9 + (x * 9 / w)) += 1
+      }
+      var out = 0L
+      for (r <- 0 until 8; c <- 0 until 8) {
+        if (sum(r * 9 + c) / cnt(r * 9 + c) <
+            sum(r * 9 + c + 1) / cnt(r * 9 + c + 1))
+          out |= 1L << (63 - (r * 8 + c))
+      }
+      out
+    }
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((9, 8), (18, 16), (36, 32), (23, 17), (64, 41))) {
+      val g = Array.fill(w * h)(rnd.nextInt(256))
+      val fastBytes = Multimodal.encodeGrayPng(g, w, h)
+      val refBytes = imageioPng(g, w, h)
+      val expected = imageioDhash(refBytes)
+      assert(imageioDhash(fastBytes) === expected,
+        s"spec-level encoder changed decoded pixels (${w}x$h)")
+      assert(Kernels.dhash64(fastBytes) === expected,
+        s"fast decode of the spec-level encoding diverged (${w}x$h)")
+      assert(Kernels.dhash64(refBytes) === expected,
+        s"fast decode of ImageIO-encoded bytes diverged (${w}x$h)")
+    }
+    // gradient images drive the JDK encoder toward non-trivial row
+    // filters (Sub/Up/Average/Paeth) — exercise the unfilter paths
+    for ((w, h) <- Seq((18, 16), (40, 30))) {
+      val g = Array.tabulate(w * h)(p => ((p % w) * 3 + (p / w) * 7) % 256)
+      val refBytes = imageioPng(g, w, h)
+      assert(Kernels.dhash64(refBytes) === imageioDhash(refBytes),
+        s"fast decode diverged on filtered scanlines (${w}x$h)")
+    }
+  }
+
   test("audioFp64: invariant to exact half gain and 2x upsample; a " +
       "frame burst moves <= 1 bit; contracts raise") {
     val base = Multimodal.synthPcm16(7L, 260, seed = 2027L)
