@@ -64,9 +64,26 @@ object Retrieval {
 
     val tok = docs.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("term"))
-    val tf = tok.groupBy(col(idCol), col("term"))
+    // Round-21 (guide §2.3, shuffle fewer bytes): the old plan built
+    // corpus-wide (doc, term) postings — the widest exchange here — and
+    // only then filtered to query terms. Restructured so nothing
+    // corpus-sized is ever shuffled:
+    //  - dl (doc length) is a pure PROJECTION, size(tokens(text)) — no
+    //    aggregate, no exchange (a doc with zero/null tokens never
+    //    reaches tf, and null dl is skipped by sum, so `tot` and every
+    //    join row are unchanged);
+    //  - the broadcast query-term filter moves BELOW the tf aggregate:
+    //    non-query-term tokens never reach an exchange;
+    //  - df over the filtered postings equals the corpus df for every
+    //    query term (tf still covers EVERY doc containing the term).
+    // Same (doc, query-term) rows, same tf/df/dl/N/avgdl values,
+    // identical scores.
+    val dl = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("dl"))
+    val qtermSet = qtermSeq.map(_._2).distinct.toDF("term")
+    val qtok = tok.join(broadcast(qtermSet), "term")
+    val tf = qtok.groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count_distinct(col(idCol)).as("n"))
     val tot = dl.agg(sum(col("dl")).as("tot"))
