@@ -332,6 +332,13 @@ object Queries30 {
       .join(items.select($"o", $"p".as("b")), "o")
       .where($"a" < $"b")
       .select($"a", $"b").distinct()
+      // materialize ONCE (round 21, guide §2.4/§5): edges feeds four
+      // consumers (the cap, the wedge join's semi-probe, the edge
+      // count, the dropped accounting) and its lineage is the
+      // lineitem-pair self-join — without the checkpoint the plan
+      // re-executed that subtree per consumer (28 parquet scans in the
+      // before plan, 8 after)
+      .localCheckpoint()
     val cap = Skew.capGroups(edges, Seq("a"), Seq($"b"), 16)
     val adj = cap.kept.select($"a", $"b")
     val wedges = adj.select($"a", $"b")

@@ -653,6 +653,11 @@ object Dedup {
   private[graft] def connectedComponentsWithStats(
       pairs: DataFrame, maxIter: Int = 50): (DataFrame, Int) = {
     // canonical undirected edges (a < b), self-loops dropped
+    // NOTE (round 21): a lazy localCheckpoint(eager = false) here and
+    // in the loop (letting the fingerprint action materialize the
+    // checkpoint, halving the job count per star round) was tried and
+    // MEASURED SLOWER on every CC consumer (q88/q94/q96/q263/q282
+    // +25-40% in an A/B subset pair) — the eager form stays.
     var edges = pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
