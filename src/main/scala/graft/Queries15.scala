@@ -145,8 +145,19 @@ object Queries15 {
         .unboundedPreceding, 0)
     // ROWS cumulative sum: ties in l_extendedprice get distinct cumw
     // values, but "min value with cumw >= threshold" lands on the same
-    // value whatever the intra-tie order — deterministic either way
-    val cum = li.withColumn("cumw", sum($"w").over(win))
+    // value whatever the intra-tie order — deterministic either way.
+    // Round 21 (guide §2.3/§2.5): aggregate to ONE row per (flag,
+    // price) BEFORE the window — |returnflag| = 3, so the window
+    // funnels everything into 3 tasks; partial map-side aggregation
+    // shrinks both the exchange and the funnel to the distinct-price
+    // spectrum. The crossing point is unchanged: with tie groups
+    // collapsed, the ROWS cumsum equals the RANGE cumsum at each
+    // price, and "min price whose cumw crosses T" is exactly the
+    // price of the first crossing row of the un-aggregated form (the
+    // tie-invariance already documented above).
+    val grp = li.groupBy($"l_returnflag", $"l_extendedprice")
+      .agg(sum($"w").as("w"))
+    val cum = grp.withColumn("cumw", sum($"w").over(win))
     val tot = li.groupBy($"l_returnflag").agg(sum($"w").as("wtot"))
     cum.join(broadcast(tot), "l_returnflag")
       .groupBy($"l_returnflag")
