@@ -1891,6 +1891,14 @@ public final class Kernels {
         || inter != 0 || w < 9 || h < 8) {
       return null;
     }
+    // bound dimensions BEFORE multiplying: an adversarial IHDR with
+    // w,h near 2^31 would overflow stride*h to a wrapped negative that
+    // slips past the 128 MB cap and crashes the byte[] alloc instead
+    // of falling back to ImageIO (2^24 each keeps the product far
+    // inside long; anything bigger fails the cap below anyway)
+    if (w > (1 << 24) || h > (1 << 24)) {
+      return null;
+    }
     long stride = 1L + 3L * w;
     long rawLen = stride * h;
     if (rawLen > (1L << 27)) { // >128 MB decoded: let ImageIO bound it

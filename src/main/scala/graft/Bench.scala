@@ -108,7 +108,27 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Round 22, BETWEEN gates (outside the timed region): drop
+      // persistent state the finished gate leaked into the session.
+      // localCheckpoint()ed RDDs (q228 edges, CC rounds, packing range
+      // pins, BPE counts) stay registered in block-manager storage
+      // until the driver GCs their references — with a 24g heap that
+      // is rare, so by mid-pass the accumulated blocks of ~200 earlier
+      // gates squeeze the unified-memory EXECUTION share of LATER
+      // gates (measured: q272 2.2 s isolated vs 28.3 s in BOTH full-
+      // pass samples of the round-22 before pair, with the canary at
+      // band — same mechanism as the q216 bimodality note above).
+      // Each gate is self-contained by the bench rules (no cross-gate
+      // reuse, no cross-run caching), so a leaked block is accidental
+      // caching, never a dependency; freeing it between gates makes
+      // each gate's measurement start from the same clean session
+      // state that a standalone run gets. Timing methodology (noop
+      // sink, pair-min, canary, bands) is unchanged.
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      (dt, ok)
     }
 
     // Fixed-work CPU canary: 512M codegen'd xxhash64 evaluations, no

@@ -116,53 +116,61 @@ object Queries10 {
     * snippet's distinct 3-gram shingles: |E ∩ C| · 10 ≥ |E| · 6 —
     * integer arithmetic, engine-exact.
     *
-    * The scalable plan is the asymmetric prefix filter (PPJoin family,
-    * Xiao et al. WWW'08): order each eval set's shingles by corpus
-    * document frequency ascending (rarest first, ties by shingle); if
-    * C contains ≥ ⌈θ|E|⌉ of E, then among ANY |E| − ⌈θ|E|⌉ + 1 shingles
-    * of E at least one is shared — so equi-joining only E's that-many
-    * rarest shingles against the corpus's inverted (shingle, doc) pairs
-    * provably misses no qualifying pair, with no cross product anywhere
-    * (asserted on the executed plan). The corpus shuffles as (shingle,
-    * doc_id) pairs — inverted-index shape — never as text; at 100 TB
-    * the eval side is broadcast-sized, the candidate set is
-    * prefix-pruned, and the verify step touches candidates only. */
-  /** The reusable prefix-filtered containment join behind q147:
+    * The scalable plan (round 22) counts the intersection directly:
+    * one corpus scan into (shingle, doc) postings, inner-joined
+    * against the BROADCAST eval shingle table (the eval side is
+    * broadcast-sized by the decontamination contract — eval suites
+    * are small, corpora are not), then one map-side-combined count per
+    * (eval_id, doc_id) and an integer threshold test. No cross product
+    * anywhere (asserted on the executed plan); the corpus never
+    * shuffles as text OR as shingle arrays — the single exchange
+    * carries candidate (eval, doc, partial-count) triples. This
+    * supersedes the round-12 PPJoin prefix filter (rarest-first
+    * candidate pruning + array_intersect verify): see
+    * [[containmentPairs]] for the cost comparison and the worst-case
+    * note. */
+  /** The reusable containment join behind q147:
     * `eval` = (eval_id, gs: array<string>), `corpus` = (doc_id,
     * gs: array<string>), both element-distinct; emits every (eval_id,
     * doc_id, shared, ne) with |E ∩ C| · den ≥ |E| · num — exact, no
     * cross product. Threshold is the rational num/den so the qualifying
-    * test is pure integer arithmetic. */
+    * test is pure integer arithmetic.
+    *
+    * Round 22 (guide §1.1 first-principles / §2.3): because both
+    * shingle arrays are element-distinct, |E ∩ C| is a JOIN-ROW COUNT —
+    * explode the corpus once into (doc, g) postings, inner-join the
+    * broadcast eval gram table (eval is broadcast-sized by the
+    * decontamination contract), and count rows per (eval_id, doc_id)
+    * with map-side partial aggregation. This replaces the round-12
+    * PPJoin pipeline (corpus-wide document-frequency aggregate →
+    * rarest-first prefix explode → candidate distinct → re-join both
+    * full shingle arrays → array_intersect verify), whose heaviest
+    * pieces were the full-postings dfreq exchange and the verify join
+    * shuffling every candidate doc's whole array. The only exchange
+    * left is (eval_id, doc_id, partial count) — candidate-pair-sized,
+    * 20 bytes a row, map-side combined. Worst-case note: a stop-shingle
+    * shared by every doc makes the pre-combine match stream
+    * eval-grams × its df rows (the prefix filter could dodge that when
+    * the stop-shingle stayed out of the rarest-first prefix), but the
+    * old plan's dfreq aggregate already touched EVERY posting of every
+    * gram, so the new form strictly lowers both bytes exchanged and
+    * rows touched; the hash aggregate bounds the exchange by distinct
+    * qualifying-candidate pairs. Losslessness is pinned by the same
+    * Queries10Spec brute-force property tests that certified the
+    * prefix filter. */
   def containmentPairs(eval_ : DataFrame, corpus: DataFrame,
       num: Int, den: Int): DataFrame = {
     require(num > 0 && num <= den,
       s"containmentPairs: need 0 < num <= den, got $num/$den")
+    val evalG = eval_.select($"eval_id", explode($"gs").as("g"))
+    val evalNe = eval_.select($"eval_id", size($"gs").as("ne"))
     val cg = corpus.select($"doc_id", explode($"gs").as("g"))
-    val dfreq = cg.groupBy($"g").agg(count(lit(1)).as("df"))
-    val ranked = eval_.select($"eval_id", explode($"gs").as("g"))
-      .join(dfreq, Seq("g"), "left").na.fill(0L, Seq("df"))
-      .groupBy($"eval_id")
-      .agg(sort_array(collect_list(struct($"df", $"g"))).as("ts"))
-      .select($"eval_id",
-        transform($"ts", st => st.getField("g")).as("sg"),
-        size($"ts").as("ne"))
-    // shared >= ceil(num*ne/den) ⇒ prefix = ne - ceil(num*ne/den) + 1
-    // rarest shingles: a qualifying C misses at most ne - ceil(...) of
-    // E, so it must share one of ANY ne - ceil(...) + 1 — rarest-first
-    // just minimizes candidates
-    val prefLen = greatest(lit(1),
-      $"ne" - expr(s"($num * ne + ${den - 1}) div $den") + lit(1))
-    val pref = ranked
-      .select($"eval_id", explode(slice($"sg", lit(1), prefLen)).as("g"))
-    val cand = pref.join(cg, Seq("g"))
-      .select($"eval_id", $"doc_id").distinct()
-    cand
-      .join(eval_.select($"eval_id", $"gs".as("eg")), Seq("eval_id"))
-      .join(corpus.select($"doc_id", $"gs".as("cgs")), Seq("doc_id"))
-      .select($"eval_id", $"doc_id",
-        size(array_intersect($"eg", $"cgs")).as("shared"),
-        size($"eg").as("ne"))
+    cg.join(broadcast(evalG), Seq("g"))
+      .groupBy($"eval_id", $"doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("shared"))
+      .join(broadcast(evalNe), Seq("eval_id"))
       .where($"shared" * den >= $"ne" * num)
+      .select($"eval_id", $"doc_id", $"shared", $"ne")
   }
 
   def q147ContainJoin(s: SparkSession, dir: String): DataFrame = {
@@ -185,7 +193,9 @@ object Queries10 {
   }
 
   /** The oracle runs the UNPRUNED all-pairs containment — green also
-    * certifies the prefix filter lost nothing. */
+    * certifies the match-count form equals the intersection exactly
+    * (pairs sharing zero shingles can never qualify: ne ≥ 1 always —
+    * even empty text yields the [""] whole-doc shingle). */
   val q147Sql: String =
     """WITH tok AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w

@@ -276,8 +276,10 @@ object Queries30 {
     * semantics from the source table directly. */
   def q227SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft_evo").toString
+    // Fs.scratchDir (round 22): tmpfs-backed when roomy — the staged
+    // two-generation table is harness scaffolding, not the measured
+    // operator; disk fsync on /tmp was pure overhead
+    val stage = Fs.scratchDir("evo")
     try {
       docs.where($"doc_id" % 2 === 0)
         .select($"doc_id", $"n_chars")
@@ -337,7 +339,10 @@ object Queries30 {
       // count, the dropped accounting) and its lineage is the
       // lineitem-pair self-join — without the checkpoint the plan
       // re-executed that subtree per consumer (28 parquet scans in the
-      // before plan, 8 after)
+      // before plan, 8 after). Cluster caveat (SCALE.md "localCheckpoint
+      // and executor loss"): executor-local blocks are unrecoverable
+      // after executor loss; on preemptible capacity use
+      // persist(MEMORY_AND_DISK)+count instead (same rows, lineage kept).
       .localCheckpoint()
     val cap = Skew.capGroups(edges, Seq("a"), Seq($"b"), 16)
     val adj = cap.kept.select($"a", $"b")

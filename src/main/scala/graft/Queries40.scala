@@ -216,12 +216,13 @@ object Queries40 {
     val store = docs.where($"doc_id" < 250)
       .unionByName(spark.createDataFrame(Seq((p0, baseText)))
         .toDF("doc_id", "text"))
-    // nanoTime-unique like the memory-sink name below: two concurrent
-    // suite runs (Verify + Bench, or two SF dirs) must not overwrite
-    // each other's plant shard out from under an active file stream
-    val plantDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q291_plants_${System.nanoTime()}")
+    // unique dir per run: two concurrent suite runs (Verify + Bench,
+    // or two SF dirs) must not overwrite each other's plant shard out
+    // from under an active file stream.
+    // Fs.scratchDir: tmpfs-backed when roomy (round 22 — the plant
+    // shard is harness staging; disk fsync is pure overhead) and
+    // nanoTime+counter unique, same concurrent-run safety as before
+    val plantDir = new java.io.File(Fs.scratchDir("q291_plants"))
     spark.createDataFrame(plantFreshRows).toDF("doc_id", "text")
       .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
     val schema = spark.read.parquet(docsPath.getPath).schema
@@ -538,10 +539,11 @@ object Queries40 {
       (p0 + 1L, Multimodal.encodeGrayPng(base.map(_ + 5), W, H)),
       (p0 + 2L, Multimodal.encodeGrayPng(up, 2 * W, 2 * H)),
       (p0 + 3L, Multimodal.encodeGrayPng(pert, W, H)))
-    // nanoTime-unique: see q291's plant-shard race note
-    val plantDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q295_plants_${System.nanoTime()}")
+    // unique per run: see q291's plant-shard race note.
+    // Fs.scratchDir: tmpfs-backed when roomy (round 22 — the plant
+    // shard is harness staging; disk fsync is pure overhead) and
+    // nanoTime+counter unique, same concurrent-run safety as before
+    val plantDir = new java.io.File(Fs.scratchDir("q295_plants"))
     spark.createDataFrame(plantRows).toDF("doc_id", "blob")
       .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
     val schema = spark.read.parquet(docsPath.getPath).schema

@@ -238,9 +238,10 @@ object Queries41 {
         base.zipWithIndex.map { case (v, i) =>
           if (i < 4) 16382.toShort else v
         })))
-    val plantDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q300_plants_${System.nanoTime()}")
+    // Fs.scratchDir: tmpfs-backed when roomy (round 22 — the plant
+    // shard is harness staging; disk fsync is pure overhead) and
+    // nanoTime+counter unique, same concurrent-run safety as before
+    val plantDir = new java.io.File(Fs.scratchDir("q300_plants"))
     spark.createDataFrame(plantRows).toDF("doc_id", "blob")
       .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
     val schema = spark.read.parquet(docsPath.getPath).schema
@@ -353,9 +354,10 @@ object Queries41 {
         (1 to NFrames).map(f => encFrame(p0 * 16L + f)))),
       (p0 + 3L, multiChunkBlob(p0 + 3L, Seq(encFrame(p0 * 16L)) ++
         (1 until NFrames).map(f => encFrame(p0 * 16L + 8 + f)))))
-    val plantDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q301_plants_${System.nanoTime()}")
+    // Fs.scratchDir: tmpfs-backed when roomy (round 22 — the plant
+    // shard is harness staging; disk fsync is pure overhead) and
+    // nanoTime+counter unique, same concurrent-run safety as before
+    val plantDir = new java.io.File(Fs.scratchDir("q301_plants"))
     spark.createDataFrame(plantRows).toDF("doc_id", "blob")
       .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
     val schema = spark.read.parquet(docsPath.getPath).schema
@@ -554,9 +556,10 @@ object Queries41 {
       (p0 + 2L, multiChunkBlob(p0 + 2L,
         (1 to NFrames).map(f => encFrame(p0 * 16L + f)))),
       (p0 + 4L, multiChunkBlob(p0 + 4L, baseFids.reverse.map(encFrame))))
-    val plantDir = new java.io.File(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_q305_plants_${System.nanoTime()}")
+    // Fs.scratchDir: tmpfs-backed when roomy (round 22 — the plant
+    // shard is harness staging; disk fsync is pure overhead) and
+    // nanoTime+counter unique, same concurrent-run safety as before
+    val plantDir = new java.io.File(Fs.scratchDir("q305_plants"))
     spark.createDataFrame(plantRows).toDF("doc_id", "blob")
       .coalesce(1).write.mode("overwrite").parquet(plantDir.getPath)
     val schema = spark.read.parquet(docsPath.getPath).schema

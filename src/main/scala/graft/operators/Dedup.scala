@@ -104,11 +104,14 @@ object Dedup {
     * only (hash, id, pos) triplets shuffle — never the text. Winner
     * selection is one min-struct aggregate, map-side partial, so a
     * boilerplate span repeated 10^9 times reduces per-partition without
-    * a hot key. Loser positions expand k-fold but stay (id, int) pairs,
-    * dedup to a per-doc covered set bounded by document length, and
-    * join back on the uniform id key; the word-array rebuild is
-    * row-local (array_contains per word — O(words·covered) on
-    * document-bounded arrays). */
+    * a hot key. Loser SPAN STARTS shuffle as (id, int) pairs — one row
+    * per loser span, not per covered position — aggregate to a per-doc
+    * start set, and expand to the covered-position union row-locally
+    * after the aggregate (k× fewer exchanged/buffered rows than
+    * shuffling exploded positions); the covered set stays bounded by
+    * document length, joins back on the uniform id key, and the
+    * word-array rebuild is row-local (array_contains per word —
+    * O(words·covered) on document-bounded arrays). */
   def dedupSpans(df: DataFrame, idCol: String, textCol: String, k: Int)
       : DataFrame = {
     require(k >= 2, s"dedupSpans: span length k must be >= 2, got $k")
@@ -127,12 +130,20 @@ object Dedup {
       .select(col("gh"), col("w.id").as("wid"), col("w.pos").as("wpos"))
     val covered = grams.join(winners, Seq("gh"))
       .where(!(col("id") === col("wid") && col("pos") === col("wpos")))
-      .select(col("id"), explode(sequence(col("pos"),
-        col("pos") + (k - 1))).as("cp"))
+      // Round 22 (guide §2.3, shuffle fewer bytes): aggregate the span
+      // START positions and expand each start to its k covered
+      // positions AFTER the aggregate, row-locally — the exchange and
+      // the aggregate buffer carry one int per loser span instead of k
+      // (k=8 in the gates). distinct-start union ∘ expand ≡ expand ∘
+      // position union: both compute ⋃ [pos, pos+k-1] over loser spans;
+      // sorted-distinct is restored by array_distinct + sort_array, so
+      // __covered is element-identical to the old
+      // sort_array(collect_set(cp)) form (DedupSpec pins this).
       .groupBy("id")
-      // collect_set dedups overlapping spans inside the aggregate —
-      // one shuffle instead of distinct-then-collect's two
-      .agg(sort_array(collect_set(col("cp"))).as("__covered"))
+      .agg(collect_set(col("pos")).as("__starts"))
+      .select(col("id"),
+        sort_array(array_distinct(flatten(transform(col("__starts"),
+          s => sequence(s, s + (k - 1)))))).as("__covered"))
     df.select(col(idCol).cast(LongType).as("id"),
         TextAnalysis.tokens(col(textCol)).as("words"))
       .join(covered, Seq("id"), "left")
@@ -658,6 +669,10 @@ object Dedup {
     // checkpoint, halving the job count per star round) was tried and
     // MEASURED SLOWER on every CC consumer (q88/q94/q96/q263/q282
     // +25-40% in an A/B subset pair) — the eager form stays.
+    // Cluster caveat (SCALE.md "localCheckpoint and executor loss"):
+    // executor-local checkpoint blocks don't survive executor loss; an
+    // iterative fixpoint on preemptible capacity should use reliable
+    // checkpoint() on distributed storage instead.
     var edges = pairs
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))

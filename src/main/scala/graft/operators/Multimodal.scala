@@ -344,7 +344,16 @@ object Multimodal {
       var x = y * w
       val end = x + w
       while (x < end) {
-        val g = (gray(x) & 0xff).toByte
+        // samples are 8-bit by contract: the pre-round-21
+        // BufferedImage path split an out-of-range value into
+        // r!=g!=b channel bytes where masking would silently wrap —
+        // fail loudly so the encoders can never diverge on a future
+        // caller (in-repo synthesis stays within [0,255]); the check
+        // is one never-taken branch inside the existing loop
+        if ((gray(x) & ~0xff) != 0)
+          throw new IllegalArgumentException(
+            s"encodeGrayPng: sample ${gray(x)} outside [0,255]")
+        val g = gray(x).toByte
         raw(o) = g; raw(o + 1) = g; raw(o + 2) = g
         o += 3; x += 1
       }

@@ -78,6 +78,11 @@ object Retrieval {
     //    query term (tf still covers EVERY doc containing the term).
     // Same (doc, query-term) rows, same tf/df/dl/N/avgdl values,
     // identical scores.
+    // CONTRACT: idCol is unique per document (every in-repo caller
+    // passes a primary-key doc_id). dl as a projection relies on it —
+    // a duplicated id would fan out the tf join rows where the old
+    // groupBy(idCol) dl collapsed them (and tf/N would already be
+    // ill-defined for duplicates anyway: tf merges the copies' counts).
     val dl = docs.select(col(idCol),
       size(TextAnalysis.tokens(col(textCol))).cast(LongType).as("dl"))
     val qtermSet = qtermSeq.map(_._2).distinct.toDF("term")

@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import graft.operators.TextAnalysis
 
 /** Round-12 machinery past q145: text normalization semantics (q148),
-  * the containment-join prefix filter's losslessness (q147), and the
-  * funnel's boundary ordering rules (q149).
+  * the containment join's exactness against brute force (q147 — these
+  * properties certified the round-12 prefix filter and now pin the
+  * round-22 broadcast match-count form), and the funnel's boundary
+  * ordering rules (q149).
   */
 class Queries10Spec extends SparkSpec {
   import spark.implicits._

@@ -289,6 +289,45 @@ class TextPipelineSpec extends SparkSpec {
       (5L, "p q r s", 12, 8)))
   }
 
+  test("dedupSpans start-set expansion equals a brute-force replay of " +
+      "the covered-position union") {
+    // seeded random corpus over a 6-word alphabet: heavy k-gram
+    // repetition, losers overlapping at many offsets, docs below k —
+    // pins the round-22 rewrite (aggregate loser span STARTS, expand
+    // to covered positions row-locally after the aggregate) against an
+    // independent single-threaded replay of the declared policy
+    val k = 4
+    val rnd = new scala.util.Random(42)
+    val corpus = (0L until 40L).map { id =>
+      (id, Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(6)}")
+        .mkString(" "))
+    }
+    val allGrams = corpus.flatMap { case (id, text) =>
+      val w = text.split("\\s+").toSeq
+      if (w.size >= k)
+        (0 to w.size - k).map(p => (w.slice(p, p + k).mkString(" "), id, p))
+      else Seq.empty
+    }
+    val winner = allGrams.groupBy(_._1)
+      .map { case (g, occ) => g -> occ.map(o => (o._2, o._3)).min }
+    val expected = corpus.map { case (id, text) =>
+      val w = text.split("\\s+").toSeq
+      val covered = scala.collection.mutable.SortedSet[Int]()
+      if (w.size >= k)
+        for (p <- 0 to w.size - k) {
+          val g = w.slice(p, p + k).mkString(" ")
+          if (winner(g) != ((id, p))) covered ++= (p until p + k)
+        }
+      (id, w.zipWithIndex.collect { case (x, i) if !covered(i) => x }
+        .mkString(" "), w.size, covered.size)
+    }
+    val got = Dedup.dedupSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k)
+      .orderBy("id").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(got === expected.sortBy(_._1))
+  }
+
   test("dedupSpans rejects k < 2") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
