@@ -342,7 +342,12 @@ object Queries30 {
       // before plan, 8 after). Cluster caveat (SCALE.md "localCheckpoint
       // and executor loss"): executor-local blocks are unrecoverable
       // after executor loss; on preemptible capacity use
-      // persist(MEMORY_AND_DISK)+count instead (same rows, lineage kept).
+      // persist(MEMORY_AND_DISK)+count instead (same rows, lineage
+      // kept). Measured round 22 (isolated pair-min A/B): persist
+      // 4.45 s vs localCheckpoint 2.77 s at sf0.1, 11.4 vs 11.9 s at
+      // sf1.0 — the persist form pays an extra scheduled pass over the
+      // cached blocks at small scale and ties at sf1.0, so the faster
+      // local form stays for the bench; flip on preemptible clusters.
       .localCheckpoint()
     val cap = Skew.capGroups(edges, Seq("a"), Seq($"b"), 16)
     val adj = cap.kept.select($"a", $"b")

@@ -99,8 +99,13 @@ object Queries8 {
     // ONE exact-percentile aggregate for all 12 quantiles (point +
     // lo/hi rank bands): each percentile() call builds its own
     // per-group value buffer, so three calls tripled the dominant
-    // cost. The persist stops the gate's two reads (rank-band check +
-    // returned projection) from running the agg twice.
+    // cost. Round 22: the rank-band check moved from a driver
+    // collect() over a persist()ed intermediate into the expression
+    // layer (the q225 lazy-invariant pattern) — the gate is now ONE
+    // aggregate pass, no driver data work (guide §5), and no cached
+    // plan to leak into the session (the old never-unpersisted cache
+    // made bench pass 2 re-serve pass 1's result: s1/s2 read
+    // 2.4–3.7 s / 0.27–0.32 s in every pre-round-22 pair).
     val allPs = ps ++ ps.map(p => math.max(0.0, p - eps)) ++
       ps.map(p => math.min(1.0, p + eps))
     val k = ps.length
@@ -115,24 +120,18 @@ object Queries8 {
         $"ap",
         slice($"exall", k + 1, k).as("lo"),
         slice($"exall", 2 * k + 1, k).as("hi"))
-      .persist()
-    rows.select($"l_linestatus", $"ap", $"lo", $"hi").collect().foreach {
-      r =>
-        val g = r.getString(0)
-        val (ap, lo, hi) = (r.getSeq[Double](1), r.getSeq[Double](2),
-          r.getSeq[Double](3))
-        ps.indices.foreach { i =>
-          require(ap(i) >= lo(i) - 1e-9 && ap(i) <= hi(i) + 1e-9,
-            f"q122: approx p=${ps(i)} for group $g out of rank band: " +
-              f"${ap(i)}%.4f not in [${lo(i)}%.4f, ${hi(i)}%.4f]")
-        }
-    }
+    val inBand = ps.indices.map { i =>
+      $"ap".getItem(i) >= $"lo".getItem(i) - lit(1e-9) &&
+        $"ap".getItem(i) <= $"hi".getItem(i) + lit(1e-9)
+    }.reduce(_ && _)
     rows.select($"l_linestatus",
         round($"ex".getItem(0), 4).as("p25"),
         round($"ex".getItem(1), 4).as("p50"),
         round($"ex".getItem(2), 4).as("p75"),
-        round($"ex".getItem(3), 4).as("p95"))
-      .withColumn("sketch_ok", lit(true))
+        round($"ex".getItem(3), 4).as("p95"),
+        when(inBand, lit(true)).otherwise(raise_error(concat(
+          lit("q122: approx out of rank band for group "),
+          $"l_linestatus"))).as("sketch_ok"))
       .orderBy($"l_linestatus")
   }
 
