@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked runMain output goes straight to stdout, UNPREFIXED — sbt's
+// default logger wraps every stdout line in "[info] ", which breaks
+// any strict JSON parse of the bench artifact line (a capture that
+// does json.loads on the line sees "[info] {...}"). StdoutOutput
+// keeps the bench contract line byte-clean; humans lose nothing (the
+// Spark WARN noise on stderr keeps its own stream).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
